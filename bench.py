@@ -1,0 +1,75 @@
+"""Benchmark harness: times every registered query at the bench scale factor.
+
+Prints ONE machine-parseable JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the noop sink (forces execution of
+the whole plan — ``count()`` alone would let Catalyst prune unreferenced
+projections). Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_QUERIES        comma-separated subset to run
+  BENCH_REPEAT         timed repetitions per query, best-of (default 1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from lets_talk_cdc_change_feed_playground_spark import get_spark  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    subset = [s for s in os.environ.get("BENCH_QUERIES", "").split(",") if s]
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+    names = subset or list(queries)
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        fn = queries[name]
+        best = None
+        try:
+            for _ in range(max(repeat, 1)):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as e:  # keep benching; report the failure
+            failures[name] = str(e).split("\n")[0][:200]
+        print(f"# {name}: {timings.get(name, 'FAIL')}", file=sys.stderr, flush=True)
+
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result), flush=True)
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -4,23 +4,52 @@ The reference has no SQL engine of its own (its joins live inside the diff /
 verification operators — see SURVEY.md §2.7), but the judged correctness
 corpus exercises a full relational surface over the driver tables. These
 queries are written DataFrame-first so Catalyst handles pushdown, pruning and
-join planning; dimension joins are explicitly broadcast (`region`, `nation`,
-`supplier`, `part`, `customer` stay small relative to facts at every scale
-factor — at 100 TB the fact tables grow, the dims don't).
+join planning.
+
+Scale policy (100 TB design point):
+- Only ``region`` and ``nation`` are unconditionally broadcast: they are
+  fixed-size at every scale factor. ``customer``/``supplier``/``part`` grow
+  linearly with SF, so their joins are left to AQE + the 64 MB
+  autoBroadcastJoinThreshold (broadcast when genuinely small, shuffle join
+  otherwise) — a forced hint would OOM executors at scale.
+- Global top-k never uses an unpartitioned row_number window (single-task
+  sort): ``orderBy(...).limit(k)`` with a total tiebreak order executes as a
+  distributed TakeOrderedAndProject.
 
 Determinism rules for the DuckDB-oracle hash gate:
 - every aggregate/computed column is aliased identically in Spark and SQL,
-- double aggregates are rounded (sum→2dp, avg/ratio→4dp) so IEEE summation
-  order cannot flip the hash,
-- no bare LIMIT: top-k uses row_number with a total tiebreak order.
+- double sums/avgs accumulate in DECIMAL(38,6) so IEEE summation order cannot
+  flip the rounded result (partition order is nondeterministic; decimal
+  addition is associative), then round and cast back to double on BOTH sides,
+- top-k always carries a total tiebreak order.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table as _t
+
+_DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent sum of a double column: accumulate in decimal
+    (associative — immune to partition/merge order), round, back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(_DEC)), scale).cast("double")
+
+
+def davg(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent avg: exact decimal sum, then one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(F.lit(1)), scale)
+
+
+# SQL-side equivalents (DuckDB dialect) used inside the oracle strings:
+#   sum  -> CAST(round(sum(CAST(x AS DECIMAL(38,6))), s) AS DOUBLE)
+#   avg  -> round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*), s)
 
 
 # --------------------------------------------------------------------------
@@ -29,19 +58,19 @@ from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_tab
 # --------------------------------------------------------------------------
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -49,13 +78,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -65,22 +94,22 @@ GROUP BY l_returnflag, l_linestatus
 
 # --------------------------------------------------------------------------
 # Q3: shipping priority — 3-way join, filter both sides, top-10 revenue.
-# customer is broadcast (small dim); orders⋈lineitem shuffles on orderkey.
+# customer join is left to AQE (SF-scaling table); orders⋈lineitem shuffles
+# on orderkey; top-k is a distributed TakeOrderedAndProject.
 # --------------------------------------------------------------------------
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01"))
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -93,7 +122,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = """
 WITH agg AS (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -103,13 +132,15 @@ WITH agg AS (
   GROUP BY l_orderkey, o_orderdate, o_orderpriority
 )
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority, revenue
-FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rk FROM agg)
-WHERE rk <= 10
+FROM agg
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
 """
 
 
 # --------------------------------------------------------------------------
-# Q5: local supplier volume — 6-way star join; dims broadcast, facts shuffle.
+# Q5: local supplier volume — 6-way star join; fixed dims broadcast, facts
+# shuffle; customer/supplier joins AQE-planned (they scale with SF).
 # --------------------------------------------------------------------------
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -122,20 +153,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -161,12 +191,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
@@ -185,15 +215,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name", "revenue")
     )
 
@@ -201,7 +230,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 WITH agg AS (
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -211,8 +240,9 @@ WITH agg AS (
   GROUP BY c_custkey, c_name, c_acctbal, n_name
 )
 SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name, revenue
-FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rk FROM agg)
-WHERE rk <= 20
+FROM agg
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
 """
 
 
@@ -243,14 +273,16 @@ GROUP BY o_orderpriority
 
 # --------------------------------------------------------------------------
 # Top customers by spend — window rank per market segment (top-k per group).
+# The window is PARTITIONED (per-segment) so it scales; customer join is
+# AQE-planned.
 # --------------------------------------------------------------------------
 def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     spend = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .agg(dsum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
     )
     w = W.partitionBy("c_mktsegment").orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
     return (
@@ -262,7 +294,9 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_CUSTOMERS_SQL = """
 WITH spend AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_spend,
+         count(*) AS n_orders
   FROM orders GROUP BY o_custkey
 )
 SELECT c_mktsegment, c_custkey, c_name, total_spend, n_orders, rk
@@ -305,8 +339,8 @@ def part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.rollup("p_type", "p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
-            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            davg("p_retailprice").alias("avg_price"),
+            dsum("p_retailprice").alias("sum_price"),
         )
         .select(
             F.coalesce(F.col("p_type"), F.lit("ALL")).alias("p_type"),
@@ -321,8 +355,8 @@ def part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PART_ROLLUP_SQL = """
 SELECT coalesce(p_type, 'ALL') AS p_type, coalesce(p_brand, 'ALL') AS p_brand,
        count(*) AS n_parts,
-       round(avg(p_retailprice), 4) AS avg_price,
-       round(sum(p_retailprice), 2) AS sum_price
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+       CAST(round(sum(CAST(p_retailprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_price
 FROM part
 GROUP BY ROLLUP (p_type, p_brand)
 """
@@ -330,6 +364,8 @@ GROUP BY ROLLUP (p_type, p_brand)
 
 # --------------------------------------------------------------------------
 # Running revenue per customer — cumulative window over order history.
+# Window sums accumulate in decimal: frame order is deterministic, but the
+# final double must match the oracle bit-for-bit.
 # --------------------------------------------------------------------------
 def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -342,7 +378,7 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2).cast("double").alias("running_total"),
         F.row_number()
         .over(W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
         .alias("order_seq"),
@@ -351,15 +387,17 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RUNNING_REVENUE_SQL = """
 SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
 FROM orders
 """
 
 
 # --------------------------------------------------------------------------
-# Supplier/nation/region aggregate — star join over all small dims.
+# Supplier/nation/region aggregate — nation/region broadcast (fixed-size);
+# the supplier join is AQE-planned (supplier scales ~10 MB/SF).
 # --------------------------------------------------------------------------
 def supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
@@ -367,22 +405,22 @@ def supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum("l_extendedprice").alias("gross"),
+            davg("l_discount").alias("avg_disc"),
         )
     )
 
 
 SUPPLIER_REGION_SQL = """
 SELECT r_name, n_name, count(*) AS n_items,
-       round(sum(l_extendedprice), 2) AS gross,
-       round(avg(l_discount), 4) AS avg_disc
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS gross,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_disc
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -404,7 +442,7 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum("value").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -412,7 +450,9 @@ def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value, count(DISTINCT user_id) AS n_users
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
 """
@@ -441,7 +481,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        dsum("value").alias("session_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
 
@@ -461,7 +501,7 @@ s AS (
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 2) AS session_value,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS session_value,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
 FROM s GROUP BY user_id, session_id
 """

@@ -8,6 +8,8 @@ Column names/aliases match exactly between the two sides.
 
 from __future__ import annotations
 
+import importlib
+import importlib.util
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,18 +24,16 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from lets_talk_cdc_change_feed_playground_spark.plans import relational
 
     modules = [relational]
-    try:
-        from lets_talk_cdc_change_feed_playground_spark.operators import cdc_queries
-
-        modules.append(cdc_queries)
-    except ImportError:
-        pass
-    try:
-        from lets_talk_cdc_change_feed_playground_spark.functions import pipeline_queries
-
-        modules.append(pipeline_queries)
-    except ImportError:
-        pass
+    # Optional query modules: skip only when the module file genuinely does
+    # not exist — an ImportError raised INSIDE an existing module (typo,
+    # missing dependency) must propagate, not silently shrink coverage.
+    for mod_name in (
+        "lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries",
+        "lets_talk_cdc_change_feed_playground_spark.operators.playground_queries",
+        "lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries",
+    ):
+        if importlib.util.find_spec(mod_name) is not None:
+            modules.append(importlib.import_module(mod_name))
 
     for mod in modules:
         for name, fn in mod.QUERIES.items():

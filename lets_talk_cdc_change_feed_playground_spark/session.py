@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Driver testdata writes events.parquet with TIMESTAMP(NANOS); read as
+        # long and convert explicitly (sources/testdata.py). Set here once so
+        # queries never flip session conf mid-plan.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -27,8 +27,11 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any scale factor.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Dimension tables small enough to broadcast at ANY scale factor: only
+# region/nation are fixed-size. customer/supplier/part scale linearly with SF
+# (tens of GB at the 100 TB design point) — their joins are AQE-planned, never
+# hint-forced.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

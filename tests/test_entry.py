@@ -8,8 +8,13 @@ import __spark_entry__ as entry_mod
 def test_entry_runs(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
     assert df.columns == ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]
+    # sf0.001 has data in the filtered range: the top-k must be non-empty and
+    # genuinely sorted by revenue.
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert revs[0] > 0
 
 
 def test_queries_and_oracle_aligned():
@@ -20,9 +25,16 @@ def test_queries_and_oracle_aligned():
     assert set(o) <= set(q)
 
 
-def test_all_queries_run_and_match_columns(spark, sf_dir):
-    """Every declared query runs at smoke sf and returns named columns."""
+def test_all_queries_run_and_return_rows(spark, sf_dir):
+    """Every declared query runs at smoke sf, returns named columns and rows.
+
+    Empty results would make the driver's hash gate vacuous — every judged
+    query is designed to produce rows at every scale factor.
+    """
+    empty_ok: set[str] = {"customers_without_orders"}  # genuinely 0 at tiny sf
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
-        assert df.count() >= 0, name
+        n = df.count()
+        if name not in empty_ok:
+            assert n > 0, f"{name} returned 0 rows"

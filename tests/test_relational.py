@@ -23,12 +23,21 @@ def test_q3_topk_is_sorted(spark, sf_dir):
 
 def test_broadcast_join_in_q5_plan(spark, sf_dir):
     plan = R.q5_local_supplier_volume(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # nation/region are broadcast; no forced broadcast of SF-scaling tables.
     assert "BroadcastHashJoin" in plan
+
+
+def test_q3_topk_is_take_ordered(spark, sf_dir):
+    """Global top-k must be a distributed TakeOrderedAndProject, not a
+    single-task unpartitioned row_number window."""
+    plan = R.q3_shipping_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
 
 
 def test_q1_pushes_filter_to_scan(spark, sf_dir):
     plan = R.q1_pricing_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
 
 
 def test_sessionize_sessions_are_positive(spark, sf_dir):
