@@ -40,6 +40,10 @@ def main() -> int:
     spark = get_spark("bench")
     queries = entry_mod.queries()
     names = subset or list(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"error: unknown BENCH_QUERIES {unknown}; known: {sorted(queries)}", file=sys.stderr)
+        return 2
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

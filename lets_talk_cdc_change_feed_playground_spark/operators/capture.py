@@ -1,0 +1,200 @@
+"""The three CDC capture engines as deterministic batch transformations.
+
+Reference semantics (all single-threaded tick loops over a ``Map<pk,Row>``
+store) re-expressed as per-key window transformations over the derived ops
+feed (:mod:`..operators.ops_feed`):
+
+- **C1 log** (``sim/engines/LogEngine.ts:25-131``): every op appends a WAL
+  record with a monotonic LSN, before/after images and ``commit_ts = t``;
+  the tail is drained every fetch interval — complete, ordered, lossless.
+- **C2 polling** (``sim/engines/PollingEngine.ts:23-84``): ops mutate a soft-
+  delete row store (update on a deleted/missing row is a NO-OP; delete just
+  flags), and each poll emits one event per row changed since the last poll —
+  intermediate updates collapse, hard deletes are invisible unless
+  ``include_soft_deletes``.
+- **C3 trigger** (``sim/engines/TriggerEngine.ts:27-148``): every op appends
+  an audit row synchronously with ``commit_ts = t + overhead_ms``; updates
+  *revive* soft-deleted rows and deleted rows keep their data, so the before
+  image is the last non-delete payload regardless of deletes in between.
+
+Every transformation is per-``pk`` window work (one shuffle on the key, which
+all three lanes share) except the log LSN, which uses the bucketed global
+sequence from :mod:`..functions.sequence` instead of a single-task sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_global_seq
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    EXTRACT_MS,
+    FETCH_MS,
+    OVERHEAD_MS,
+    POLL_MS,
+    ops_feed,
+)
+
+PAYLOAD = ("event_type", "value", "props")
+
+_OP_CODE = {"insert": "c", "update": "u", "delete": "d"}
+
+
+def _op_code() -> Column:
+    return (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+
+
+def _with_after(ops: DataFrame) -> DataFrame:
+    """after image = full payload for insert/update, NULL for delete."""
+    cols = [
+        F.when(F.col("op") != "delete", F.col(c)).alias(f"after_{c}") for c in PAYLOAD
+    ]
+    return ops.select("seq", "t", "pk", "op", *cols)
+
+
+def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> DataFrame:
+    """C1 — WAL-tail capture: ordered, lossless, with before images.
+
+    ``before`` is the previous WAL record's ``after`` for the key (NULL after a
+    delete, NULL for inserts) — exactly ``LogEngine.applySourceOp``'s
+    ``cur.data`` since the feed carries full row images.
+    """
+    wpk = W.partitionBy("pk").orderBy("t", "seq")
+    df = _with_after(ops_feed(spark, sf_dir))
+    df = df.select(
+        "*",
+        *[
+            F.when(F.col("op") == "insert", F.lit(None))
+            .otherwise(F.lag(f"after_{c}").over(wpk))
+            .alias(f"before_{c}")
+            for c in PAYLOAD
+        ],
+    )
+    df = with_global_seq(df, F.expr(f"t div {fetch_ms}"), ["t", "seq"], "lsn")
+    return df.select(
+        "lsn",
+        _op_code().alias("op"),
+        "pk",
+        *[f"before_{c}" for c in PAYLOAD],
+        *[f"after_{c}" for c in PAYLOAD],
+        F.col("t").alias("ts_ms"),
+        F.concat(F.lit("tx-"), F.col("t")).alias("tx_id"),
+        ((F.expr(f"t div {fetch_ms}") + 1) * fetch_ms).alias("emitted_at_ms"),
+        F.lit("log").alias("method"),
+    )
+
+
+def polling_capture(
+    spark: SparkSession,
+    sf_dir: str,
+    poll_ms: int = POLL_MS,
+    include_soft_deletes: bool = False,
+) -> DataFrame:
+    """C2 — query-based capture: per-poll last-write-wins over a soft-delete store.
+
+    Effective ops (the ones that touch the row store / its ``updated_at``):
+    inserts, updates *before* the key's first delete, and every delete
+    (re-deleting a soft-deleted row refreshes ``updated_at`` —
+    ``PollingEngine.ts:43-52``).  Each poll window then emits the key's state
+    at its last effective op: ``d`` if soft-deleted (dropped entirely unless
+    ``include_soft_deletes``), else ``u`` when version > 1, ``c`` for fresh
+    inserts. Version counts applied insert/updates only.
+    """
+    ops = ops_feed(spark, sf_dir)
+    wall = W.partitionBy("pk")
+    wordered = W.partitionBy("pk").orderBy("t", "seq")
+
+    first_del = F.min(F.when(F.col("op") == "delete", F.col("seq"))).over(wall)
+    eff = ops.withColumn("__first_del", first_del).filter(
+        (F.col("op") != "update")
+        | F.col("__first_del").isNull()
+        | (F.col("seq") < F.col("__first_del"))
+    )
+
+    state = eff.select(
+        "seq",
+        "t",
+        "pk",
+        F.expr(f"t div {poll_ms}").alias("poll_id"),
+        F.max(F.when(F.col("op") == "delete", 1).otherwise(0))
+        .over(wordered)
+        .alias("deleted"),
+        F.sum(F.when(F.col("op") != "delete", 1).otherwise(0))
+        .over(wordered)
+        .alias("version"),
+        *[
+            F.last(F.when(F.col("op") != "delete", F.col(c)), ignorenulls=True)
+            .over(wordered)
+            .alias(f"data_{c}")
+            for c in PAYLOAD
+        ],
+    )
+
+    wpoll = W.partitionBy("pk", "poll_id").orderBy(F.desc("t"), F.desc("seq"))
+    latest = state.withColumn("__rn", F.row_number().over(wpoll)).filter(F.col("__rn") == 1)
+    if not include_soft_deletes:
+        latest = latest.filter(F.col("deleted") == 0)
+    return latest.select(
+        ((F.col("poll_id") + 1) * poll_ms).alias("poll_ts_ms"),
+        F.when(F.col("deleted") == 1, F.lit("d"))
+        .when(F.col("version") > 1, F.lit("u"))
+        .otherwise(F.lit("c"))
+        .alias("op"),
+        "pk",
+        *[
+            F.when(F.col("deleted") == 0, F.col(f"data_{c}")).alias(f"after_{c}")
+            for c in PAYLOAD
+        ],
+        F.col("t").alias("ts_ms"),
+        F.concat(F.lit("tx-"), F.col("t")).alias("tx_id"),
+        F.lit("polling").alias("method"),
+    )
+
+
+def trigger_capture(
+    spark: SparkSession,
+    sf_dir: str,
+    extract_ms: int = EXTRACT_MS,
+    overhead_ms: int = OVERHEAD_MS,
+) -> DataFrame:
+    """C3 — audit-table capture: synchronous append with write-path overhead.
+
+    Complete and ordered like the log, but ``commit_ts = t + overhead_ms``
+    models the trigger write cost, and the before image is the last non-delete
+    payload for the key (deleted rows keep their data; updates revive them —
+    ``TriggerEngine.ts:62-100``). ``audit_seq`` stands in for the reference's
+    random ``audit_id`` (``TriggerEngine.ts:148`` — randomness would break the
+    deterministic replay contract).
+    """
+    wprev = (
+        W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, -1)
+    )
+    df = _with_after(ops_feed(spark, sf_dir))
+    df = df.select(
+        "*",
+        *[
+            F.when(F.col("op") == "insert", F.lit(None))
+            .otherwise(
+                F.last(F.when(F.col("op") != "delete", F.col(f"after_{c}")), ignorenulls=True).over(wprev)
+            )
+            .alias(f"before_{c}")
+            for c in PAYLOAD
+        ],
+    )
+    df = with_global_seq(df, F.expr(f"t div {extract_ms}"), ["t", "seq"], "audit_seq")
+    return df.select(
+        "audit_seq",
+        _op_code().alias("op"),
+        "pk",
+        *[f"before_{c}" for c in PAYLOAD],
+        *[f"after_{c}" for c in PAYLOAD],
+        (F.col("t") + overhead_ms).alias("commit_ts_ms"),
+        F.concat(F.lit("tx-"), F.col("t") + overhead_ms).alias("tx_id"),
+        ((F.expr(f"t div {extract_ms}") + 1) * extract_ms).alias("emitted_at_ms"),
+        F.lit("trigger").alias("method"),
+    )

@@ -1,0 +1,489 @@
+"""Judged CDC query surface: capture engines, replay, diff/verify, metrics.
+
+Each entry pairs the Spark operator (``QUERIES``) with a DuckDB oracle SQL
+twin (``ORACLE``) over the same derived ops feed — see
+:mod:`..operators.ops_feed` for the feed contract and
+:mod:`..operators.capture` / :mod:`..operators.diffs` /
+:mod:`..operators.metrics` for the reference semantics being checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.operators import capture, diffs, metrics
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    EXTRACT_MS,
+    FETCH_MS,
+    OPS_SQL,
+    OVERHEAD_MS,
+    POLL_MS,
+    ops_feed,
+)
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (composable CTE bodies mirroring capture.py)
+# ---------------------------------------------------------------------------
+
+_PAYLOAD = capture.PAYLOAD
+
+
+def _cases(template: str, alias_prefix: str) -> str:
+    return ",\n    ".join(
+        template.format(c=c, out=f"{alias_prefix}{c}") for c in _PAYLOAD
+    )
+
+
+WAL_SQL = f"""
+wal AS (
+  SELECT
+    row_number() OVER (ORDER BY t, seq) AS lsn,
+    CASE op WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u' ELSE 'd' END AS op,
+    pk,
+    {_cases("CASE WHEN op = 'insert' THEN NULL ELSE lag(CASE WHEN op <> 'delete' THEN {c} END) OVER w END AS {out}", "before_")},
+    {_cases("CASE WHEN op <> 'delete' THEN {c} END AS {out}", "after_")},
+    t AS ts_ms,
+    'tx-' || t AS tx_id,
+    ((t // {FETCH_MS}) + 1) * {FETCH_MS} AS emitted_at_ms,
+    'log' AS method
+  FROM src
+  WINDOW w AS (PARTITION BY pk ORDER BY t, seq)
+)
+"""
+
+# polling: effective ops -> cumulative soft-delete row state -> per-poll last
+POLL_STATE_SQL = f"""
+eff AS (
+  SELECT * FROM (
+    SELECT src.*,
+           min(CASE WHEN op = 'delete' THEN seq END) OVER (PARTITION BY pk) AS first_del
+    FROM src
+  )
+  WHERE op <> 'update' OR first_del IS NULL OR seq < first_del
+),
+pstate AS (
+  SELECT seq, t, pk,
+         t // {POLL_MS} AS poll_id,
+         max(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) OVER w AS deleted,
+         sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) OVER w AS version,
+         {_cases("last_value(CASE WHEN op <> 'delete' THEN {c} END IGNORE NULLS) OVER w AS data_{c}", "")}
+  FROM eff
+  WINDOW w AS (PARTITION BY pk ORDER BY t, seq)
+),
+polled_all AS (
+  SELECT ((poll_id + 1) * {POLL_MS}) AS poll_ts_ms,
+         CASE WHEN deleted = 1 THEN 'd' WHEN version > 1 THEN 'u' ELSE 'c' END AS op,
+         pk,
+         {_cases("CASE WHEN deleted = 0 THEN data_{c} END AS {out}", "after_")},
+         t AS ts_ms,
+         'tx-' || t AS tx_id,
+         'polling' AS method,
+         deleted
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk, poll_id ORDER BY t DESC, seq DESC) AS rn
+    FROM pstate
+  )
+  WHERE rn = 1
+),
+polled AS (
+  SELECT poll_ts_ms, op, pk, after_event_type, after_value, after_props, ts_ms, tx_id, method
+  FROM polled_all WHERE deleted = 0
+),
+polled_soft AS (
+  SELECT poll_ts_ms, op, pk, after_event_type, after_value, after_props, ts_ms, tx_id, method
+  FROM polled_all
+)
+"""
+
+AUDIT_SQL = f"""
+audit AS (
+  SELECT
+    row_number() OVER (ORDER BY t, seq) AS audit_seq,
+    CASE op WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u' ELSE 'd' END AS op,
+    pk,
+    {_cases("CASE WHEN op = 'insert' THEN NULL ELSE last_value(CASE WHEN op <> 'delete' THEN {c} END IGNORE NULLS) OVER wprev END AS {out}", "before_")},
+    {_cases("CASE WHEN op <> 'delete' THEN {c} END AS {out}", "after_")},
+    t + {OVERHEAD_MS} AS commit_ts_ms,
+    'tx-' || (t + {OVERHEAD_MS}) AS tx_id,
+    ((t // {EXTRACT_MS}) + 1) * {EXTRACT_MS} AS emitted_at_ms,
+    'trigger' AS method
+  FROM src
+  WINDOW wprev AS (PARTITION BY pk ORDER BY t, seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+"""
+
+# normalized three-lane event stream (metrics.normalize_lanes twin)
+LANES_SQL = """
+lanes AS (
+  SELECT method, op, pk, ts_ms, ts_ms AS commit_ts_ms, emitted_at_ms FROM wal
+  UNION ALL
+  SELECT method, op, pk, ts_ms, ts_ms AS commit_ts_ms, poll_ts_ms AS emitted_at_ms FROM polled
+  UNION ALL
+  SELECT method, op, pk, commit_ts_ms AS ts_ms, commit_ts_ms, emitted_at_ms FROM audit
+)
+"""
+
+EXPECTED_SQL = """
+expected AS (
+  SELECT (CASE op WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u' ELSE 'd' END) || '::' || pk AS key,
+         CASE op WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u' ELSE 'd' END AS op_code,
+         pk,
+         row_number() OVER (ORDER BY t, seq) - 1 AS idx,
+         t AS time
+  FROM src
+)
+"""
+
+
+def _actual_sql(rel: str, time_col: str, order_by: str) -> str:
+    return f"""
+actual AS (
+  SELECT op || '::' || pk AS key,
+         op AS op_code,
+         pk,
+         row_number() OVER (ORDER BY {order_by}) - 1 AS idx,
+         {time_col} AS time
+  FROM {rel}
+)
+"""
+
+
+DIFF_SQL = """
+diff AS (
+  SELECT COALESCE(e.key, a.key) AS key,
+         COALESCE(e.op_code, a.op_code) AS op,
+         COALESCE(e.pk, a.pk) AS pk,
+         COALESCE(e.rn, a.rn) AS rn,
+         CASE WHEN a.key IS NULL THEN 'missing'
+              WHEN e.key IS NULL THEN 'extra'
+              ELSE 'matched' END AS status,
+         e.idx AS expected_idx,
+         a.idx AS actual_idx,
+         e.time AS expected_time,
+         a.time AS actual_time,
+         CASE WHEN e.key IS NOT NULL AND a.key IS NOT NULL
+              THEN greatest(a.time - e.time, 0) END AS lag_ms
+  FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY idx) AS rn FROM expected) e
+  FULL OUTER JOIN (SELECT *, row_number() OVER (PARTITION BY key ORDER BY idx) AS rn FROM actual) a
+    ON e.key = a.key AND e.rn = a.rn
+)
+"""
+
+#: Deterministic emission order per lane (used for actual-entry indexes).
+_LANE_ORDER = {
+    "log": ("wal", "ts_ms", "emitted_at_ms, lsn"),
+    "polling": ("polled", "ts_ms", "poll_ts_ms, ts_ms, pk"),
+    "trigger": ("audit", "commit_ts_ms", "emitted_at_ms, audit_seq"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Spark-side lane builders shared by the query entries
+# ---------------------------------------------------------------------------
+
+
+def _lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.normalize_lanes(
+        capture.log_capture(spark, sf_dir),
+        capture.polling_capture(spark, sf_dir),
+        capture.trigger_capture(spark, sf_dir),
+    )
+
+
+def _lane_actual(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    if method == "log":
+        ev = capture.log_capture(spark, sf_dir)
+        return diffs.actual_entries(ev, "ts_ms", ["emitted_at_ms", "lsn"])
+    if method == "polling":
+        ev = capture.polling_capture(spark, sf_dir)
+        return diffs.actual_entries(ev, "ts_ms", ["poll_ts_ms", "ts_ms", "pk"])
+    ev = capture.trigger_capture(spark, sf_dir)
+    return diffs.actual_entries(ev, "commit_ts_ms", ["emitted_at_ms", "audit_seq"])
+
+
+def _lane_diff(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    exp = diffs.expected_entries(ops_feed(spark, sf_dir))
+    return diffs.lane_diff(exp, _lane_actual(spark, sf_dir, method))
+
+
+# ---------------------------------------------------------------------------
+# Query entries
+# ---------------------------------------------------------------------------
+
+
+def cdc_log_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return capture.log_capture(spark, sf_dir)
+
+
+def cdc_polling_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return capture.polling_capture(spark, sf_dir)
+
+
+def cdc_polling_capture_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return capture.polling_capture(spark, sf_dir, include_soft_deletes=True)
+
+
+def cdc_trigger_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return capture.trigger_capture(spark, sf_dir)
+
+
+def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diffs.replay_state(capture.log_capture(spark, sf_dir), ["ts_ms", "lsn"])
+
+
+def cdc_lane_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lane_diff(spark, sf_dir, "polling")
+
+
+def cdc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 — per-lane pipeline verdict over all three lanes."""
+    out = None
+    for method in ("log", "polling", "trigger"):
+        d = _lane_diff(spark, sf_dir, method)
+        inv = diffs.ordering_inversions(d)
+        agg = d.agg(
+            F.sum((F.col("status") == "missing").cast("int")).alias("missing"),
+            F.sum((F.col("status") == "extra").cast("int")).alias("extra"),
+            F.coalesce(F.max("lag_ms"), F.lit(0)).alias("max_lag_ms"),
+        ).crossJoin(inv)
+        agg = agg.select(
+            F.lit(method).alias("method"),
+            "missing",
+            "extra",
+            "ordering_issues",
+            "max_lag_ms",
+            (
+                (F.col("missing") == 0)
+                & (F.col("extra") == 0)
+                & (F.col("ordering_issues") == 0)
+            ).alias("pass"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("method")
+
+
+def cdc_lag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diffs.lag_topk(_lane_diff(spark, sf_dir, "polling"))
+
+
+def cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expected = diffs.source_state(ops_feed(spark, sf_dir))
+    actual = diffs.replay_state(
+        capture.polling_capture(spark, sf_dir), ["poll_ts_ms", "ts_ms"]
+    )
+    return diffs.state_diff(expected, actual).orderBy("pk")
+
+
+def cdc_lane_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.lane_metrics(_lanes(spark, sf_dir))
+
+
+def cdc_missed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.missed_deletes(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
+
+
+def cdc_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.write_amplification(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
+
+
+def cdc_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.event_stats(_lanes(spark, sf_dir))
+
+
+def cdc_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.backlog_timeline(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
+
+
+QUERIES = {
+    "cdc_log_capture": cdc_log_capture,
+    "cdc_polling_capture": cdc_polling_capture,
+    "cdc_polling_capture_soft": cdc_polling_capture_soft,
+    "cdc_trigger_capture": cdc_trigger_capture,
+    "cdc_replay_state": cdc_replay_state,
+    "cdc_lane_diff": cdc_lane_diff,
+    "cdc_verdict": cdc_verdict,
+    "cdc_lag_topk": cdc_lag_topk,
+    "cdc_state_diff": cdc_state_diff,
+    "cdc_lane_metrics": cdc_lane_metrics,
+    "cdc_missed_deletes": cdc_missed_deletes,
+    "cdc_write_amplification": cdc_write_amplification,
+    "cdc_event_stats": cdc_event_stats,
+    "cdc_backlog_timeline": cdc_backlog_timeline,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _with(*fragments: str) -> str:
+    return "WITH " + ",".join([OPS_SQL, *fragments])
+
+
+def _lane_diff_sql(method: str) -> str:
+    rel, time_col, order_by = _LANE_ORDER[method]
+    frags = {"log": [WAL_SQL], "polling": [POLL_STATE_SQL], "trigger": [AUDIT_SQL]}[method]
+    return _with(
+        *frags, EXPECTED_SQL, _actual_sql(rel, time_col, order_by), DIFF_SQL
+    )
+
+
+_VERDICT_LANE_SQL = """
+SELECT '{method}' AS method,
+       sum(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS missing,
+       sum(CASE WHEN status = 'extra' THEN 1 ELSE 0 END) AS extra,
+       (SELECT count(*) FROM (
+          SELECT expected_idx,
+                 max(expected_idx) OVER (ORDER BY actual_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+          FROM diff WHERE status = 'matched')
+        WHERE expected_idx < runmax) AS ordering_issues,
+       COALESCE(max(lag_ms), 0) AS max_lag_ms
+FROM diff
+"""
+
+ORACLE = {
+    "cdc_log_capture": _with(WAL_SQL) + "SELECT * FROM wal",
+    "cdc_polling_capture": _with(POLL_STATE_SQL) + "SELECT * FROM polled",
+    "cdc_polling_capture_soft": _with(POLL_STATE_SQL) + "SELECT * FROM polled_soft",
+    "cdc_trigger_capture": _with(AUDIT_SQL) + "SELECT * FROM audit",
+    "cdc_replay_state": _with(WAL_SQL)
+    + """
+SELECT pk, after_event_type AS event_type, after_value AS value,
+       after_props AS props, ts_ms AS updated_ts_ms
+FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts_ms DESC, lsn DESC) AS rn FROM wal)
+WHERE rn = 1 AND op <> 'd'
+""",
+    "cdc_lane_diff": _lane_diff_sql("polling")
+    + "SELECT key, op, pk, rn, status, expected_idx, actual_idx, expected_time, actual_time, lag_ms FROM diff",
+    "cdc_verdict": _with(
+        WAL_SQL,
+        POLL_STATE_SQL,
+        AUDIT_SQL,
+        EXPECTED_SQL,
+        *[
+            f"actual_{m} AS (SELECT op || '::' || pk AS key, op AS op_code, pk, "
+            f"row_number() OVER (ORDER BY {_LANE_ORDER[m][2]}) - 1 AS idx, "
+            f"{_LANE_ORDER[m][1]} AS time FROM {_LANE_ORDER[m][0]})"
+            for m in ("log", "polling", "trigger")
+        ],
+        *[
+            DIFF_SQL.replace("diff AS", f"diff_{m} AS").replace("FROM actual", f"FROM actual_{m}")
+            for m in ("log", "polling", "trigger")
+        ],
+    )
+    + "SELECT method, missing, extra, ordering_issues, max_lag_ms, (missing = 0 AND extra = 0 AND ordering_issues = 0) AS pass FROM ("
+    + " UNION ALL ".join(
+        _VERDICT_LANE_SQL.format(method=m).replace("FROM diff", f"FROM diff_{m}")
+        for m in ("log", "polling", "trigger")
+    )
+    + ") ORDER BY method",
+    "cdc_lag_topk": _lane_diff_sql("polling")
+    + """
+SELECT op, pk, expected_time, actual_time, lag_ms
+FROM diff WHERE status = 'matched' AND lag_ms > 0
+ORDER BY lag_ms DESC, expected_time, pk, op
+LIMIT 5
+""",
+    "cdc_state_diff": _with(POLL_STATE_SQL)
+    + """
+, source_state AS (
+  SELECT pk, event_type, value, props
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY t DESC, seq DESC) AS rn FROM src)
+  WHERE rn = 1 AND op <> 'delete'
+),
+actual_state AS (
+  SELECT pk, after_event_type AS event_type, after_value AS value, after_props AS props
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY poll_ts_ms DESC, ts_ms DESC) AS rn FROM polled)
+  WHERE rn = 1 AND op <> 'd'
+)
+SELECT COALESCE(e.pk, a.pk) AS pk,
+       CASE WHEN a.pk IS NULL THEN 'missing_row'
+            WHEN e.pk IS NULL THEN 'unexpected_row'
+            ELSE 'field_mismatch' END AS status,
+       e.event_type AS expected_event_type, e.value AS expected_value, e.props AS expected_props,
+       a.event_type AS actual_event_type, a.value AS actual_value, a.props AS actual_props
+FROM source_state e FULL OUTER JOIN actual_state a ON e.pk = a.pk
+WHERE a.pk IS NULL OR e.pk IS NULL
+   OR (e.event_type IS DISTINCT FROM a.event_type
+       OR e.value IS DISTINCT FROM a.value
+       OR e.props IS DISTINCT FROM a.props)
+ORDER BY pk
+""",
+    "cdc_lane_metrics": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + """
+SELECT method,
+       count(*) AS produced,
+       sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS inserts,
+       sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS updates,
+       sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS deletes,
+       count(DISTINCT pk) AS distinct_pks,
+       max(ts_ms) AS last_ts_ms,
+       round(quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.5), 3) AS lag_ms_p50,
+       round(quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.95), 3) AS lag_ms_p95,
+       max(emitted_at_ms - commit_ts_ms) AS lag_ms_max
+FROM lanes GROUP BY method ORDER BY method
+""",
+    "cdc_missed_deletes": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + """
+SELECT method,
+       (SELECT count(*) FROM src WHERE op = 'delete') AS source_deletes,
+       sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS captured_deletes,
+       (SELECT count(*) FROM src WHERE op = 'delete')
+         - sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS missed_deletes
+FROM lanes GROUP BY method ORDER BY method
+""",
+    "cdc_write_amplification": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + """
+SELECT method,
+       (SELECT count(*) FROM src) AS source_writes,
+       sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END) AS extra_writes,
+       round(((SELECT count(*) FROM src) + sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END))
+             / CAST((SELECT count(*) FROM src) AS DOUBLE), 4) AS write_amplification
+FROM lanes GROUP BY method ORDER BY method
+""",
+    "cdc_event_stats": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + """
+SELECT method, op, n, last_ts_ms, lane_total,
+       round(n / CAST(lane_total AS DOUBLE), 4) AS share
+FROM (
+  SELECT method, op, count(*) AS n, max(ts_ms) AS last_ts_ms,
+         sum(count(*)) OVER (PARTITION BY method) AS lane_total
+  FROM lanes GROUP BY method, op
+) ORDER BY method, op
+""",
+    "cdc_backlog_timeline": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + """
+, produced AS (
+  SELECT (t // 3600000) * 3600000 AS bucket_ms, count(*) AS n_produced FROM src GROUP BY 1
+),
+consumed AS (
+  SELECT method, ((emitted_at_ms - 1) // 3600000) * 3600000 AS bucket_ms, count(*) AS n_consumed
+  FROM lanes GROUP BY 1, 2
+),
+buckets AS (
+  SELECT DISTINCT bucket_ms FROM (
+    SELECT bucket_ms FROM produced UNION ALL SELECT bucket_ms FROM consumed
+  )
+),
+grid AS (
+  SELECT b.bucket_ms, m.method FROM buckets b
+  CROSS JOIN (SELECT DISTINCT method FROM consumed) m
+),
+j AS (
+  SELECT g.method, g.bucket_ms,
+         COALESCE(p.n_produced, 0) AS np, COALESCE(c.n_consumed, 0) AS nc
+  FROM grid g
+  LEFT JOIN produced p ON p.bucket_ms = g.bucket_ms
+  LEFT JOIN consumed c ON c.method = g.method AND c.bucket_ms = g.bucket_ms
+)
+SELECT method, bucket_ms,
+       sum(np) OVER w AS produced,
+       sum(nc) OVER w AS consumed,
+       sum(np) OVER w - sum(nc) OVER w AS backlog
+FROM j
+WINDOW w AS (PARTITION BY method ORDER BY bucket_ms)
+ORDER BY method, bucket_ms
+""",
+}

@@ -1,0 +1,171 @@
+"""Metrics aggregations over the capture lanes (reference ``src/engine/
+metrics.ts:23-139``, ``web/App.tsx:931-1020``, ``assets/app.js:2966-3019``).
+
+All metrics consume the *normalized lane event* frame produced by
+:func:`normalize_lanes`: one row per captured event with
+``(method, op, pk, ts_ms, commit_ts_ms, emitted_at_ms)`` where
+``emitted_at_ms`` is when the lane's tick loop actually delivered the event.
+Lag = ``emitted_at - commit_ts`` — the batch analogue of the reference's
+``now - commitTs`` sample recorded on consume (``metrics.ts:32-46``).
+
+Everything here is a groupBy over the lane key (3 groups) or a windowed
+cumulative over coarse time buckets — map-side-combinable aggregations that
+scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def normalize_lanes(log: DataFrame, polling: DataFrame, trigger: DataFrame) -> DataFrame:
+    """Union the three capture outputs into one (method, op, pk, ts_ms,
+    commit_ts_ms, emitted_at_ms) frame."""
+    l = log.select(
+        "method",
+        "op",
+        "pk",
+        "ts_ms",
+        F.col("ts_ms").alias("commit_ts_ms"),
+        "emitted_at_ms",
+    )
+    p = polling.select(
+        "method",
+        "op",
+        "pk",
+        "ts_ms",
+        F.col("ts_ms").alias("commit_ts_ms"),
+        F.col("poll_ts_ms").alias("emitted_at_ms"),
+    )
+    t = trigger.select(
+        "method",
+        "op",
+        "pk",
+        F.col("commit_ts_ms").alias("ts_ms"),
+        "commit_ts_ms",
+        "emitted_at_ms",
+    )
+    return l.unionByName(p).unionByName(t)
+
+
+def lane_metrics(lanes: DataFrame) -> DataFrame:
+    """M1/M2/M5 — per-lane counters, op mix, last event time and exact lag
+    percentiles (p50/p95 by linear interpolation, ``metrics.ts:97-139``)."""
+    lag = F.col("emitted_at_ms") - F.col("commit_ts_ms")
+    return (
+        lanes.withColumn("lag_ms", lag.cast("double"))
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("produced"),
+            F.sum((F.col("op") == "c").cast("int")).alias("inserts"),
+            F.sum((F.col("op") == "u").cast("int")).alias("updates"),
+            F.sum((F.col("op") == "d").cast("int")).alias("deletes"),
+            F.countDistinct("pk").alias("distinct_pks"),
+            F.max("ts_ms").alias("last_ts_ms"),
+            F.round(F.expr("percentile(lag_ms, 0.5)"), 3).alias("lag_ms_p50"),
+            F.round(F.expr("percentile(lag_ms, 0.95)"), 3).alias("lag_ms_p95"),
+            F.max("lag_ms").cast("long").alias("lag_ms_max"),
+        )
+        .orderBy("method")
+    )
+
+
+def missed_deletes(ops: DataFrame, lanes: DataFrame) -> DataFrame:
+    """M3 — per lane: source hard deletes vs captured ``d`` events
+    (``src/modes/queryBased.ts:286-288``). Polling with soft deletes hidden
+    misses all of them; log/trigger capture every one."""
+    src = ops.filter(F.col("op") == "delete").agg(
+        F.count(F.lit(1)).alias("source_deletes")
+    )
+    captured = (
+        lanes.groupBy("method")
+        .agg(F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes"))
+    )
+    return (
+        captured.crossJoin(F.broadcast(src))
+        .select(
+            "method",
+            "source_deletes",
+            "captured_deletes",
+            (F.col("source_deletes") - F.col("captured_deletes")).alias("missed_deletes"),
+        )
+        .orderBy("method")
+    )
+
+
+def write_amplification(ops: DataFrame, lanes: DataFrame) -> DataFrame:
+    """M4 — ``(source_writes + extra_writes) / source_writes`` per lane
+    (``src/engine/metrics.ts:60-73``): the trigger lane writes one audit row
+    per source op (``src/modes/triggerBased.ts:217``); log/polling add none.
+    """
+    n_ops = ops.agg(F.count(F.lit(1)).alias("source_writes"))
+    extra = lanes.groupBy("method").agg(
+        F.sum((F.col("method") == "trigger").cast("int")).alias("extra_writes")
+    )
+    return (
+        extra.crossJoin(F.broadcast(n_ops))
+        .select(
+            "method",
+            "source_writes",
+            "extra_writes",
+            F.round(
+                (F.col("source_writes") + F.col("extra_writes"))
+                / F.col("source_writes").cast("double"),
+                4,
+            ).alias("write_amplification"),
+        )
+        .orderBy("method")
+    )
+
+
+def event_stats(lanes: DataFrame) -> DataFrame:
+    """M8 — per-lane, per-op counts plus each op's share of the lane total
+    (``assets/app.js:2966-3019``)."""
+    w = W.partitionBy("method")
+    return (
+        lanes.groupBy("method", "op")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("last_ts_ms"))
+        .withColumn("lane_total", F.sum("n").over(w))
+        .withColumn("share", F.round(F.col("n") / F.col("lane_total").cast("double"), 4))
+        .orderBy("method", "op")
+    )
+
+
+def backlog_timeline(ops: DataFrame, lanes: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+    """M1/M7 — produced/consumed/backlog progression per time bucket and lane:
+    cumulative source ops (by commit time) vs cumulative emitted events (by
+    delivery time); backlog is the difference (``src/engine/metrics.ts:23-31``,
+    ``src/changefeed/model.ts:375-381``). Window work runs over one row per
+    (lane, bucket), never per event."""
+    produced = (
+        ops.groupBy((F.expr(f"t div {bucket_ms}") * bucket_ms).alias("bucket_ms"))
+        .agg(F.count(F.lit(1)).alias("n_produced"))
+    )
+    consumed = (
+        lanes.groupBy(
+            "method",
+            (F.expr(f"(emitted_at_ms - 1) div {bucket_ms}") * bucket_ms).alias("bucket_ms"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_consumed"))
+    )
+    # dense (method × bucket) grid so cumulative sums line up across lanes;
+    # emission buckets can trail the last produced bucket, so union both.
+    buckets = produced.select("bucket_ms").union(consumed.select("bucket_ms")).distinct()
+    grid = buckets.crossJoin(consumed.select("method").distinct())
+    j = (
+        grid.join(produced, "bucket_ms", "left")
+        .join(consumed, ["method", "bucket_ms"], "left")
+        .fillna(0, ["n_produced", "n_consumed"])
+    )
+    wc = W.partitionBy("method").orderBy("bucket_ms")
+    return (
+        j.select(
+            "method",
+            "bucket_ms",
+            F.sum("n_produced").over(wc).alias("produced"),
+            F.sum("n_consumed").over(wc).alias("consumed"),
+        )
+        .withColumn("backlog", F.col("produced") - F.col("consumed"))
+        .orderBy("method", "bucket_ms")
+    )
