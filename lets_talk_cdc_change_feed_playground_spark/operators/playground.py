@@ -1,0 +1,226 @@
+"""Atomicity-playground pipeline: source → broker → consumer as batch specs.
+
+The reference's second core (``src/changefeed/model.ts``) is a pure reducer
+simulating a partitioned event bus with commit drift, deterministic drops and
+two apply policies.  Re-expressed here as deterministic column logic over the
+derived ops feed:
+
+- **txn grouping**: consecutive ops form transactions of ``txn_size``
+  (the reference's order+items generator emits multi-event txns —
+  ``model.ts:348-373``); every event in a txn shares ``commit_ts =
+  action clock + 100`` (``createEvent``, ``model.ts:283``).
+- **B3 partitioning**: ``partition = hash31(pk) % partitions``
+  (``model.ts:106-109``) — the same 31-multiplier mod-9973 hash, evaluated
+  as pure integer arithmetic on both engines.
+- **B4 commit drift**: ``available_at = enqueue_clock + (hash31(txId:idx) %
+  2) * 50`` (``model.ts:141-149``) — the head-insertion is modelled through
+  the availability delay alone; delivery order below is availability order.
+- **B5 deterministic drops**: drop iff ``hash31(str(lsn)) % 100 < p*100``
+  (``model.ts:100-104``) — reproducible fault injection, no RNG.
+- **B6 delivery**: events become visible at the first tick ≥
+  ``available_at`` (``pollBroker``, ``model.ts:246-274``).  The per-tick
+  ``maxApplyPerTick`` delivery caps are a pacing concern (Spark streaming's
+  ``maxOffsetsPerTrigger``) and are not modelled in the batch spec.
+- **A3 apply-on-commit** (``applyReadyTransactions``, ``model.ts:169-244``):
+  a txn is *complete* when all its events are delivered (a dropped event
+  blocks it forever); the commit floor is the min ``commit_ts`` over
+  everything still in flight, so a complete txn applies iff no incomplete
+  txn has a smaller commit_ts, and its apply tick is the running max of
+  completion ticks in ``(commit_ts, lsn)`` apply order — the floor-barrier
+  expressed as one window.
+- **A4 apply-as-polled** (``model.ts:182-190``): every delivered event
+  applies immediately — transactions whose events span ticks are visible
+  *torn*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_global_seq
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31, ops_feed
+
+TXN_SIZE = 3
+PARTITIONS = 3
+DROP_P = 0.05
+TICK_MS = 60_000
+COMMIT_DELAY_MS = 100  # createEvent: commitTs = clock + 100 (model.ts:283)
+
+
+def bus_feed(
+    spark: SparkSession,
+    sf_dir: str,
+    txn_size: int = TXN_SIZE,
+    partitions: int = PARTITIONS,
+    drift: bool = True,
+    drop_p: float = DROP_P,
+    tick_ms: int = TICK_MS,
+) -> DataFrame:
+    """One row per change event on the bus, with partition/offset/availability/
+    drop/delivery columns — the playground's broker state as data."""
+    ops = ops_feed(spark, sf_dir)
+    ops = with_global_seq(ops, F.expr("t div 3600000"), ["t", "seq"], "lsn")
+    wtxn = W.partitionBy("txn_id")
+
+    df = (
+        ops.withColumn("txn_id", F.expr(f"seq div {txn_size}"))
+        .withColumn("tx_id", F.concat(F.lit("tx"), F.col("txn_id")))
+        .withColumn("tx_idx", F.col("seq") - F.min("seq").over(wtxn))
+        .withColumn("tx_total", F.count(F.lit(1)).over(wtxn))
+        .withColumn("enq_t", F.max("t").over(wtxn))
+        .withColumn("commit_ts", F.col("enq_t") + COMMIT_DELAY_MS)
+        .withColumn("partition", hash31("pk") % partitions)
+    )
+    drift_ms = (
+        (hash31(F.concat(F.col("tx_id"), F.lit(":"), F.col("tx_idx"))) % 2) * 50
+        if drift
+        else F.lit(0)
+    )
+    df = (
+        df.withColumn("available_at", F.col("enq_t") + drift_ms)
+        .withColumn(
+            "offset",
+            F.row_number().over(W.partitionBy("partition").orderBy("enq_t", "lsn")) - 1,
+        )
+        .withColumn(
+            "dropped",
+            (hash31(F.col("lsn").cast("string")) % 100) < int(drop_p * 100),
+        )
+        .withColumn(
+            "delivery_ts",
+            F.expr(f"((available_at + {tick_ms} - 1) div {tick_ms}) * {tick_ms}"),
+        )
+    )
+    return df.select(
+        "lsn",
+        "txn_id",
+        "tx_id",
+        "tx_idx",
+        "tx_total",
+        "op",
+        "pk",
+        "partition",
+        "offset",
+        "commit_ts",
+        "available_at",
+        "dropped",
+        "delivery_ts",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def txn_ledger(bus: DataFrame) -> DataFrame:
+    """Per-transaction completion/floor/apply schedule (A3 batch spec)."""
+    txns = bus.groupBy("txn_id").agg(
+        F.max("commit_ts").alias("commit_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("dropped").cast("int")).alias("n_dropped"),
+        F.min("lsn").alias("lsn_min"),
+        F.when(
+            F.sum(F.col("dropped").cast("int")) == 0, F.max("delivery_ts")
+        ).alias("complete_tick"),
+    )
+    floor = txns.filter(F.col("complete_tick").isNull()).agg(
+        F.min("commit_ts").alias("floor_ts")
+    )
+    j = txns.crossJoin(F.broadcast(floor))
+    applied = F.col("complete_tick").isNotNull() & (
+        F.col("floor_ts").isNull() | (F.col("commit_ts") <= F.col("floor_ts"))
+    )
+    j = j.withColumn("applied", applied)
+    wapply = (
+        W.partitionBy("applied")
+        .orderBy("commit_ts", "lsn_min")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return j.select(
+        "txn_id",
+        "commit_ts",
+        "n_events",
+        "n_dropped",
+        "complete_tick",
+        "applied",
+        F.when(F.col("applied"), F.max("complete_tick").over(wapply)).alias("apply_tick"),
+    )
+
+
+def atomicity_check(bus: DataFrame, ledger: DataFrame) -> DataFrame:
+    """A3 vs A4 — per txn: when each policy makes the txn (partially) visible
+    and whether apply-as-polled tears it."""
+    polled = bus.filter(~F.col("dropped")).groupBy("txn_id").agg(
+        F.min("delivery_ts").alias("as_polled_first_tick"),
+        F.max("delivery_ts").alias("as_polled_last_tick"),
+    )
+    j = ledger.join(polled, "txn_id", "left")
+    return j.select(
+        "txn_id",
+        "commit_ts",
+        "n_events",
+        "n_dropped",
+        "as_polled_first_tick",
+        "as_polled_last_tick",
+        (
+            (F.col("n_dropped") > 0)
+            | (F.col("as_polled_first_tick") != F.col("as_polled_last_tick"))
+        ).alias("torn_as_polled"),
+        F.col("apply_tick").alias("on_commit_apply_tick"),
+        F.col("applied").alias("applied_on_commit"),
+    )
+
+
+def consumer_timeline(bus: DataFrame, ledger: DataFrame) -> DataFrame:
+    """M7 — delivered/applied/backlog/lag progression per delivery tick
+    (``selectLanes``, ``model.ts:375-381``): lag = latest delivered commit_ts
+    minus last applied commit_ts (0 before anything applies)."""
+    d = (
+        bus.filter(~F.col("dropped"))
+        .groupBy(F.col("delivery_ts").alias("tick_ms"))
+        .agg(F.count(F.lit(1)).alias("n_delivered"), F.max("commit_ts").alias("max_commit"))
+    )
+    a = (
+        ledger.filter(F.col("applied"))
+        .groupBy(F.col("apply_tick").alias("tick_ms"))
+        .agg(
+            (F.sum("n_events") - F.sum("n_dropped")).alias("n_applied"),
+            F.max("commit_ts").alias("max_applied_commit"),
+        )
+    )
+    ticks = d.select("tick_ms").union(a.select("tick_ms")).distinct()
+    j = ticks.join(d, "tick_ms", "left").join(a, "tick_ms", "left")
+    w = W.orderBy("tick_ms").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "tick_ms",
+        F.coalesce(F.sum("n_delivered").over(w), F.lit(0)).alias("delivered"),
+        F.coalesce(F.sum("n_applied").over(w), F.lit(0)).alias("applied"),
+        (
+            F.coalesce(F.sum("n_delivered").over(w), F.lit(0))
+            - F.coalesce(F.sum("n_applied").over(w), F.lit(0))
+        ).alias("backlog"),
+        (
+            F.max("max_commit").over(w)
+            - F.coalesce(F.max("max_applied_commit").over(w), F.lit(0))
+        ).alias("lag_ms"),
+    ).orderBy("tick_ms")
+
+
+def offset_dedup(bus: DataFrame) -> DataFrame:
+    """A8 — exactly-once consumption: deterministic redelivery (every event
+    whose ``hash31(lsn) % 10 == 0`` arrives twice) deduped on
+    ``(partition, offset)`` (``consumer.mjs:122-143``)."""
+    delivered = bus.filter(~F.col("dropped"))
+    dups = delivered.filter((hash31(F.col("lsn").cast("string")) % 10) == 0)
+    received = delivered.unionByName(dups)
+    return (
+        received.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("received"),
+            F.countDistinct("partition", "offset").alias("distinct_offsets"),
+            (F.count(F.lit(1)) - F.countDistinct("partition", "offset")).alias(
+                "duplicates_dropped"
+            ),
+        )
+        .orderBy("partition")
+    )

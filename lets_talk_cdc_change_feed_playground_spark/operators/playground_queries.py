@@ -1,0 +1,246 @@
+"""Judged playground query surface: event bus, apply policies, dedup, search.
+
+Drop probability per entry: the bus/drops/dedup/atomicity queries run with
+the default 5% deterministic drop rate; the apply-on-commit and consumer
+timeline run drop-free — a dropped event blocks its transaction forever under
+the commit-floor barrier (exactly the reference's lesson), which would reduce
+those outputs to "nothing ever applies".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg
+from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import WAL_SQL
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    OPS_SQL,
+    hash31_sql,
+)
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments
+# ---------------------------------------------------------------------------
+
+
+def _bus_sql(drop_pct: int) -> str:
+    h_pk = hash31_sql("pk")
+    h_drift = hash31_sql("tx_id || ':' || tx_idx")
+    h_drop = hash31_sql("CAST(lsn AS VARCHAR)")
+    return f"""
+b0 AS (
+  SELECT src.*, row_number() OVER (ORDER BY t, seq) AS lsn,
+         seq // {pg.TXN_SIZE} AS txn_id
+  FROM src
+),
+b1 AS (
+  SELECT b0.*,
+         'tx' || txn_id AS tx_id,
+         seq - min(seq) OVER wt AS tx_idx,
+         count(*) OVER wt AS tx_total,
+         max(t) OVER wt AS enq_t
+  FROM b0 WINDOW wt AS (PARTITION BY txn_id)
+),
+b2 AS (
+  SELECT b1.*,
+         enq_t + {pg.COMMIT_DELAY_MS} AS commit_ts,
+         ({h_pk}) % {pg.PARTITIONS} AS "partition",
+         enq_t + (({h_drift}) % 2) * 50 AS available_at
+  FROM b1
+),
+bus AS (
+  SELECT lsn, txn_id, tx_id, tx_idx, tx_total, op, pk, "partition",
+         row_number() OVER (PARTITION BY "partition" ORDER BY enq_t, lsn) - 1 AS "offset",
+         commit_ts, available_at,
+         ({h_drop}) % 100 < {drop_pct} AS dropped,
+         ((available_at + {pg.TICK_MS} - 1) // {pg.TICK_MS}) * {pg.TICK_MS} AS delivery_ts,
+         event_type, value, props
+  FROM b2
+)
+"""
+
+
+LEDGER_SQL = """
+txns AS (
+  SELECT txn_id, max(commit_ts) AS commit_ts, count(*) AS n_events,
+         sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
+         min(lsn) AS lsn_min,
+         CASE WHEN sum(CASE WHEN dropped THEN 1 ELSE 0 END) = 0
+              THEN max(delivery_ts) END AS complete_tick
+  FROM bus GROUP BY txn_id
+),
+l1 AS (
+  SELECT t.*,
+         t.complete_tick IS NOT NULL
+           AND (f.floor_ts IS NULL OR t.commit_ts <= f.floor_ts) AS applied
+  FROM txns t,
+       (SELECT min(commit_ts) AS floor_ts FROM txns WHERE complete_tick IS NULL) f
+),
+ledger AS (
+  SELECT txn_id, commit_ts, n_events, n_dropped, complete_tick, applied,
+         CASE WHEN applied THEN
+           max(CASE WHEN applied THEN complete_tick END)
+             OVER (ORDER BY commit_ts, lsn_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         END AS apply_tick
+  FROM l1
+)
+"""
+
+
+def _with(*fragments: str) -> str:
+    return "WITH " + ",".join([OPS_SQL, *fragments])
+
+
+# ---------------------------------------------------------------------------
+# Query entries
+# ---------------------------------------------------------------------------
+
+
+def cdc_bus_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B3/B4/B5/B6 — the full broker state: partition assignment, offsets,
+    drift-delayed availability, deterministic drops, delivery ticks."""
+    return pg.bus_feed(spark, sf_dir)
+
+
+def cdc_bus_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 — per-partition enqueue/drop/delivery accounting."""
+    bus = pg.bus_feed(spark, sf_dir)
+    return (
+        bus.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("enqueued"),
+            F.sum(F.col("dropped").cast("int")).alias("dropped"),
+            F.sum((~F.col("dropped")).cast("int")).alias("delivered"),
+        )
+        .orderBy("partition")
+    )
+
+
+def cdc_apply_on_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — commit-floor transactional apply schedule (drop-free run)."""
+    return pg.txn_ledger(pg.bus_feed(spark, sf_dir, drop_p=0.0)).orderBy("txn_id")
+
+
+def cdc_atomicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 vs A4 — which transactions tear under apply-as-polled and which
+    never apply under apply-on-commit (5% drops)."""
+    bus = pg.bus_feed(spark, sf_dir)
+    return pg.atomicity_check(bus, pg.txn_ledger(bus)).orderBy("txn_id")
+
+
+def cdc_consumer_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — delivered/applied/backlog/lag per tick (drop-free run)."""
+    bus = pg.bus_feed(spark, sf_dir, drop_p=0.0)
+    return pg.consumer_timeline(bus, pg.txn_ledger(bus))
+
+
+def cdc_offset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — exactly-once consumption under deterministic redelivery."""
+    return pg.offset_dedup(pg.bus_feed(spark, sf_dir))
+
+
+def cdc_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — op-kind filter + token search over the log lane's event log
+    (``assets/app.js:2725-2948``): creates/updates whose haystack matches
+    every search token."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.capture import log_capture
+
+    ev = log_capture(spark, sf_dir)
+    hay = F.lower(
+        F.concat_ws(
+            " ",
+            F.col("pk"),
+            F.coalesce(F.col("after_event_type"), F.lit("")),
+            F.col("tx_id"),
+        )
+    )
+    return ev.filter(F.col("op").isin("c", "u") & hay.like("%purchase%")).select(
+        "lsn", "op", "pk", "after_event_type", "after_value", "ts_ms"
+    )
+
+
+QUERIES = {
+    "cdc_bus_partitions": cdc_bus_partitions,
+    "cdc_bus_drops": cdc_bus_drops,
+    "cdc_apply_on_commit": cdc_apply_on_commit,
+    "cdc_atomicity_check": cdc_atomicity_check,
+    "cdc_consumer_timeline": cdc_consumer_timeline,
+    "cdc_offset_dedup": cdc_offset_dedup,
+    "cdc_event_search": cdc_event_search,
+}
+
+_PCT = int(pg.DROP_P * 100)
+
+ORACLE = {
+    "cdc_bus_partitions": _with(_bus_sql(_PCT)) + "SELECT * FROM bus",
+    "cdc_bus_drops": _with(_bus_sql(_PCT))
+    + """
+SELECT "partition",
+       count(*) AS enqueued,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS dropped,
+       sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS delivered
+FROM bus GROUP BY "partition" ORDER BY "partition"
+""",
+    "cdc_apply_on_commit": _with(_bus_sql(0), LEDGER_SQL)
+    + "SELECT * FROM ledger ORDER BY txn_id",
+    "cdc_atomicity_check": _with(_bus_sql(_PCT), LEDGER_SQL)
+    + """
+SELECT l.txn_id, l.commit_ts, l.n_events, l.n_dropped,
+       p.as_polled_first_tick, p.as_polled_last_tick,
+       (l.n_dropped > 0 OR p.as_polled_first_tick <> p.as_polled_last_tick) AS torn_as_polled,
+       l.apply_tick AS on_commit_apply_tick,
+       l.applied AS applied_on_commit
+FROM ledger l
+LEFT JOIN (
+  SELECT txn_id, min(delivery_ts) AS as_polled_first_tick,
+         max(delivery_ts) AS as_polled_last_tick
+  FROM bus WHERE NOT dropped GROUP BY txn_id
+) p ON l.txn_id = p.txn_id
+ORDER BY l.txn_id
+""",
+    "cdc_consumer_timeline": _with(_bus_sql(0), LEDGER_SQL)
+    + """
+, d AS (
+  SELECT delivery_ts AS tick_ms, count(*) AS n_delivered, max(commit_ts) AS max_commit
+  FROM bus WHERE NOT dropped GROUP BY 1
+),
+a AS (
+  SELECT apply_tick AS tick_ms, sum(n_events) - sum(n_dropped) AS n_applied,
+         max(commit_ts) AS max_applied_commit
+  FROM ledger WHERE applied GROUP BY 1
+),
+ticks AS (SELECT DISTINCT tick_ms FROM (SELECT tick_ms FROM d UNION ALL SELECT tick_ms FROM a))
+SELECT t.tick_ms,
+       COALESCE(sum(d.n_delivered) OVER w, 0) AS delivered,
+       COALESCE(sum(a.n_applied) OVER w, 0) AS applied,
+       COALESCE(sum(d.n_delivered) OVER w, 0) - COALESCE(sum(a.n_applied) OVER w, 0) AS backlog,
+       max(d.max_commit) OVER w - COALESCE(max(a.max_applied_commit) OVER w, 0) AS lag_ms
+FROM ticks t
+LEFT JOIN d ON d.tick_ms = t.tick_ms
+LEFT JOIN a ON a.tick_ms = t.tick_ms
+WINDOW w AS (ORDER BY t.tick_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY t.tick_ms
+""",
+    "cdc_offset_dedup": _with(_bus_sql(_PCT))
+    + f"""
+, delivered AS (SELECT * FROM bus WHERE NOT dropped),
+received AS (
+  SELECT * FROM delivered
+  UNION ALL
+  SELECT * FROM delivered WHERE ({hash31_sql("CAST(lsn AS VARCHAR)")}) % 10 = 0
+)
+SELECT "partition",
+       count(*) AS received,
+       count(DISTINCT "offset") AS distinct_offsets,
+       count(*) - count(DISTINCT "offset") AS duplicates_dropped
+FROM received GROUP BY "partition" ORDER BY "partition"
+""",
+    "cdc_event_search": _with(WAL_SQL)
+    + """
+SELECT lsn, op, pk, after_event_type, after_value, ts_ms
+FROM wal
+WHERE op IN ('c', 'u')
+  AND lower(concat_ws(' ', pk, COALESCE(after_event_type, ''), tx_id)) LIKE '%purchase%'
+""",
+}
