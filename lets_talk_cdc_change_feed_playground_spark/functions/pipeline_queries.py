@@ -1,0 +1,445 @@
+"""LLM-data-pipeline query surface over ``documents`` / ``embeddings``.
+
+Dedup (exact, MinHash-LSH, SimHash), brute-force cosine top-k similarity
+search, text statistics / quality scoring / language heuristics — each with a
+DuckDB oracle twin built from the same deterministic arithmetic
+(:mod:`.textops`).
+
+Scale design (the point of these operators at 100 TB):
+- exact dedup: one shuffle on the content hash;
+- MinHash/SimHash: per-row array expressions (no shuffle) + an LSH *band
+  join* — candidates meet only inside a band bucket, never all-pairs;
+- similarity search: the query set is broadcast; scoring is a map-side pass
+  over the corpus followed by a per-query top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
+from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+MINHASH_JACCARD_MIN = 0.9
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAMMING = 3
+TOPK_QUERIES = 5
+TOPK = 10
+
+# ---------------------------------------------------------------------------
+# DuckDB twins of the textops primitives
+# ---------------------------------------------------------------------------
+
+NORM_SQL = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _charfold_sql(expr: str, mod: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(c) AS BIGINT) for c in string_split({expr}, '')]), "
+        f"(a, c) -> (a*31 + c) % {mod})"
+    )
+
+
+TOKEN_HASHES_SQL = (
+    f"list_transform(toks, t -> {_charfold_sql('t', T.TOKEN_HASH_PRIME)})"
+)
+
+DOCS_T_SQL = f"""
+docs_t AS (
+  SELECT doc_id, lang, source, n_chars, norm,
+         string_split(norm, ' ') AS toks
+  FROM (SELECT *, {NORM_SQL} AS norm FROM documents)
+)
+"""
+
+
+def _minhash_sql() -> str:
+    cols = ", ".join(
+        f"list_min(list_transform(th, h -> (h*{a} + {b}) % {T.TOKEN_HASH_PRIME})) AS mh{i}"
+        for i, (a, b) in enumerate(T.perm_constants())
+    )
+    return f"""
+sig AS (
+  SELECT doc_id, list_distinct(toks) AS tok_set, {cols}
+  FROM (SELECT doc_id, toks, {TOKEN_HASHES_SQL} AS th FROM docs_t)
+)
+"""
+
+
+def _bands_sql() -> str:
+    rows = []
+    per_band = T.N_PERM // T.N_BANDS
+    for band in range(T.N_BANDS):
+        cols = [f"mh{band * per_band + j}" for j in range(per_band)]
+        expr = cols[0]
+        for c in cols[1:]:
+            expr = f"({expr})*31 + {c}"
+        rows.append(
+            f"SELECT doc_id, tok_set, {band} AS band_id, {expr} AS bh FROM sig"
+        )
+    return "bands AS (\n" + "\nUNION ALL\n".join(rows) + "\n)"
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(th, h -> ((h >> {b}) & 1)*2 - 1)), (a, x) -> a + x) > 0 "
+        f"THEN {2**b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, {bit_terms} AS simhash
+  FROM (SELECT doc_id, {TOKEN_HASHES_SQL} AS th FROM docs_t)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark entries
+# ---------------------------------------------------------------------------
+
+
+def _docs_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        T.normalize_text(F.col("text")).alias("norm"),
+    ).withColumn("toks", T.tokens(F.col("norm")))
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on the md5 of normalized text; the keeper is the
+    lowest doc_id in the group."""
+    d = _docs_t(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("norm")).alias("content_hash")
+    )
+    w = W.partitionBy("content_hash")
+    return d.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("keeper_doc_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_t(spark, sf_dir).withColumn("th", T.token_hashes(F.col("toks")))
+    return d.select(
+        "doc_id",
+        F.array_distinct("toks").alias("tok_set"),
+        *T.minhash_signature(F.col("th")),
+    )
+
+
+def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 16 permutations, 4 bands × 4 rows; band
+    collisions become candidates, verified with exact token-set jaccard."""
+    sig = _signatures(spark, sf_dir)
+    per_band = T.N_PERM // T.N_BANDS
+    bands = None
+    for band in range(T.N_BANDS):
+        cols = [F.col(f"mh{band * per_band + j}") for j in range(per_band)]
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band_id"),
+            T.band_hash(cols).alias("bh"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("tok_set").alias("ta"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("tok_set").alias("tb"))
+    pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb")).cast(
+        "double"
+    )
+    good = pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= MINHASH_JACCARD_MIN
+    )
+    # leader clustering: every doc points at the smallest earlier near-dup —
+    # linear output even when near-dup clusters are huge (quadratic pair
+    # listings would dominate the result at scale).
+    mins = good.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("keeper")
+    )
+    d = sig.select("doc_id")
+    return (
+        d.join(mins, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keeper", "doc_id").alias("keeper_doc_id"),
+            F.col("keeper").isNotNull().alias("is_near_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit fingerprints, banded on 8-bit chunks,
+    kept when hamming distance ≤ 3."""
+    d = _docs_t(spark, sf_dir).withColumn("th", T.token_hashes(F.col("toks")))
+    sh = d.select("doc_id", T.simhash(F.col("th"), SIMHASH_BITS).alias("simhash"))
+    bands = None
+    for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
+        b = sh.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band_id"),
+            F.shiftright("simhash", i * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(2**SIMHASH_BAND_BITS - 1))
+            .alias("band_val"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    # per-doc nearest neighbor (linear output): min hamming, ties to the
+    # smallest doc_id — near-dup clusters are huge in this corpus, so a raw
+    # pair listing would be quadratic.
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nn_doc_id"), "hamming"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nn_doc_id"), "hamming"
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("hamming", "nn_doc_id")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "nn_doc_id", "hamming")
+        .orderBy("doc_id")
+    )
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, type-token ratio, stopword ratio, BPE-ish
+    token count, rolling-hash fingerprint and a composite quality score."""
+    d = _docs_t(spark, sf_dir)
+    n_tok = F.size("toks")
+    n_dis = F.size(F.array_distinct("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+    sum_len = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    ttr = n_dis / n_tok.cast("double")
+    stop_ratio = n_stop / n_tok.cast("double")
+    quality = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + ttr * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(sum_len / n_tok.cast("double"), 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.size(
+            F.regexp_extract_all("norm", F.lit(r"[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).alias("bpe_ish_tokens"),
+        T.poly_hash(F.col("norm"), T.FINGERPRINT_PRIME).alias("fingerprint"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled ``lang`` column
+    (the driver corpus is synthetic English-like text under many labels, so
+    the interesting output is the confusion table)."""
+    d = _docs_t(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    ratio = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))) / F.size(
+        "toks"
+    ).cast("double")
+    pred = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+    return (
+        d.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def emb_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the first ``TOPK_QUERIES`` vectors against
+    the whole corpus. The query side is broadcast; scoring is one map-side
+    pass (the exact baseline an IVF/LSH variant must match)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    n = e.withColumn("nrm", T.l2_norm(F.col("v")))
+    q = n.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", "neighbor_label", F.col("rn").alias("rank"), "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES = {
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_minhash_dedup": docs_minhash_dedup,
+    "docs_simhash_nn": docs_simhash_pairs,
+    "docs_text_stats": docs_text_stats,
+    "docs_langid": docs_langid,
+    "emb_topk_similarity": emb_topk_similarity,
+}
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+ORACLE = {
+    "docs_exact_dedup": f"""
+SELECT doc_id, content_hash,
+       min(doc_id) OVER (PARTITION BY content_hash) AS keeper_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+FROM (SELECT doc_id, md5({NORM_SQL}) AS content_hash FROM documents)
+""",
+    "docs_minhash_dedup": f"""
+WITH {DOCS_T_SQL}, {_minhash_sql()}, {_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b, sa.tok_set AS ta, sb.tok_set AS tb
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+good AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  WHERE len(list_intersect(ta, tb)) / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) >= {MINHASH_JACCARD_MIN}
+),
+mins AS (SELECT doc_b AS doc_id, min(doc_a) AS keeper FROM good GROUP BY doc_b)
+SELECT d.doc_id,
+       COALESCE(m.keeper, d.doc_id) AS keeper_doc_id,
+       m.keeper IS NOT NULL AS is_near_duplicate
+FROM (SELECT doc_id FROM sig) d
+LEFT JOIN mins m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    "docs_simhash_nn": f"""
+WITH {DOCS_T_SQL}, {_simhash_sql()},
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, simhash, {i} AS band_id, (simhash >> {i * SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1} AS band_val FROM sh" for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS))}
+)
+, p AS (
+  SELECT doc_a, doc_b, hamming FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  )
+  WHERE hamming <= {SIMHASH_MAX_HAMMING}
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS nn_doc_id, hamming FROM p
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS nn_doc_id, hamming FROM p
+)
+SELECT doc_id, nn_doc_id, hamming
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hamming, nn_doc_id) AS rn FROM sym)
+WHERE rn = 1
+ORDER BY doc_id
+""",
+    "docs_text_stats": f"""
+WITH {DOCS_T_SQL}
+SELECT doc_id, lang, source, n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
+       round(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)
+             / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+       round(len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       len(regexp_extract_all(norm, '[a-z0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+       {_charfold_sql("norm", T.FINGERPRINT_PRIME)} AS fingerprint,
+       round(least(len(toks) / 50.0, 1.0) * 0.4
+             + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3
+             + least((len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / CAST(len(toks) AS DOUBLE)) * 5, 1.0) * 0.3, 4) AS quality_score
+FROM docs_t
+""",
+    "docs_langid": f"""
+WITH {DOCS_T_SQL}
+SELECT lang,
+       CASE WHEN len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / CAST(len(toks) AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang,
+       count(*) AS n_docs
+FROM docs_t
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "emb_topk_similarity": f"""
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a, x) -> a + x)) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {TOPK_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(q.qv, c.v), p -> p[1]*p[2])), (a, x) -> a + x)
+           / (q.qn * c.nrm) AS cosine
+  FROM q JOIN n c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, rn AS rank, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= {TOPK}
+ORDER BY query_id, rank
+""",
+}

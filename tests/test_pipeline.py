@@ -1,0 +1,91 @@
+"""LLM-data-pipeline operator invariants (dedup, similarity, text stats)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions import pipeline_queries as PQ
+from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
+
+
+def test_poly_hash_pinned(spark):
+    """Rabin-Karp char fold matches the hand-computed value ('ab' → 3105)."""
+    df = spark.createDataFrame([("ab",), ("",)], ["s"])
+    rows = df.select(T.poly_hash(F.col("s"), T.TOKEN_HASH_PRIME).alias("h")).collect()
+    assert rows[0]["h"] == 97 * 31 + 98 == 3105
+    assert rows[1]["h"] == 0
+
+
+def test_dot_product_left_fold(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], ["a", "b"])
+    assert df.select(T.dot(F.col("a"), F.col("b")).alias("d")).first()["d"] == 11.0
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    """Same token multiset ⇒ same MinHash signature (the LSH guarantee)."""
+    df = spark.createDataFrame(
+        [("x", "the quick brown fox"), ("y", "the quick brown fox")], ["id", "text"]
+    )
+    d = df.select(
+        "id", T.token_hashes(T.tokens(T.normalize_text(F.col("text")))).alias("th")
+    )
+    sigs = d.select("id", *T.minhash_signature(F.col("th"))).collect()
+    assert [sigs[0][f"mh{i}"] for i in range(T.N_PERM)] == [
+        sigs[1][f"mh{i}"] for i in range(T.N_PERM)
+    ]
+
+
+def test_exact_dedup_keeper_invariants(spark, sf_dir):
+    d = PQ.docs_exact_dedup(spark, sf_dir)
+    assert d.filter(F.col("keeper_doc_id") > F.col("doc_id")).count() == 0
+    assert d.filter(
+        F.col("is_duplicate") != (F.col("doc_id") != F.col("keeper_doc_id"))
+    ).count() == 0
+
+
+def test_minhash_dedup_linear_output(spark, sf_dir):
+    d = PQ.docs_minhash_dedup(spark, sf_dir).cache()
+    n_docs = PQ._docs_t(spark, sf_dir).count()
+    assert d.count() == n_docs  # one decision row per doc
+    assert d.filter(F.col("keeper_doc_id") > F.col("doc_id")).count() == 0
+    assert d.filter(F.col("is_near_duplicate")).count() > 0  # corpus has near-dups
+
+
+def test_simhash_nn_invariants(spark, sf_dir):
+    d = PQ.docs_simhash_pairs(spark, sf_dir).cache()
+    assert d.count() > 0
+    assert d.filter(F.col("hamming") > PQ.SIMHASH_MAX_HAMMING).count() == 0
+    assert d.filter(F.col("doc_id") == F.col("nn_doc_id")).count() == 0
+    assert d.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_topk_similarity_shape(spark, sf_dir):
+    d = PQ.emb_topk_similarity(spark, sf_dir).cache()
+    assert d.count() == PQ.TOPK_QUERIES * PQ.TOPK
+    assert d.filter((F.col("cosine") > 1.0001) | (F.col("cosine") < -1.0001)).count() == 0
+    # descending within each query
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("rank")
+    bad = (
+        d.withColumn("prev", F.lag("cosine").over(w))
+        .filter(F.col("cosine") > F.col("prev"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_text_stats_ranges(spark, sf_dir):
+    d = PQ.docs_text_stats(spark, sf_dir).cache()
+    assert d.filter(F.col("n_tokens") <= 0).count() == 0
+    for c in ("ttr", "stopword_ratio"):
+        assert d.filter((F.col(c) < 0) | (F.col(c) > 1)).count() == 0, c
+    assert d.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
+    assert d.filter(F.col("fingerprint") < 0).count() == 0
+
+
+def test_langid_covers_corpus(spark, sf_dir):
+    d = PQ.docs_langid(spark, sf_dir)
+    total = d.agg(F.sum("n_docs")).first()[0]
+    assert total == PQ._docs_t(spark, sf_dir).count()
