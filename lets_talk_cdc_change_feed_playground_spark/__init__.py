@@ -6,7 +6,10 @@ deterministic CDC capture-mode semantics (log / polling / trigger), change
 event streams with transactions/offsets/partitions, stateful consumer apply,
 divergence verification analytics (multiset diff, ordering, lag percentiles,
 state convergence), plus the large-scale training-data pipeline operators
-(dedup, similarity search, text analysis, multimodal columns).
+(exact/MinHash/SimHash dedup, similarity search, text analysis).
+
+See ``COVERAGE.md`` for the operator-by-operator map to SURVEY.md §2 and the
+oracle-checked query surface (``registry.queries()``).
 
 Everything is DataFrame-in / DataFrame-out and declarative so Catalyst can
 optimize: predicate pushdown, column pruning, broadcast joins, AQE.

@@ -275,6 +275,52 @@ def cdc_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diffs.state_diff(expected, actual).orderBy("pk")
 
 
+def cdc_convergence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 — source/sink convergence summary (``scenarios/01-canonical-
+    reference/verifier/verify.mjs:59-221``): row counts both sides, pk set
+    differences, value mismatches on the common keys, and a PASS/WARN/FAIL
+    status.  Source = fold of the ops feed; sink = polling-lane materialized
+    state (the lossy lane, so the check has something to find)."""
+    expected = diffs.source_state(ops_feed(spark, sf_dir))
+    actual = diffs.replay_state(
+        capture.polling_capture(spark, sf_dir), ["poll_ts_ms", "ts_ms"]
+    )
+    d = diffs.state_diff(expected, actual)
+    agg = d.agg(
+        F.coalesce(
+            F.sum((F.col("status") == "missing_row").cast("int")), F.lit(0)
+        ).alias("missing_rows"),
+        F.coalesce(
+            F.sum((F.col("status") == "unexpected_row").cast("int")), F.lit(0)
+        ).alias("orphan_rows"),
+        F.coalesce(
+            F.sum((F.col("status") == "field_mismatch").cast("int")), F.lit(0)
+        ).alias("field_mismatches"),
+    )
+    e_cnt = expected.agg(F.count(F.lit(1)).alias("source_rows"))
+    a_cnt = actual.agg(F.count(F.lit(1)).alias("sink_rows"))
+    j = e_cnt.crossJoin(a_cnt).crossJoin(agg)
+    status = (
+        F.when(
+            (F.col("missing_rows") == 0)
+            & (F.col("orphan_rows") == 0)
+            & (F.col("field_mismatches") == 0),
+            F.lit("PASS"),
+        )
+        .when((F.col("missing_rows") == 0) & (F.col("orphan_rows") == 0), F.lit("WARN"))
+        .otherwise(F.lit("FAIL"))
+    )
+    return j.select(
+        F.lit("users").alias("tbl"),
+        "source_rows",
+        "sink_rows",
+        "missing_rows",
+        "orphan_rows",
+        "field_mismatches",
+        status.alias("status"),
+    )
+
+
 def cdc_lane_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.lane_metrics(_lanes(spark, sf_dir))
 
@@ -305,6 +351,7 @@ QUERIES = {
     "cdc_verdict": cdc_verdict,
     "cdc_lag_topk": cdc_lag_topk,
     "cdc_state_diff": cdc_state_diff,
+    "cdc_convergence_check": cdc_convergence_check,
     "cdc_lane_metrics": cdc_lane_metrics,
     "cdc_missed_deletes": cdc_missed_deletes,
     "cdc_write_amplification": cdc_write_amplification,
@@ -410,6 +457,44 @@ WHERE a.pk IS NULL OR e.pk IS NULL
        OR e.value IS DISTINCT FROM a.value
        OR e.props IS DISTINCT FROM a.props)
 ORDER BY pk
+""",
+    "cdc_convergence_check": _with(POLL_STATE_SQL)
+    + """
+, source_state AS (
+  SELECT pk, event_type, value, props
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY t DESC, seq DESC) AS rn FROM src)
+  WHERE rn = 1 AND op <> 'delete'
+),
+actual_state AS (
+  SELECT pk, after_event_type AS event_type, after_value AS value, after_props AS props
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY poll_ts_ms DESC, ts_ms DESC) AS rn FROM polled)
+  WHERE rn = 1 AND op <> 'd'
+),
+d AS (
+  SELECT CASE WHEN a.pk IS NULL THEN 'missing_row'
+              WHEN e.pk IS NULL THEN 'unexpected_row'
+              ELSE 'field_mismatch' END AS status
+  FROM source_state e FULL OUTER JOIN actual_state a ON e.pk = a.pk
+  WHERE a.pk IS NULL OR e.pk IS NULL
+     OR (e.event_type IS DISTINCT FROM a.event_type
+         OR e.value IS DISTINCT FROM a.value
+         OR e.props IS DISTINCT FROM a.props)
+)
+SELECT 'users' AS tbl,
+       (SELECT count(*) FROM source_state) AS source_rows,
+       (SELECT count(*) FROM actual_state) AS sink_rows,
+       COALESCE(sum(CASE WHEN status = 'missing_row' THEN 1 ELSE 0 END), 0) AS missing_rows,
+       COALESCE(sum(CASE WHEN status = 'unexpected_row' THEN 1 ELSE 0 END), 0) AS orphan_rows,
+       COALESCE(sum(CASE WHEN status = 'field_mismatch' THEN 1 ELSE 0 END), 0) AS field_mismatches,
+       CASE WHEN COALESCE(sum(CASE WHEN status = 'missing_row' THEN 1 ELSE 0 END), 0) = 0
+                 AND COALESCE(sum(CASE WHEN status = 'unexpected_row' THEN 1 ELSE 0 END), 0) = 0
+                 AND COALESCE(sum(CASE WHEN status = 'field_mismatch' THEN 1 ELSE 0 END), 0) = 0
+            THEN 'PASS'
+            WHEN COALESCE(sum(CASE WHEN status = 'missing_row' THEN 1 ELSE 0 END), 0) = 0
+                 AND COALESCE(sum(CASE WHEN status = 'unexpected_row' THEN 1 ELSE 0 END), 0) = 0
+            THEN 'WARN'
+            ELSE 'FAIL' END AS status
+FROM d
 """,
     "cdc_lane_metrics": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
     + """

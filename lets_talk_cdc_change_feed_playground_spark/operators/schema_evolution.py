@@ -1,0 +1,196 @@
+"""C4 / A9 / A10 / V6 — dynamic schemas over MAP payloads.
+
+The reference evolves table schemas at runtime: explicit ADD/DROP COLUMN
+events bump a per-table ``schemaVersion`` (``src/modes/logBased.ts:103-134``)
+and the sink *sniffs* unknown payload columns, inferring their type and
+extending the table (``scenarios/01-canonical-reference/sink/consumer.mjs:
+179-232``).  With ``MAP<STRING,STRING>`` payloads this becomes pure
+DataFrame work:
+
+- ``schema_versions``: every (table, column) introduction point is the min
+  op position that carries the column; an op's ``schema_version`` is the
+  count of introductions at or before it — payload-sniffed evolution as a
+  window over the exploded key set.
+- ``schema_change_events``: the introductions themselves as ``op='s'``
+  control rows carrying ``{action, column, type, previous/next version}``.
+- ``replay_fold``: the consumer fold (``src/domain/storage.ts:133-164``):
+  delete removes the key, insert/update merge ``{**existing, **after}`` —
+  an ordered ``aggregate`` over each key's events with LAST_WIN map merge.
+- ``project_drift`` (A10): drop a drifted column from payloads.
+- ``canon_value`` (V6): type-coercing canonicalisation for comparisons
+  (numeric strings → canonical number form, trimmed strings otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: storage.ts:35-43 — value-shape based column type inference.
+_TYPE_BOOL = r"^(true|false)$"
+_TYPE_NUM = r"^-?[0-9]+(\.[0-9]+)?$"
+
+
+def infer_type(col_name: Column, value: Column) -> Column:
+    return (
+        F.when(value.rlike(_TYPE_BOOL), F.lit("bool"))
+        .when(value.rlike(_TYPE_NUM), F.lit("number"))
+        .when(col_name.rlike(r"(_ts|timestamp)$"), F.lit("timestamp"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def column_introductions(ops: DataFrame) -> DataFrame:
+    """First op position where each (table, column) appears, with the value's
+    inferred type — the payload-sniffed ADD COLUMN stream."""
+    keys = ops.filter(F.col("after").isNotNull()).select(
+        "table",
+        "t",
+        "seq",
+        F.explode(F.col("after")).alias("column", "value"),
+    )
+    w = W.partitionBy("table", "column").orderBy("t", "seq")
+    return (
+        keys.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "table",
+            "column",
+            infer_type(F.col("column"), F.col("value")).alias("col_type"),
+            F.col("t").alias("t"),
+            F.col("seq").alias("seq"),
+        )
+    )
+
+
+def schema_versions(ops: DataFrame) -> DataFrame:
+    """Attach ``schema_version`` to every op: 1 + count of columns introduced
+    strictly before it (the version the op was written under)."""
+    marks = (
+        column_introductions(ops)
+        .groupBy("table", "t", "seq")
+        .agg(F.count(F.lit(1)).alias("__n_intro"))
+    )
+    joined = ops.join(marks, ["table", "t", "seq"], "left").fillna(0, ["__n_intro"])
+    wv = (
+        W.partitionBy("table")
+        .orderBy("t", "seq")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.withColumn(
+        "schema_version", F.sum("__n_intro").over(wv).cast("int")
+    ).drop("__n_intro")
+
+
+def schema_change_events(ops: DataFrame) -> DataFrame:
+    """C4 — ``op='s'`` control rows, ordered with the data stream
+    (``SCHEMA_ADD_COL``, ``src/modes/logBased.ts:238-260``)."""
+    intro = column_introductions(ops)
+    w = W.partitionBy("table").orderBy("t", "seq")
+    ver = F.row_number().over(w)
+    return intro.select(
+        "table",
+        F.lit("s").alias("op"),
+        "t",
+        "seq",
+        F.lit("add_column").alias("action"),
+        "column",
+        "col_type",
+        (ver - 1).alias("previous_version"),
+        ver.alias("next_version"),
+    )
+
+
+def replay_fold(ops: DataFrame, drop_columns: tuple[str, ...] = ()) -> DataFrame:
+    """A1/A2 over MAP payloads with *partial* updates: ordered merge fold per
+    key. ``drop_columns`` implements the A10 schema-drift projection toggle.
+
+    Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in session conf)
+    so ``map_concat`` is the JS object-spread merge."""
+    events = ops.select(
+        "table", "pk", F.struct("t", "seq", "op", "after").alias("e")
+    )
+    # structs containing maps are not orderable — sort with an explicit
+    # (t, seq) comparator instead of the default field-wise ordering
+    by_time = lambda l, r: (  # noqa: E731
+        F.when(l["t"] < r["t"], -1)
+        .when(l["t"] > r["t"], 1)
+        .when(l["seq"] < r["seq"], -1)
+        .when(l["seq"] > r["seq"], 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    folded = events.groupBy("table", "pk").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("e"), by_time),
+            F.lit(None).cast("map<string,string>"),
+            lambda acc, e: (
+                F.when(e["op"] == "delete", F.lit(None).cast("map<string,string>"))
+                .otherwise(
+                    F.map_concat(
+                        F.coalesce(acc, F.create_map().cast("map<string,string>")),
+                        _project(e["after"], drop_columns),
+                    )
+                )
+            ),
+        ).alias("data"),
+        F.max(F.struct("e.t", "e.seq")).alias("last"),
+    )
+    return (
+        folded.filter(F.col("data").isNotNull())
+        .select("table", "pk", "data", F.col("last.t").alias("updated_t"))
+    )
+
+
+def _drop_key(col_name: str):
+    return lambda k, _v: k != F.lit(col_name)
+
+
+def _project(after: Column, drop_columns: tuple[str, ...]) -> Column:
+    out = F.coalesce(after, F.create_map().cast("map<string,string>"))
+    for c in drop_columns:
+        out = F.map_filter(out, _drop_key(c))
+    return out
+
+
+def project_drift(events: DataFrame, column: str, payload_col: str = "after") -> DataFrame:
+    """A10 — drop a drifted column from event payloads
+    (``src/changefeed/model.ts:111-121``)."""
+    return events.withColumn(
+        payload_col,
+        F.map_filter(F.col(payload_col), lambda k, _v: k != F.lit(column)),
+    )
+
+
+def canon_value(v: Column) -> Column:
+    """V6 — type-coercing canonical form (``harness/verifier/index.js:
+    78-112``): numeric strings through double and back (``"1.50"`` ==
+    ``"1.5"``), everything else trimmed."""
+    num = v.cast("double")
+    as_int = num.cast("long")
+    return (
+        F.when(v.isNull(), F.lit(None))
+        .when(
+            v.rlike(_TYPE_NUM),
+            F.when(num == as_int.cast("double"), as_int.cast("string")).otherwise(
+                num.cast("string")
+            ),
+        )
+        .otherwise(F.trim(v))
+    )
+
+
+def states_equal_coercive(a: Column, b: Column) -> Column:
+    """Compare two MAP payloads under V6 coercion: same key set and every
+    value canonically equal."""
+    ka, kb = F.map_keys(a), F.map_keys(b)
+    same_keys = (F.size(F.array_except(ka, kb)) == 0) & (
+        F.size(F.array_except(kb, ka)) == 0
+    )
+    vals_ok = F.forall(
+        ka,
+        lambda k: canon_value(F.element_at(a, k)).eqNullSafe(
+            canon_value(F.element_at(b, k))
+        ),
+    )
+    return same_keys & vals_ok

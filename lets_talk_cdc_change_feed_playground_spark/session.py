@@ -47,6 +47,9 @@ def get_spark(
         # long and convert explicitly (sources/testdata.py). Set here once so
         # queries never flip session conf mid-plan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # map_concat(existing, after) must be the JS object-spread merge:
+        # later keys win (src/domain/storage.ts:133-164 semantics)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,59 @@
+"""S6 — Debezium envelope source.
+
+The harness verifier consumes ``dbserver1.public.<table>`` topics and parses
+``{payload: {op, before, after, source, ts_ms}, key}`` envelopes, keeping
+only c/u/d ops and deriving the table from the topic
+(``harness/verifier/index.js:248-285``).  In production this reads
+``spark.readStream.format("kafka")``; the parser below takes any DataFrame
+with ``(topic, key, value)`` string columns (batch or streaming — exactly
+what the Kafka source emits after casting), so the envelope logic is testable
+without a broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType, StructField, StructType
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField(
+            "payload",
+            StructType(
+                [
+                    StructField("op", StringType()),
+                    StructField("before", MapType(StringType(), StringType())),
+                    StructField("after", MapType(StringType(), StringType())),
+                    StructField("ts_ms", StringType()),
+                    StructField(
+                        "source",
+                        StructType([StructField("table", StringType())]),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def parse_debezium(df: DataFrame, topic_prefix: str = "dbserver1.public.") -> DataFrame:
+    """Kafka records → canonical change events: c/u/d only (``r`` snapshot
+    reads dropped), table from the topic suffix, key as pk."""
+    parsed = df.select(
+        "topic",
+        F.col("key").cast("string").alias("pk"),
+        F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("env"),
+    )
+    return (
+        parsed.select(
+            F.regexp_replace("topic", f"^{topic_prefix.replace('.', chr(92) + '.')}", "")
+            .alias("tbl"),
+            "pk",
+            F.col("env.payload.op").alias("op"),
+            F.col("env.payload.before").alias("before"),
+            F.col("env.payload.after").alias("after"),
+            F.col("env.payload.ts_ms").cast("long").alias("ts_ms"),
+        )
+        .filter(F.col("op").isin("c", "u", "d"))
+    )

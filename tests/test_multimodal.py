@@ -1,0 +1,61 @@
+"""Multimodal binary-column plumbing: schemas, Arrow batching, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synthetic_media(spark, 48).cache()
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert media.schema == MM.MEDIA_SCHEMA
+    assert media.count() == 48
+    again = MM.synthetic_media(spark, 48)
+    a = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    b = {r["media_id"]: bytes(r["content"]) for r in again.collect()}
+    assert a == b
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_feature_extraction(media):
+    feats = MM.extract_features(media).cache()
+    assert feats.count() == 48
+    assert feats.schema == MM.FEATURES_SCHEMA
+    row = feats.orderBy("media_id").first()
+    assert len(row["features"]) == MM.N_FEATURES
+    assert all(0.0 <= x <= 1.0 for x in row["features"])
+    # decode is deterministic: same content → same sha and features
+    again = MM.extract_features(media).orderBy("media_id").first()
+    assert again["content_sha"] == row["content_sha"]
+    assert again["features"] == row["features"]
+
+
+def test_frame_sampling_one_to_many(media):
+    frames = MM.sample_frames(media, every_ms=400).cache()
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == n_videos
+    per = frames.groupBy("media_id").count()
+    assert per.filter(F.col("count") < 1).count() == 0
+    assert frames.filter(F.length("frame") == 0).count() == 0
+    # frame indexes are dense from 0
+    agg = frames.groupBy("media_id").agg(
+        F.min("frame_idx").alias("lo"), F.max("frame_idx").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    assert agg.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
+
+
+def test_media_stats_no_udf(media):
+    stats = MM.media_stats(media)
+    rows = {r["kind"]: r for r in stats.collect()}
+    assert set(rows) == {"image", "audio", "video"}
+    assert all(r["total_bytes"] > 0 for r in rows.values())
+    # stats path must stay JVM-side: no Python UDF in the plan
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan.split("mapInPandas")[0].split("MapInPandas")[0]
