@@ -58,6 +58,11 @@ def _with_after(ops: DataFrame) -> DataFrame:
 
 
 def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> DataFrame:
+    """C1 over the driver-testdata ops feed."""
+    return log_capture_ops(ops_feed(spark, sf_dir), fetch_ms)
+
+
+def log_capture_ops(ops: DataFrame, fetch_ms: int = FETCH_MS) -> DataFrame:
     """C1 — WAL-tail capture: ordered, lossless, with before images.
 
     ``before`` is the previous WAL record's ``after`` for the key (NULL after a
@@ -65,7 +70,7 @@ def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> D
     ``cur.data`` since the feed carries full row images.
     """
     wpk = W.partitionBy("pk").orderBy("t", "seq")
-    df = _with_after(ops_feed(spark, sf_dir))
+    df = _with_after(ops)
     df = df.select(
         "*",
         *[
@@ -95,6 +100,15 @@ def polling_capture(
     poll_ms: int = POLL_MS,
     include_soft_deletes: bool = False,
 ) -> DataFrame:
+    """C2 over the driver-testdata ops feed."""
+    return polling_capture_ops(ops_feed(spark, sf_dir), poll_ms, include_soft_deletes)
+
+
+def polling_capture_ops(
+    ops: DataFrame,
+    poll_ms: int = POLL_MS,
+    include_soft_deletes: bool = False,
+) -> DataFrame:
     """C2 — query-based capture: per-poll last-write-wins over a soft-delete store.
 
     Effective ops (the ones that touch the row store / its ``updated_at``):
@@ -105,7 +119,6 @@ def polling_capture(
     ``include_soft_deletes``), else ``u`` when version > 1, ``c`` for fresh
     inserts. Version counts applied insert/updates only.
     """
-    ops = ops_feed(spark, sf_dir)
     wall = W.partitionBy("pk")
     wordered = W.partitionBy("pk").orderBy("t", "seq")
 
@@ -162,6 +175,15 @@ def trigger_capture(
     extract_ms: int = EXTRACT_MS,
     overhead_ms: int = OVERHEAD_MS,
 ) -> DataFrame:
+    """C3 over the driver-testdata ops feed."""
+    return trigger_capture_ops(ops_feed(spark, sf_dir), extract_ms, overhead_ms)
+
+
+def trigger_capture_ops(
+    ops: DataFrame,
+    extract_ms: int = EXTRACT_MS,
+    overhead_ms: int = OVERHEAD_MS,
+) -> DataFrame:
     """C3 — audit-table capture: synchronous append with write-path overhead.
 
     Complete and ordered like the log, but ``commit_ts = t + overhead_ms``
@@ -174,7 +196,7 @@ def trigger_capture(
     wprev = (
         W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, -1)
     )
-    df = _with_after(ops_feed(spark, sf_dir))
+    df = _with_after(ops)
     df = df.select(
         "*",
         *[
