@@ -45,6 +45,14 @@ def main() -> int:
         print(f"error: unknown BENCH_QUERIES {unknown}; known: {sorted(queries)}", file=sys.stderr)
         return 2
 
+    # untimed warmup: JVM JIT + parquet footer caches, so the first timed
+    # query doesn't absorb session startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in names:

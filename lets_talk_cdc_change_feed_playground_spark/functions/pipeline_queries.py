@@ -135,6 +135,11 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value is identical on both engines (hash collisions are part of the
     # defined semantics; P ≈ 1e6 vs ~40-word vocab makes them negligible).
     d = _docs_t(spark, sf_dir).withColumn("th", T.token_hashes(F.col("toks")))
+    # materialization barrier: without it, CollapseProject inlines the th
+    # char-fold into all 16 minhash expressions (16× recompute of the most
+    # expensive per-row work). A keyed repartition pins th to one evaluation
+    # and is exactly the layout the downstream band join wants.
+    d = d.select("doc_id", "th").repartition("doc_id")
     return d.select(
         "doc_id",
         F.array_distinct("th").alias("tok_set"),
@@ -208,53 +213,75 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprints, banded on 8-bit chunks,
     kept when hamming distance ≤ 3."""
     d = _docs_t(spark, sf_dir).withColumn("th", T.token_hashes(F.col("toks")))
+    # same materialization barrier as _signatures: 32 bit-sum folds must not
+    # each re-derive the token-hash array
+    d = d.select("doc_id", "th").repartition("doc_id")
     sh = d.select("doc_id", T.simhash(F.col("th"), SIMHASH_BITS).alias("simhash"))
-    bands = None
-    for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
-        b = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band_id"),
-            F.shiftright("simhash", i * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit(2**SIMHASH_BAND_BITS - 1))
-            .alias("band_val"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+
+    # Near-dup corpora collapse onto few distinct simhashes, making a naive
+    # all-docs band join quadratic (tens of millions of candidate pairs at
+    # sf0.1). Exact-hash groups answer themselves: every member's NN is
+    # (hamming 0, smallest other member). Only docs with a UNIQUE simhash
+    # need the band search, and they search over distinct-hash
+    # representatives — identical output, candidate volume shrinks from
+    # O(docs²) to O(unique × distinct).
+    g1 = sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("m1"), F.count(F.lit(1)).alias("n")
+    )
+    j = sh.join(g1, "simhash")
+    m2 = (
+        j.filter(F.col("doc_id") != F.col("m1"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("m2"))
+    )
+    grouped = (
+        j.filter(F.col("n") >= 2)
+        .join(m2, "simhash")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-    )
-    # per-doc nearest neighbor (linear output): min hamming, ties to the
-    # smallest doc_id — near-dup clusters are huge in this corpus, so a raw
-    # pair listing would be quadratic.
-    sym = pairs.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nn_doc_id"), "hamming"
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nn_doc_id"), "hamming"
+            "doc_id",
+            F.when(F.col("doc_id") == F.col("m1"), F.col("m2"))
+            .otherwise(F.col("m1"))
+            .alias("nn_doc_id"),
+            F.lit(0).alias("hamming"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy("hamming", "nn_doc_id")
-    return (
-        sym.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "nn_doc_id", "hamming")
-        .orderBy("doc_id")
+
+    singles = j.filter(F.col("n") == 1).select("doc_id", "simhash")
+    reps = g1.select(F.col("simhash").alias("rep_hash"), F.col("m1").alias("rep_doc"))
+
+    def _banded(df, hash_col, id_cols):
+        out = None
+        for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
+            b = df.select(
+                *id_cols,
+                hash_col,
+                F.lit(i).alias("band_id"),
+                F.shiftright(hash_col, i * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(2**SIMHASH_BAND_BITS - 1))
+                .alias("band_val"),
+            )
+            out = b if out is None else out.unionByName(b)
+        return out
+
+    sb = _banded(singles, F.col("simhash"), ["doc_id"])
+    rb = _banded(reps, F.col("rep_hash"), ["rep_doc"])
+    cand = sb.join(rb, ["band_id", "band_val"]).filter(
+        F.col("doc_id") != F.col("rep_doc")
     )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("rep_hash")))
+    near = cand.select(
+        "doc_id", F.col("rep_doc").alias("nn_doc_id"), ham.alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    best_single = (
+        near.groupBy("doc_id")
+        .agg(F.min(F.struct("hamming", "nn_doc_id")).alias("best"))
+        .select(
+            "doc_id",
+            F.col("best.nn_doc_id").alias("nn_doc_id"),
+            F.col("best.hamming").alias("hamming"),
+        )
+    )
+    return grouped.unionByName(best_single).orderBy("doc_id")
 
 
 def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,3 +114,73 @@ def test_workload_generator_deterministic(spark):
     assert ops.count("update") == 100
     assert ops.count("delete") == 100
     assert all(0 <= int(r["pk"]) < 50 for r in a)
+
+
+@pytest.fixture(scope="module")
+def commit_chunks_dir(spark, tmp_path_factory):
+    """Txn-complete events with commit drift across micro-batches: TX-C
+    commits earlier than TX-B but arrives a batch later."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply_on_commit import (
+        COMMIT_EVENT_SCHEMA,
+    )
+
+    out = str(tmp_path_factory.mktemp("commit_chunks"))
+    chunks = [
+        [  # batch 1
+            ("TX-A", 0, 60_000, 1, "p1", "insert", "a"),
+            ("TX-B", 0, 300_000, 2, "p2", "insert", "b0"),
+            ("TX-B", 1, 300_000, 3, "p3", "insert", "b1"),
+        ],
+        [  # batch 2: TX-C drifted late but commits BEFORE TX-B
+            ("TX-C", 0, 240_000, 4, "p2", "update", "c0"),
+            ("TX-D", 0, 600_000, 5, "p4", "insert", "d0"),
+        ],
+        [  # batch 3: heartbeat pushes the watermark past everything real
+            ("TX-E", 0, 1_000_000, 6, "p5", "insert", "e0"),
+        ],
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, COMMIT_EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(out, f"c{i}")
+        )
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    for i in range(len(chunks)):
+        d = os.path.join(out, f"c{i}")
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+    return flat
+
+
+def test_apply_on_commit_stream(spark, commit_chunks_dir):
+    """A3 streaming: the watermark floor holds drifted transactions until
+    nothing earlier can arrive; apply order is (commit_ts, lsn) regardless of
+    arrival order."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply_on_commit import (
+        COMMIT_EVENT_SCHEMA,
+        OrderedApplySink,
+        gate_on_commit_floor,
+    )
+
+    src = (
+        spark.readStream.schema(COMMIT_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(commit_chunks_dir)
+    )
+    gated = gate_on_commit_floor(src, tick_ms=60_000, delay="2 minutes")
+    sink = OrderedApplySink()
+    q = gated.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    order = [a["tx_id"] for a in sink.applied]
+    # TX-E's window never closes (watermark stops at 880k): floor holds it
+    assert "TX-E" not in order
+    assert set(order) == {"TX-A", "TX-B", "TX-C", "TX-D"}
+    # commit order respected: drift-late TX-C applies before TX-B
+    commits = [a["commit_ts"] for a in sink.applied]
+    assert commits == sorted(commits)
+    assert order.index("TX-C") < order.index("TX-B")
+    # final state: TX-C's update to p2 won (applied after TX-B? no — C
+    # commits earlier, so B's insert of p2 wins)
+    assert sink.tables["p2"] == "b0"
