@@ -113,16 +113,39 @@ def lane_diff(expected: DataFrame, actual: DataFrame) -> DataFrame:
     )
 
 
-def ordering_inversions(diff: DataFrame) -> DataFrame:
+def ordering_inversions(diff: DataFrame, bucket_size: int = 65536) -> DataFrame:
     """V2 — count of matched pairs whose expected index regresses below the
-    running max in actual order. Returns a single row ``(ordering_issues)``."""
-    matched = diff.filter(F.col("status") == "matched")
-    w = W.orderBy("actual_idx").rowsBetween(W.unboundedPreceding, -1)
-    flagged = matched.select(
-        (F.col("expected_idx") < F.max("expected_idx").over(w)).alias("inverted")
+    running max in actual order. Returns a single row ``(ordering_issues)``.
+
+    The running max over the global actual order is computed in two phases
+    (like :func:`..functions.sequence.with_global_seq`): a per-bucket running
+    max plus a broadcast cumulative prefix over bucket maxima — no
+    unpartitioned data-sized window."""
+    matched = diff.filter(F.col("status") == "matched").withColumn(
+        "__bucket", F.expr(f"actual_idx div {bucket_size}")
     )
-    return flagged.agg(
-        F.coalesce(F.sum(F.col("inverted").cast("int")), F.lit(0)).alias("ordering_issues")
+    win = (
+        W.partitionBy("__bucket")
+        .orderBy("actual_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = matched.withColumn("__local_max", F.max("expected_idx").over(win))
+    bucket_max = matched.groupBy("__bucket").agg(
+        F.max("expected_idx").alias("__bmax")
+    )
+    prefix_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+    prefix = bucket_max.select(
+        "__bucket", F.max("__bmax").over(prefix_w).alias("__prefix_max")
+    )
+    j = local.join(F.broadcast(prefix), "__bucket")
+    runmax = F.greatest(
+        F.coalesce(F.col("__local_max"), F.lit(-1)),
+        F.coalesce(F.col("__prefix_max"), F.lit(-1)),
+    )
+    return j.select((F.col("expected_idx") < runmax).alias("inverted")).agg(
+        F.coalesce(F.sum(F.col("inverted").cast("int")), F.lit(0)).alias(
+            "ordering_issues"
+        )
     )
 
 

@@ -131,19 +131,43 @@ def txn_ledger(bus: DataFrame) -> DataFrame:
         F.col("floor_ts").isNull() | (F.col("commit_ts") <= F.col("floor_ts"))
     )
     j = j.withColumn("applied", applied)
-    wapply = (
-        W.partitionBy("applied")
+    # apply_tick = running max of completion ticks in (commit_ts, lsn) order
+    # over applied txns — two-phase bucketed running max (per-bucket window +
+    # broadcast prefix over bucket maxima) instead of a single-task global
+    # window over every applied transaction.
+    ap = j.filter(F.col("applied")).withColumn(
+        "__bucket", F.expr(f"commit_ts div {3_600_000}")
+    )
+    win = (
+        W.partitionBy("__bucket")
         .orderBy("commit_ts", "lsn_min")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    return j.select(
+    local = ap.withColumn("__local_max", F.max("complete_tick").over(win))
+    bmax = ap.groupBy("__bucket").agg(F.max("complete_tick").alias("__bmax"))
+    prefix_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+    prefix = bmax.select(
+        "__bucket", F.max("__bmax").over(prefix_w).alias("__prefix_max")
+    )
+    ap = (
+        local.join(F.broadcast(prefix), "__bucket")
+        .withColumn(
+            "apply_tick",
+            F.greatest(
+                F.col("__local_max"),
+                F.coalesce(F.col("__prefix_max"), F.col("__local_max")),
+            ),
+        )
+        .select("txn_id", "apply_tick")
+    )
+    return j.join(ap, "txn_id", "left").select(
         "txn_id",
         "commit_ts",
         "n_events",
         "n_dropped",
         "complete_tick",
         "applied",
-        F.when(F.col("applied"), F.max("complete_tick").over(wapply)).alias("apply_tick"),
+        F.when(F.col("applied"), F.col("apply_tick")).alias("apply_tick"),
     )
 
 
