@@ -309,14 +309,18 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         n_tok.alias("n_tokens"),
         n_dis.alias("n_distinct_tokens"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(sum_len / n_tok.cast("double"), 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        # ratios ship unrounded: the raw doubles are bit-identical on both
+        # engines (same operands, same op order), while round(x, 4) diverges
+        # at half boundaries (Spark HALF_UP on decimal repr vs DuckDB on the
+        # binary double)
+        ttr.alias("ttr"),
+        (sum_len / n_tok.cast("double")).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
         F.size(
             F.regexp_extract_all("norm", F.lit(r"[a-z0-9]+|[^a-z0-9 ]"), F.lit(0))
         ).alias("bpe_ish_tokens"),
         T.poly_hash(F.col("norm"), T.FINGERPRINT_PRIME).alias("fingerprint"),
-        F.round(quality, 4).alias("quality_score"),
+        quality.alias("quality_score"),
     )
 
 
@@ -366,6 +370,63 @@ def emb_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 8  # random-hyperplane LSH bits for the bucketed ANN variant
+
+
+def _plane(i: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component (no RNG — both
+    engines must build identical planes)."""
+    return ((i * 1009 + j * 9176 + 37) % 97 - 48) / 48.0
+
+
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN — the scale path for similarity search: 8 random-
+    hyperplane sign bits bucket the corpus; each query scores only its own
+    bucket (candidates shrink ~2^8×). Brute-force `emb_topk_similarity` is
+    the exact baseline this approximation trades recall against.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    dim = e.select(F.size("v").alias("d")).first()["d"]
+
+    def bucket_of(vcol):
+        bits = F.lit(0)
+        for p in range(N_PLANES):
+            plane = F.array(*[F.lit(_plane(p, j)) for j in range(dim)])
+            dotp = T.dot(vcol, plane)
+            bits = bits + F.when(dotp > 0, F.lit(2**p)).otherwise(F.lit(0))
+        return bits
+
+    n = e.withColumn("nrm", T.l2_norm(F.col("v"))).withColumn(
+        "bucket", bucket_of(F.col("v"))
+    )
+    q = n.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = n.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            "query_id", "neighbor_id", "neighbor_label", F.col("rn").alias("rank"), "cosine"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_minhash_dedup": docs_minhash_dedup,
@@ -373,7 +434,21 @@ QUERIES = {
     "docs_text_stats": docs_text_stats,
     "docs_langid": docs_langid,
     "emb_topk_similarity": emb_topk_similarity,
+    "emb_lsh_topk": emb_lsh_topk,
 }
+
+
+def _planes_sql() -> str:
+    """Bucket expression for the oracle: same planes, same fold order."""
+    terms = []
+    for p in range(N_PLANES):
+        plane = ", ".join(repr(_plane(p, j)) for j in range(64))
+        dot = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(list_zip(v, [{plane}]), p -> p[1]*p[2])), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 # ---------------------------------------------------------------------------
@@ -445,15 +520,15 @@ WITH {DOCS_T_SQL}
 SELECT doc_id, lang, source, n_chars,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
-       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
-       round(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)
-             / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
-       round(len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x)
+             / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+       len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
        len(regexp_extract_all(norm, '[a-z0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
        {_charfold_sql("norm", T.FINGERPRINT_PRIME)} AS fingerprint,
-       round(least(len(toks) / 50.0, 1.0) * 0.4
+       least(len(toks) / 50.0, 1.0) * 0.4
              + (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) * 0.3
-             + least((len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / CAST(len(toks) AS DOUBLE)) * 5, 1.0) * 0.3, 4) AS quality_score
+             + least((len(list_filter(toks, t -> t IN ({_STOP_LIST}))) / CAST(len(toks) AS DOUBLE)) * 5, 1.0) * 0.3 AS quality_score
 FROM docs_t
 """,
     "docs_langid": f"""
@@ -484,3 +559,23 @@ WHERE rn <= {TOPK}
 ORDER BY query_id, rank
 """,
 }
+
+ORACLE["emb_lsh_topk"] = f"""
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a, x) -> a + x)) AS nrm
+  FROM embeddings
+),
+b AS (SELECT n.*, {_planes_sql()} AS bucket FROM n),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket FROM b WHERE vec_id < {TOPK_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(q.qv, c.v), p -> p[1]*p[2])), (a, x) -> a + x)
+           / (q.qn * c.nrm) AS cosine
+  FROM q JOIN b c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, rn AS rank, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= {TOPK}
+ORDER BY query_id, rank
+"""

@@ -184,3 +184,49 @@ def test_apply_on_commit_stream(spark, commit_chunks_dir):
     # final state: TX-C's update to p2 won (applied after TX-B? no — C
     # commits earlier, so B's insert of p2 wins)
     assert sink.tables["p2"] == "b0"
+
+
+def test_cdc_pipeline_lifecycle(spark, sf_dir, ops_chunks_dir, tmp_path):
+    """C5: IDLE → SNAPSHOTTING → TAILING → PAUSED → TAILING → STOPPED, with
+    the snapshot batch applied before the stream and snapshot_rows counted."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.controller import (
+        PAUSED,
+        STOPPED,
+        TAILING,
+        CDCPipeline,
+    )
+
+    store = str(tmp_path / "ctl_store")
+    snapshot = spark.createDataFrame(
+        [("999999", "c", None, None, None, "seed", 1.0, "{}", 0, "snapshot-999999")],
+        "pk string, op string, before_event_type string, before_value double, "
+        "before_props string, after_event_type string, after_value double, "
+        "after_props string, ts_ms long, tx_id string",
+    ).withColumn("seq", F.lit(-1).cast("long"))
+    sink = UpsertSink(spark, store)
+
+    def stream_factory():
+        src = (
+            spark.readStream.schema(OPS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ops_chunks_dir)
+        )
+        return log_capture_stream(src)
+
+    pipe = CDCPipeline(snapshot, stream_factory, sink)
+    pipe.start()
+    assert pipe.state == TAILING
+    assert pipe.metrics["snapshot_rows"] == 1
+    pipe.drain()
+    pipe.pause()
+    assert pipe.state == PAUSED
+    pipe.resume()
+    pipe.drain()
+    pipe.stop()
+    assert pipe.state == STOPPED
+    assert pipe.metrics["starts"] == 2
+
+    # snapshot row survived (no later op touches pk 999999) and stream applied
+    final = sink.current()
+    assert final.filter(F.col("pk") == "999999").count() == 1
+    assert final.count() > 1
