@@ -230,6 +230,43 @@ def consumer_timeline(bus: DataFrame, ledger: DataFrame) -> DataFrame:
     ).orderBy("tick_ms")
 
 
+def rate_limited_consume(
+    bus: DataFrame, per_tick: int = 8, tick_ms: int = TICK_MS
+) -> DataFrame:
+    """A6 — deterministic consumer rate limit (token bucket at sustained
+    rate, ``web/App.tsx:2106-2113``): the consumer drains at most
+    ``per_tick`` events per tick per partition, FIFO in delivery order.
+
+    The classic service-queue recurrence ``c_i = max(d_i, c_{i-1} + 1/R)``
+    has the closed form ``c_i = max_{j<=i}(d_j - j/R) + i/R`` — a running
+    max, computed here per partition (0-based ``i`` in delivery order,
+    ``d`` the tick-aligned delivery time). ``consume_tick`` is that value
+    rounded up to the next tick; queue_delay = consume - delivery."""
+    delivered = bus.filter(~F.col("dropped"))
+    w = W.partitionBy("partition").orderBy("delivery_ts", "lsn")
+    i = F.row_number().over(w) - 1
+    # exact integer arithmetic in service-slot units (each tick has per_tick
+    # slots): slot_i = i + max_{j<=i}(tick_number_j * per_tick - j)
+    d = delivered.withColumn("__i", i).withColumn(
+        "__key",
+        F.expr(f"delivery_ts div {tick_ms}") * per_tick - F.col("__i"),
+    )
+    runmax = F.max("__key").over(
+        W.partitionBy("partition").orderBy("delivery_ts", "lsn").rowsBetween(W.unboundedPreceding, 0)
+    )
+    consume_units = runmax + F.col("__i")  # the event's service slot index
+    consume_tick = F.floor(consume_units / per_tick).cast("long") * tick_ms
+    return d.select(
+        "lsn",
+        "txn_id",
+        "pk",
+        "partition",
+        "delivery_ts",
+        consume_tick.cast("long").alias("consume_tick"),
+        (consume_tick.cast("long") - F.col("delivery_ts")).alias("queue_delay_ms"),
+    )
+
+
 def offset_dedup(bus: DataFrame) -> DataFrame:
     """A8 — exactly-once consumption: deterministic redelivery (every event
     whose ``hash31(lsn) % 10 == 0`` arrives twice) deduped on

@@ -140,6 +140,13 @@ def cdc_offset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pg.offset_dedup(pg.bus_feed(spark, sf_dir))
 
 
+def cdc_rate_limited_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — per-event consume tick under the token-bucket rate limit."""
+    return pg.rate_limited_consume(pg.bus_feed(spark, sf_dir)).orderBy(
+        "partition", "consume_tick", "lsn"
+    )
+
+
 def cdc_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2 — op-kind filter + token search over the log lane's event log
     (``assets/app.js:2725-2948``): creates/updates whose haystack matches
@@ -167,6 +174,7 @@ QUERIES = {
     "cdc_atomicity_check": cdc_atomicity_check,
     "cdc_consumer_timeline": cdc_consumer_timeline,
     "cdc_offset_dedup": cdc_offset_dedup,
+    "cdc_rate_limited_consume": cdc_rate_limited_consume,
     "cdc_event_search": cdc_event_search,
 }
 
@@ -235,6 +243,27 @@ SELECT "partition",
        count(DISTINCT "offset") AS distinct_offsets,
        count(*) - count(DISTINCT "offset") AS duplicates_dropped
 FROM received GROUP BY "partition" ORDER BY "partition"
+""",
+    "cdc_rate_limited_consume": _with(_bus_sql(_PCT))
+    + f"""
+, delivered AS (SELECT * FROM bus WHERE NOT dropped),
+d AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY "partition" ORDER BY delivery_ts, lsn) - 1 AS i,
+         (delivery_ts // {pg.TICK_MS}) * {8} - (row_number() OVER (PARTITION BY "partition" ORDER BY delivery_ts, lsn) - 1) AS key
+  FROM delivered
+),
+r AS (
+  SELECT *,
+         max(key) OVER (PARTITION BY "partition" ORDER BY delivery_ts, lsn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + i AS slot
+  FROM d
+)
+SELECT lsn, txn_id, pk, "partition", delivery_ts,
+       (slot // {8}) * {pg.TICK_MS} AS consume_tick,
+       (slot // {8}) * {pg.TICK_MS} - delivery_ts AS queue_delay_ms
+FROM r
+ORDER BY "partition", consume_tick, lsn
 """,
     "cdc_event_search": _with(WAL_SQL)
     + """

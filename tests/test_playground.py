@@ -109,3 +109,36 @@ def test_offset_dedup_exactly_once(bus):
     assert sum(r["duplicates_dropped"] for r in res) > 0
     for r in res:
         assert r["received"] - r["duplicates_dropped"] == r["distinct_offsets"]
+
+
+def test_rate_limited_consume(bus):
+    """A6: at most per_tick events consumed per (partition, tick); consume
+    never precedes delivery; FIFO order preserved within a partition."""
+    rl = pg.rate_limited_consume(bus, per_tick=8).cache()
+    over = (
+        rl.groupBy("partition", "consume_tick").count().filter(F.col("count") > 8).count()
+    )
+    assert over == 0
+    assert rl.filter(F.col("consume_tick") < F.col("delivery_ts")).count() == 0
+    assert rl.filter(F.col("queue_delay_ms") < 0).count() == 0
+    # FIFO: consume_tick non-decreasing in delivery order per partition
+    w = W.partitionBy("partition").orderBy("delivery_ts", "lsn")
+    bad = (
+        rl.withColumn("prev", F.lag("consume_tick").over(w))
+        .filter(F.col("consume_tick") < F.col("prev"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_rate_limit_queues_bursts(spark):
+    """A6: a 20-event burst at one tick drains at 8/tick — rows 8-15 slip one
+    tick, rows 16-19 two."""
+    rows = [(i + 1, i, str(i), 0, False, pg.TICK_MS) for i in range(20)]
+    burst = spark.createDataFrame(
+        rows, "lsn long, txn_id long, pk string, partition int, dropped boolean, delivery_ts long"
+    )
+    rl = pg.rate_limited_consume(burst, per_tick=8).orderBy("lsn").collect()
+    ticks = [r["consume_tick"] // pg.TICK_MS for r in rl]
+    assert ticks == [1] * 8 + [2] * 8 + [3] * 4
+    assert all(r["queue_delay_ms"] >= 0 for r in rl)
