@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from lets_talk_cdc_change_feed_playground_spark.functions import text_kernels as K
 from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
 from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
 
@@ -134,16 +135,18 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are far cheaper than string ones at millions of candidate pairs, and the
     # value is identical on both engines (hash collisions are part of the
     # defined semantics; P ≈ 1e6 vs ~40-word vocab makes them negligible).
-    d = _docs_t(spark, sf_dir).withColumn("th", T.token_hashes(F.col("toks")))
-    # materialization barrier: without it, CollapseProject inlines the th
-    # char-fold into all 16 minhash expressions (16× recompute of the most
-    # expensive per-row work). A keyed repartition pins th to one evaluation
-    # and is exactly the layout the downstream band join wants.
-    d = d.select("doc_id", "th").repartition("doc_id")
+    # Arrow kernels (identical arithmetic to the textops Catalyst twins,
+    # cross-checked in tests) — interpreted array lambdas cost ~40 µs/element
+    # here, the vectorized kernels ~1 µs.
+    d = _docs_t(spark, sf_dir).select(
+        "doc_id",
+        K.distinct_token_hashes_kernel(F.col("norm")).alias("tok_set"),
+        K.minhash_signature_kernel(F.col("norm")).alias("sig"),
+    )
     return d.select(
         "doc_id",
-        F.array_distinct("th").alias("tok_set"),
-        *T.minhash_signature(F.col("th")),
+        "tok_set",
+        *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(T.N_PERM)],
     )
 
 
@@ -212,11 +215,9 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprints, banded on 8-bit chunks,
     kept when hamming distance ≤ 3."""
-    d = _docs_t(spark, sf_dir).withColumn("th", T.token_hashes(F.col("toks")))
-    # same materialization barrier as _signatures: 32 bit-sum folds must not
-    # each re-derive the token-hash array
-    d = d.select("doc_id", "th").repartition("doc_id")
-    sh = d.select("doc_id", T.simhash(F.col("th"), SIMHASH_BITS).alias("simhash"))
+    sh = _docs_t(spark, sf_dir).select(
+        "doc_id", K.simhash_kernel(F.col("norm")).alias("simhash")
+    )
 
     # Near-dup corpora collapse onto few distinct simhashes, making a naive
     # all-docs band join quadratic (tens of millions of candidate pairs at
@@ -427,14 +428,112 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DEDUP_MIN = 0.98
+NGRAM_JACCARD_MIN = 0.05
+
+
+def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: vectors whose cosine to an earlier vector
+    is ≥ 0.98 are duplicates of it. Candidates come from the same
+    hyperplane-LSH buckets as :func:`emb_lsh_topk`; output is the per-vector
+    leader decision (linear)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = e.select(F.size("v").alias("d")).first()["d"]
+    bits = F.lit(0)
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(_plane(p, j)) for j in range(dim)])
+        bits = bits + F.when(T.dot(F.col("v"), plane) > 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
+    n = e.withColumn("nrm", T.l2_norm(F.col("v"))).withColumn("bucket", bits)
+    a = n.select(
+        F.col("vec_id").alias("vid_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = n.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    cos = T.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    good = (
+        a.join(b, "bucket")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .filter(cos >= COSINE_DEDUP_MIN)
+        .select("vid_a", "vid_b")
+    )
+    mins = good.groupBy(F.col("vid_b").alias("vec_id")).agg(
+        F.min("vid_a").alias("keeper")
+    )
+    return (
+        e.select("vec_id")
+        .join(mins, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("keeper", "vec_id").alias("keeper_vec_id"),
+            F.col("keeper").isNotNull().alias("is_near_duplicate"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram jaccard similarity, blocked by (lang, source): the
+    classic shingle-overlap near-dup check at its n-gram granularity.
+    Emits pairs over the threshold with their jaccard (bounded blocks keep
+    the pair space linear-ish at scale)."""
+    s = _docs_t(spark, sf_dir).select(
+        "doc_id", "lang", "source", K.bigram_hashes_kernel(F.col("norm")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = s.select(
+        "lang", "source", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+    )
+    b = s.select(
+        "lang", "source", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
+    )
+    # compute the intersect ONCE per pair, and threshold in exact integers:
+    # j >= 1/20  ⟺  21*i >= sa + sb  (0.05 is not binary-exact, so a double
+    # compare could disagree between engines at the boundary)
+    pairs = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "lang",
+            "source",
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("isz"),
+            (F.size("sa") + F.size("sb")).alias("ssz"),
+        )
+    )
+    return (
+        pairs.filter(F.col("isz") * 21 >= F.col("ssz"))
+        .select(
+            "lang",
+            "source",
+            "doc_a",
+            "doc_b",
+            (F.col("isz") / (F.col("ssz") - F.col("isz")).cast("double")).alias("jaccard"),
+        )
+        .orderBy("lang", "source", "doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_simhash_nn": docs_simhash_pairs,
     "docs_text_stats": docs_text_stats,
     "docs_langid": docs_langid,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
     "emb_topk_similarity": emb_topk_similarity,
     "emb_lsh_topk": emb_lsh_topk,
+    "emb_cosine_dedup": emb_cosine_dedup,
 }
 
 
@@ -559,6 +658,47 @@ WHERE rn <= {TOPK}
 ORDER BY query_id, rank
 """,
 }
+
+ORACLE["docs_ngram_jaccard"] = f"""
+WITH {DOCS_T_SQL},
+s AS (
+  SELECT doc_id, lang, source,
+         list_distinct([th[i]*{T.TOKEN_HASH_PRIME} + th[i+1] for i in range(1, len(th))]) AS sh
+  FROM (SELECT doc_id, lang, source, {TOKEN_HASHES_SQL} AS th FROM docs_t)
+),
+s2 AS (SELECT * FROM s WHERE len(sh) > 0),
+p AS (
+  SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS isz,
+         len(a.sh) + len(b.sh) AS ssz
+  FROM s2 a JOIN s2 b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT lang, source, doc_a, doc_b, isz / CAST(ssz - isz AS DOUBLE) AS jaccard
+FROM p WHERE isz * 21 >= ssz
+ORDER BY lang, source, doc_a, doc_b
+"""
+
+ORACLE["emb_cosine_dedup"] = f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a, x) -> a + x)) AS nrm
+  FROM embeddings
+),
+b AS (SELECT n.*, {_planes_sql()} AS bucket FROM n),
+good AS (
+  SELECT a.vec_id AS vid_a, c.vec_id AS vid_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(a.v, c.v), p -> p[1]*p[2])), (x, y) -> x + y)
+          / (a.nrm * c.nrm) >= {COSINE_DEDUP_MIN}
+),
+mins AS (SELECT vid_b AS vec_id, min(vid_a) AS keeper FROM good GROUP BY vid_b)
+SELECT e.vec_id,
+       COALESCE(m.keeper, e.vec_id) AS keeper_vec_id,
+       m.keeper IS NOT NULL AS is_near_duplicate
+FROM (SELECT vec_id FROM embeddings) e
+LEFT JOIN mins m ON m.vec_id = e.vec_id
+ORDER BY e.vec_id
+"""
 
 ORACLE["emb_lsh_topk"] = f"""
 WITH n AS (

@@ -89,3 +89,34 @@ def test_langid_covers_corpus(spark, sf_dir):
     d = PQ.docs_langid(spark, sf_dir)
     total = d.agg(F.sum("n_docs")).first()[0]
     assert total == PQ._docs_t(spark, sf_dir).count()
+
+
+def test_kernels_match_catalyst_twins(spark, sf_dir):
+    """The Arrow fast kernels must produce exactly the values of their
+    Catalyst textops twins (the oracle contract rides on this)."""
+    from lets_talk_cdc_change_feed_playground_spark.functions import text_kernels as K
+
+    d = PQ._docs_t(spark, sf_dir).limit(50).withColumn(
+        "th", T.token_hashes(F.col("toks"))
+    ).cache()
+    # token hashes
+    rows = d.select(
+        "th", K.token_hashes_kernel(F.col("norm")).alias("kh")
+    ).collect()
+    assert all(r["th"] == r["kh"] for r in rows)
+    # minhash signatures
+    cat = d.select("doc_id", *T.minhash_signature(F.col("th"))).collect()
+    ker = d.select(
+        "doc_id", K.minhash_signature_kernel(F.col("norm")).alias("sig")
+    ).collect()
+    for rc, rk in zip(sorted(cat, key=lambda r: r["doc_id"]), sorted(ker, key=lambda r: r["doc_id"])):
+        assert [rc[f"mh{i}"] for i in range(T.N_PERM)] == list(rk["sig"])
+    # simhash
+    cat = d.select("doc_id", T.simhash(F.col("th"), 32).alias("sh")).collect()
+    ker = d.select("doc_id", K.simhash_kernel(F.col("norm")).alias("sh")).collect()
+    assert {r["doc_id"]: r["sh"] for r in cat} == {r["doc_id"]: r["sh"] for r in ker}
+    # distinct token hash SETS equal (order may differ)
+    rows = d.select(
+        "th", K.distinct_token_hashes_kernel(F.col("norm")).alias("dk")
+    ).collect()
+    assert all(set(r["th"]) == set(r["dk"]) for r in rows)
