@@ -1,0 +1,226 @@
+"""Streaming C2/C3: polling and trigger capture with keyed state.
+
+- **polling_capture_stream** — the query-based engine incrementally: per-key
+  state is the soft-delete row store (``PollingEngine.applySourceOp``); a
+  key's poll-window event is emitted when an arriving op crosses into a
+  later window (the poll fires once the clock passes the boundary), so the
+  final window stays pending until more data arrives — exactly the
+  reference's ``lastSync`` behaviour, carried across micro-batches.
+- **trigger_capture_stream** — the audit engine incrementally: every op
+  emits immediately with ``commit_ts = t + overhead`` and the trigger
+  before-image rules (deleted rows keep data, updates revive —
+  ``TriggerEngine.applySourceOp``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    EXTRACT_MS,
+    OVERHEAD_MS,
+    POLL_MS,
+)
+
+POLL_EVENT_SCHEMA = StructType(
+    [
+        StructField("poll_ts_ms", LongType()),
+        StructField("op", StringType()),
+        StructField("pk", StringType()),
+        StructField("after_event_type", StringType()),
+        StructField("after_value", DoubleType()),
+        StructField("after_props", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("tx_id", StringType()),
+        StructField("method", StringType()),
+    ]
+)
+
+# row store entry: exists?, deleted?, version, data, updated_at, pending poll
+POLL_STATE_SCHEMA = StructType(
+    [
+        StructField("exists", BooleanType()),
+        StructField("deleted", BooleanType()),
+        StructField("version", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+        StructField("updated_at", LongType()),
+        StructField("pending_poll", LongType()),
+        StructField("dirty", BooleanType()),
+    ]
+)
+
+
+def _poll_group_factory(poll_ms: int, include_soft_deletes: bool):
+    def fn(
+        key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (pk,) = key
+        if state.exists:
+            (exists, deleted, version, ev, val, props, upd, pending, dirty) = state.get
+        else:
+            exists = deleted = dirty = False
+            version = 0
+            ev = props = None
+            val = None
+            upd = pending = -1
+
+        out: list[dict] = []
+
+        def emit():
+            if not dirty:
+                return
+            if deleted and not include_soft_deletes:
+                return
+            out.append(
+                {
+                    "poll_ts_ms": (pending + 1) * poll_ms,
+                    "op": "d" if deleted else ("u" if version > 1 else "c"),
+                    "pk": pk,
+                    "after_event_type": None if deleted else ev,
+                    "after_value": None if deleted else val,
+                    "after_props": None if deleted else props,
+                    "ts_ms": upd,
+                    "tx_id": f"tx-{upd}",
+                    "method": "polling",
+                }
+            )
+
+        for pdf in pdf_iter:
+            for row in pdf.sort_values(["t", "seq"]).itertuples(index=False):
+                poll_id = row.t // poll_ms
+                if dirty and poll_id > pending:
+                    emit()
+                    dirty = False
+                # PollingEngine.applySourceOp no-op rules
+                if row.op == "insert":
+                    exists, deleted, version = True, False, 1
+                    ev, val, props, upd = row.event_type, row.value, row.props, row.t
+                elif row.op == "update":
+                    if not exists or deleted:
+                        continue
+                    version += 1
+                    ev, val, props, upd = row.event_type, row.value, row.props, row.t
+                else:  # delete
+                    if not exists:
+                        continue
+                    deleted, upd = True, row.t
+                pending, dirty = poll_id, True
+
+        state.update((exists, deleted, version, ev, val, props, upd, pending, dirty))
+        yield pd.DataFrame(out, columns=[f.name for f in POLL_EVENT_SCHEMA.fields])
+
+    return fn
+
+
+def polling_capture_stream(
+    ops_stream: DataFrame,
+    poll_ms: int = POLL_MS,
+    include_soft_deletes: bool = False,
+) -> DataFrame:
+    return ops_stream.groupBy("pk").applyInPandasWithState(
+        _poll_group_factory(poll_ms, include_soft_deletes),
+        outputStructType=POLL_EVENT_SCHEMA,
+        stateStructType=POLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+TRIGGER_EVENT_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("pk", StringType()),
+        StructField("before_event_type", StringType()),
+        StructField("before_value", DoubleType()),
+        StructField("before_props", StringType()),
+        StructField("after_event_type", StringType()),
+        StructField("after_value", DoubleType()),
+        StructField("after_props", StringType()),
+        StructField("commit_ts_ms", LongType()),
+        StructField("tx_id", StringType()),
+        StructField("method", StringType()),
+    ]
+)
+
+TRIGGER_STATE_SCHEMA = StructType(
+    [
+        StructField("has_data", BooleanType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _trigger_group_factory(overhead_ms: int):
+    def fn(
+        key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (pk,) = key
+        if state.exists:
+            has_data, ev, val, props = state.get
+        else:
+            has_data, ev, val, props = False, None, None, None
+
+        out: list[dict] = []
+        for pdf in pdf_iter:
+            for row in pdf.sort_values(["t", "seq"]).itertuples(index=False):
+                commit = row.t + overhead_ms
+                before = (ev, val, props) if has_data else (None, None, None)
+                if row.op == "delete":
+                    after = (None, None, None)
+                    # deleted rows keep their data (TriggerEngine.ts:103-117)
+                else:
+                    after = (row.event_type, row.value, row.props)
+                    has_data, (ev, val, props) = True, after
+                op_code = {"insert": "c", "update": "u", "delete": "d"}[row.op]
+                out.append(
+                    {
+                        "seq": row.seq,
+                        "op": op_code,
+                        "pk": pk,
+                        "before_event_type": None if row.op == "insert" else before[0],
+                        "before_value": None if row.op == "insert" else before[1],
+                        "before_props": None if row.op == "insert" else before[2],
+                        "after_event_type": after[0],
+                        "after_value": after[1],
+                        "after_props": after[2],
+                        "commit_ts_ms": commit,
+                        "tx_id": f"tx-{commit}",
+                        "method": "trigger",
+                    }
+                )
+
+        state.update((has_data, ev, val, props))
+        yield pd.DataFrame(out, columns=[f.name for f in TRIGGER_EVENT_SCHEMA.fields])
+
+    return fn
+
+
+def trigger_capture_stream(
+    ops_stream: DataFrame, overhead_ms: int = OVERHEAD_MS
+) -> DataFrame:
+    return ops_stream.groupBy("pk").applyInPandasWithState(
+        _trigger_group_factory(overhead_ms),
+        outputStructType=TRIGGER_EVENT_SCHEMA,
+        stateStructType=TRIGGER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

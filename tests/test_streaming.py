@@ -230,3 +230,76 @@ def test_cdc_pipeline_lifecycle(spark, sf_dir, ops_chunks_dir, tmp_path):
     final = sink.current()
     assert final.filter(F.col("pk") == "999999").count() == 1
     assert final.count() > 1
+
+
+def test_streaming_polling_capture_matches_batch(spark, sf_dir, ops_chunks_dir):
+    """C2 streaming: emitted poll events equal the batch polling capture
+    minus each key's final (still-pending) poll window — the reference's
+    lastSync semantics carried across micro-batches."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.polling import (
+        polling_capture_stream,
+    )
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ops_chunks_dir)
+    )
+    _run_stream(
+        spark,
+        polling_capture_stream(src, include_soft_deletes=True),
+        out_name="stream_polls",
+    )
+    got = spark.table("stream_polls")
+
+    # a pending window flushes when ANY later-window op for the key arrives
+    # (even a no-op update advances the clock), so the expected set is the
+    # batch events in windows strictly before the key's last op's window
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+        POLL_MS,
+        ops_feed,
+    )
+
+    batch = capture.polling_capture(spark, sf_dir, include_soft_deletes=True)
+    last_any = (
+        ops_feed(spark, sf_dir)
+        .groupBy("pk")
+        .agg(F.max(F.expr(f"t div {POLL_MS}")).alias("__last_w"))
+    )
+    want = (
+        batch.join(last_any, "pk")
+        .filter(F.expr(f"poll_ts_ms div {POLL_MS}") - 1 < F.col("__last_w"))
+        .drop("__last_w")
+    )
+
+    cols = [c for c in want.columns]
+    assert got.count() == want.count()
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+def test_streaming_trigger_capture_matches_batch(spark, sf_dir, ops_chunks_dir):
+    """C3 streaming: audit events equal the batch trigger capture (modulo
+    audit_seq/emitted_at, which belong to the extract schedule)."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.polling import (
+        trigger_capture_stream,
+    )
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ops_chunks_dir)
+    )
+    _run_stream(spark, trigger_capture_stream(src), out_name="stream_audit")
+    got = spark.table("stream_audit")
+
+    want = capture.trigger_capture(spark, sf_dir)
+    cols = [
+        "op", "pk",
+        "before_event_type", "before_value", "before_props",
+        "after_event_type", "after_value", "after_props",
+        "commit_ts_ms", "tx_id",
+    ]
+    assert got.count() == want.count()
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
