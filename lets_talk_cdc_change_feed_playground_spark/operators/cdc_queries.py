@@ -524,14 +524,14 @@ FROM lanes GROUP BY method ORDER BY method
 SELECT method,
        (SELECT count(*) FROM src) AS source_writes,
        sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END) AS extra_writes,
-       round(((SELECT count(*) FROM src) + sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END))
-             / CAST((SELECT count(*) FROM src) AS DOUBLE), 4) AS write_amplification
+       (((SELECT count(*) FROM src) + sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END)) * 10000
+          // (SELECT count(*) FROM src)) / 10000.0 AS write_amplification
 FROM lanes GROUP BY method ORDER BY method
 """,
     "cdc_event_stats": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
     + """
 SELECT method, op, n, last_ts_ms, lane_total,
-       round(n / CAST(lane_total AS DOUBLE), 4) AS share
+       ((n * 10000) // lane_total) / 10000.0 AS share
 FROM (
   SELECT method, op, count(*) AS n, max(ts_ms) AS last_ts_ms,
          sum(count(*)) OVER (PARTITION BY method) AS lane_total

@@ -109,10 +109,11 @@ def write_amplification(ops: DataFrame, lanes: DataFrame) -> DataFrame:
             "method",
             "source_writes",
             "extra_writes",
-            F.round(
-                (F.col("source_writes") + F.col("extra_writes"))
-                / F.col("source_writes").cast("double"),
-                4,
+            # 4-dp ratio via exact integer floor division — round(double, 4)
+            # can disagree across engines at half boundaries
+            (
+                F.expr("((source_writes + extra_writes) * 10000) div source_writes")
+                / 10000.0
             ).alias("write_amplification"),
         )
         .orderBy("method")
@@ -127,7 +128,7 @@ def event_stats(lanes: DataFrame) -> DataFrame:
         lanes.groupBy("method", "op")
         .agg(F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("last_ts_ms"))
         .withColumn("lane_total", F.sum("n").over(w))
-        .withColumn("share", F.round(F.col("n") / F.col("lane_total").cast("double"), 4))
+        .withColumn("share", F.expr("(n * 10000) div lane_total") / 10000.0)
         .orderBy("method", "op")
     )
 
