@@ -23,7 +23,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
-    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -31,7 +30,6 @@ from pyspark.sql.types import (
 )
 
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
-    EXTRACT_MS,
     OVERHEAD_MS,
     POLL_MS,
 )
