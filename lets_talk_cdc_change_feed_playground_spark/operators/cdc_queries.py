@@ -237,18 +237,111 @@ def cdc_lane_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V7 — per-lane pipeline verdict over all three lanes."""
-    out = None
-    for method in ("log", "polling", "trigger"):
-        d = _lane_diff(spark, sf_dir, method)
-        inv = diffs.ordering_inversions(d)
-        agg = d.agg(
-            F.sum((F.col("status") == "missing").cast("int")).alias("missing"),
-            F.sum((F.col("status") == "extra").cast("int")).alias("extra"),
-            F.coalesce(F.max("lag_ms"), F.lit(0)).alias("max_lag_ms"),
-        ).crossJoin(inv)
-        agg = agg.select(
-            F.lit(method).alias("method"),
+    """V7 — per-lane pipeline verdict over all three lanes.
+
+    Single-pass plan: expected entries are computed once and replicated per
+    lane; all three lanes' actual entries union into one frame and meet the
+    expected side in ONE full-outer join keyed by (method, key, rn) — not
+    three separate diff pipelines. The inversion running max is the bucketed
+    two-phase pattern partitioned by lane."""
+    methods = ("log", "polling", "trigger")
+    exp1 = diffs.expected_entries(ops_feed(spark, sf_dir))
+    exp = exp1.crossJoin(
+        spark.createDataFrame([(m,) for m in methods], ["method"])
+    )
+    acts = None
+    for m in methods:
+        a = _lane_actual(spark, sf_dir, m).withColumn("method", F.lit(m))
+        acts = a if acts is None else acts.unionByName(a)
+
+    from pyspark.sql import Window as W
+
+    we = W.partitionBy("method", "key").orderBy("idx")
+    e = exp.select(
+        "method",
+        "key",
+        F.row_number().over(we).alias("rn"),
+        F.col("idx").alias("expected_idx"),
+        F.col("time").alias("expected_time"),
+    )
+    a = acts.select(
+        F.col("method").alias("a_method"),
+        F.col("key").alias("a_key"),
+        F.row_number().over(
+            W.partitionBy("method", "key").orderBy("idx")
+        ).alias("a_rn"),
+        F.col("idx").alias("actual_idx"),
+        F.col("time").alias("actual_time"),
+    )
+    d = e.join(
+        a,
+        (F.col("method") == F.col("a_method"))
+        & (F.col("key") == F.col("a_key"))
+        & (F.col("rn") == F.col("a_rn")),
+        "full_outer",
+    ).select(
+        F.coalesce("method", "a_method").alias("method"),
+        F.when(F.col("actual_idx").isNull(), F.lit("missing"))
+        .when(F.col("expected_idx").isNull(), F.lit("extra"))
+        .otherwise(F.lit("matched"))
+        .alias("status"),
+        "expected_idx",
+        "actual_idx",
+        F.when(
+            F.col("expected_idx").isNotNull() & F.col("actual_idx").isNotNull(),
+            F.greatest(F.col("actual_time") - F.col("expected_time"), F.lit(0)),
+        ).alias("lag_ms"),
+    )
+
+    # per-lane inversion count: bucketed running max partitioned by method
+    matched = d.filter(F.col("status") == "matched").withColumn(
+        "__bucket", F.expr("actual_idx div 65536")
+    )
+    win = (
+        W.partitionBy("method", "__bucket")
+        .orderBy("actual_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = matched.withColumn("__local_max", F.max("expected_idx").over(win))
+    bmax = matched.groupBy("method", "__bucket").agg(
+        F.max("expected_idx").alias("__bmax")
+    )
+    pw = W.partitionBy("method").orderBy("__bucket").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    prefix = bmax.select(
+        "method", "__bucket", F.max("__bmax").over(pw).alias("__prefix_max")
+    )
+    inv = (
+        local.join(F.broadcast(prefix), ["method", "__bucket"])
+        .select(
+            "method",
+            (
+                F.col("expected_idx")
+                < F.greatest(
+                    F.coalesce(F.col("__local_max"), F.lit(-1)),
+                    F.coalesce(F.col("__prefix_max"), F.lit(-1)),
+                )
+            ).alias("inverted"),
+        )
+        .groupBy("method")
+        .agg(
+            F.coalesce(F.sum(F.col("inverted").cast("int")), F.lit(0)).alias(
+                "ordering_issues"
+            )
+        )
+    )
+
+    agg = d.groupBy("method").agg(
+        F.sum((F.col("status") == "missing").cast("int")).alias("missing"),
+        F.sum((F.col("status") == "extra").cast("int")).alias("extra"),
+        F.coalesce(F.max("lag_ms"), F.lit(0)).alias("max_lag_ms"),
+    )
+    return (
+        agg.join(inv, "method", "left")
+        .fillna(0, ["ordering_issues"])
+        .select(
+            "method",
             "missing",
             "extra",
             "ordering_issues",
@@ -259,8 +352,8 @@ def cdc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("ordering_issues") == 0)
             ).alias("pass"),
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out.orderBy("method")
+        .orderBy("method")
+    )
 
 
 def cdc_lag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
