@@ -28,13 +28,25 @@ class CDCPipeline:
         snapshot_df: DataFrame | None,
         stream_df_factory: Callable[[], DataFrame],
         sink: Callable[[DataFrame, int], None],
+        checkpoint: str | None = None,
     ):
         self._snapshot_df = snapshot_df
         self._stream_factory = stream_df_factory
         self._sink = sink
+        self._checkpoint = checkpoint
         self._query = None
         self.state = IDLE
         self.metrics: dict[str, int] = {"snapshot_rows": 0, "starts": 0}
+
+    def _start_query(self):
+        writer = (
+            self._stream_factory()
+            .writeStream.outputMode("append")
+            .foreachBatch(self._sink)
+        )
+        if self._checkpoint:
+            writer = writer.option("checkpointLocation", self._checkpoint)
+        return writer.start()
 
     def start(self) -> "CDCPipeline":
         if self.state not in (IDLE, STOPPED):
@@ -44,12 +56,7 @@ class CDCPipeline:
             n = self._snapshot_df.count()
             self._sink(self._snapshot_df, -1)  # M10: snapshot batch first
             self.metrics["snapshot_rows"] += n
-        self._query = (
-            self._stream_factory()
-            .writeStream.outputMode("append")
-            .foreachBatch(self._sink)
-            .start()
-        )
+        self._query = self._start_query()
         self.metrics["starts"] += 1
         self.state = TAILING
         return self
@@ -66,14 +73,12 @@ class CDCPipeline:
         self.state = PAUSED
 
     def resume(self) -> None:
+        """Restart the tail. With a checkpoint configured, the query resumes
+        from committed offsets — already-processed input is not replayed
+        (exactly-once together with the idempotent sink)."""
         if self.state != PAUSED:
             raise RuntimeError(f"cannot resume from {self.state}")
-        self._query = (
-            self._stream_factory()
-            .writeStream.outputMode("append")
-            .foreachBatch(self._sink)
-            .start()
-        )
+        self._query = self._start_query()
         self.metrics["starts"] += 1
         self.state = TAILING
 

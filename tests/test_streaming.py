@@ -303,3 +303,61 @@ def test_streaming_trigger_capture_matches_batch(spark, sf_dir, ops_chunks_dir):
     assert got.count() == want.count()
     assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
     assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+def test_checkpointed_pause_resume_exactly_once(spark, tmp_path):
+    """A7/A8 with a checkpoint: pause mid-stream, new files arrive while
+    stopped, resume picks up from committed offsets — every op processed
+    exactly once, no replay of the pre-pause batches."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.controller import CDCPipeline
+    from lets_talk_cdc_change_feed_playground_spark.streaming.workload import ops_from_counter
+
+    src_dir = str(tmp_path / "live_ops")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    def write_chunk(name, lo, hi):
+        ops_from_counter(spark.range(lo, hi), counter="id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    write_chunk("a", 0, 120)
+
+    seen_batches = []
+    sink = UpsertSink(spark, store)
+
+    def counting_sink(df, batch_id):
+        seen_batches.append((batch_id, df.count()))
+        sink(df, batch_id)
+
+    def factory():
+        src = (
+            spark.readStream.schema(OPS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return log_capture_stream(src)
+
+    pipe = CDCPipeline(None, factory, counting_sink, checkpoint=ckpt)
+    pipe.start()
+    pipe.drain()
+    pipe.pause()
+    n_before = sum(n for _, n in seen_batches)
+    assert n_before == 120
+
+    write_chunk("b", 120, 200)  # arrives while paused
+    pipe.resume()
+    pipe.drain()
+    pipe.stop()
+
+    total = sum(n for _, n in seen_batches)
+    assert total == 200  # no replay of the first 120 ops
+    # final store equals a full batch replay of the same generated workload
+    want = diffs.replay_state(
+        capture.log_capture_ops(ops_from_counter(spark.range(200), counter="id")),
+        ["ts_ms", "lsn"],
+    ).select("pk", "event_type", "value", "props")
+    got = sink.current().select("pk", "event_type", "value", "props")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
