@@ -592,11 +592,61 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Rollup: hierarchical aggregate with subtotal + grand-total rows.
+# Scale: map-side-combinable decimal sums; rollup adds one shuffle.
+# --------------------------------------------------------------------------
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(revenue).alias("revenue"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi join: parts that actually sold in bulk (EXISTS shape). The probe side
+# is reduced before the join; the semi join never duplicates part rows.
+# --------------------------------------------------------------------------
+def parts_sold_in_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") >= 48).select("l_partkey")
+    return (
+        part.join(bulk, part.p_partkey == bulk.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+    )
+
+
+PARTS_BULK_SQL = """
+SELECT p_partkey, p_name, p_type, p_retailprice
+FROM part
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48
+)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "revenue_rollup": revenue_rollup,
+    "parts_sold_in_bulk": parts_sold_in_bulk,
     "q10_returned_items": q10_returned_items,
     "order_priority_count": order_priority_count,
     "top_customers_per_segment": top_customers_per_segment,
@@ -616,6 +666,8 @@ ORACLE = {
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "revenue_rollup": ROLLUP_SQL,
+    "parts_sold_in_bulk": PARTS_BULK_SQL,
     "q10_returned_items": Q10_SQL,
     "order_priority_count": ORDER_PRIORITY_SQL,
     "top_customers_per_segment": TOP_CUSTOMERS_SQL,
