@@ -361,3 +361,75 @@ def test_checkpointed_pause_resume_exactly_once(spark, tmp_path):
     got = sink.current().select("pk", "event_type", "value", "props")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_full_txn_pipeline_chained(spark, tmp_path):
+    """A5 + A3 in ONE streaming query: txn assembly (keyed state) feeds the
+    watermark commit-floor gate directly; a txn that completes late but
+    commits early still applies in commit order, and partial/unfinalized
+    txns never reach the sink."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply_on_commit import (
+        OrderedApplySink,
+        gate_on_commit_floor,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.streaming.txn import (
+        TXN_EVENT_SCHEMA,
+        assemble_transactions,
+    )
+
+    src_dir = str(tmp_path / "chain_src")
+    os.makedirs(src_dir)
+    chunks = [
+        [  # batch 1: A complete, B partial
+            ("TX-A", 0, 2, 100_000, "p1", "insert", "a0"),
+            ("TX-A", 1, 2, 100_000, "p2", "insert", "a1"),
+            ("TX-B", 0, 2, 300_000, "p3", "insert", "b0"),
+        ],
+        [  # batch 2: B completes; C commits BEFORE B but arrives later
+            ("TX-B", 1, 2, 300_000, "p4", "insert", "b1"),
+            ("TX-C", 0, 1, 200_000, "p1", "update", "c0"),
+        ],
+        [  # batch 3: heartbeat advances the watermark past A/B/C
+            ("TX-Z", 0, 1, 2_000_000, "p9", "insert", "z0"),
+        ],
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, TXN_EVENT_SCHEMA).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"c{i}")
+        )
+    flat = os.path.join(src_dir, "flat")
+    os.makedirs(flat)
+    for i in range(len(chunks)):
+        d = os.path.join(src_dir, f"c{i}")
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+
+    src = (
+        spark.readStream.schema(TXN_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    assembled = assemble_transactions(src)
+    events = assembled.select(
+        "tx_id",
+        "tx_index",
+        (F.col("t") + 100).alias("commit_ts"),
+        F.col("t").alias("lsn"),
+        "pk",
+        "op",
+        "payload",
+    )
+    gated = gate_on_commit_floor(events, tick_ms=60_000, delay="2 minutes")
+    sink = OrderedApplySink()
+    q = gated.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    order = [a["tx_id"] for a in sink.applied]
+    assert set(order) == {"TX-A", "TX-B", "TX-C"}  # Z held by the floor
+    commits = [a["commit_ts"] for a in sink.applied]
+    assert commits == sorted(commits)
+    assert order.index("TX-C") < order.index("TX-B")
+    # C (commit 200100) applied after A's insert: p1 ends at c0
+    assert sink.tables["p1"] == "c0"
+    assert sink.tables["p4"] == "b1"
