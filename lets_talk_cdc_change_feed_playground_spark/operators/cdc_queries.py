@@ -418,6 +418,12 @@ def cdc_lane_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.lane_metrics(_lanes(spark, sf_dir))
 
 
+def cdc_recent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — lag percentiles over each lane's last-2000 emitted events (the
+    reference's sliding sample buffer)."""
+    return metrics.recent_lag_metrics(_lanes(spark, sf_dir))
+
+
 def cdc_missed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.missed_deletes(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
 
@@ -446,6 +452,7 @@ QUERIES = {
     "cdc_state_diff": cdc_state_diff,
     "cdc_convergence_check": cdc_convergence_check,
     "cdc_lane_metrics": cdc_lane_metrics,
+    "cdc_recent_lag": cdc_recent_lag,
     "cdc_missed_deletes": cdc_missed_deletes,
     "cdc_write_amplification": cdc_write_amplification,
     "cdc_event_stats": cdc_event_stats,
@@ -602,6 +609,21 @@ SELECT method,
        round(quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.95), 3) AS lag_ms_p95,
        max(emitted_at_ms - commit_ts_ms) AS lag_ms_max
 FROM lanes GROUP BY method ORDER BY method
+""",
+    "cdc_recent_lag": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + """
+, recent AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY method ORDER BY emitted_at_ms DESC, commit_ts_ms DESC, pk DESC
+  ) AS rn
+  FROM lanes
+)
+SELECT method,
+       count(*) AS n_samples,
+       round(quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.5), 3) AS lag_ms_p50,
+       round(quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.95), 3) AS lag_ms_p95
+FROM recent WHERE rn <= 2000
+GROUP BY method ORDER BY method
 """,
     "cdc_missed_deletes": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
     + """

@@ -71,6 +71,30 @@ def lane_metrics(lanes: DataFrame) -> DataFrame:
     )
 
 
+def recent_lag_metrics(lanes: DataFrame, window_size: int = 2000) -> DataFrame:
+    """M2 sliding-sample fidelity — the reference keeps only the last 2000
+    lag samples per lane (``src/engine/metrics.ts:42-44``); this computes the
+    percentiles over exactly that window: the ``window_size`` most recently
+    emitted events per lane."""
+    w = W.partitionBy("method").orderBy(
+        F.desc("emitted_at_ms"), F.desc("commit_ts_ms"), F.desc("pk")
+    )
+    recent = lanes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= window_size
+    )
+    lag = (F.col("emitted_at_ms") - F.col("commit_ts_ms")).cast("double")
+    return (
+        recent.withColumn("lag_ms", lag)
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.expr("percentile(lag_ms, 0.5)"), 3).alias("lag_ms_p50"),
+            F.round(F.expr("percentile(lag_ms, 0.95)"), 3).alias("lag_ms_p95"),
+        )
+        .orderBy("method")
+    )
+
+
 def missed_deletes(ops: DataFrame, lanes: DataFrame) -> DataFrame:
     """M3 — per lane: source hard deletes vs captured ``d`` events
     (``src/modes/queryBased.ts:286-288``). Polling with soft deletes hidden
