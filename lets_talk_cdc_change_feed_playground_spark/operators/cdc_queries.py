@@ -614,7 +614,7 @@ FROM lanes GROUP BY method ORDER BY method
     + """
 , recent AS (
   SELECT *, row_number() OVER (
-    PARTITION BY method ORDER BY emitted_at_ms DESC, commit_ts_ms DESC, pk DESC
+    PARTITION BY method ORDER BY emitted_at_ms DESC, commit_ts_ms DESC, pk DESC, op DESC
   ) AS rn
   FROM lanes
 )

@@ -76,8 +76,10 @@ def recent_lag_metrics(lanes: DataFrame, window_size: int = 2000) -> DataFrame:
     lag samples per lane (``src/engine/metrics.ts:42-44``); this computes the
     percentiles over exactly that window: the ``window_size`` most recently
     emitted events per lane."""
+    # total order: rows tied on all four keys are fully identical in this
+    # projection, so boundary membership is deterministic
     w = W.partitionBy("method").orderBy(
-        F.desc("emitted_at_ms"), F.desc("commit_ts_ms"), F.desc("pk")
+        F.desc("emitted_at_ms"), F.desc("commit_ts_ms"), F.desc("pk"), F.desc("op")
     )
     recent = lanes.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= window_size
