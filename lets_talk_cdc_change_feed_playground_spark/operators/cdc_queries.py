@@ -418,6 +418,11 @@ def cdc_lane_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.lane_metrics(_lanes(spark, sf_dir))
 
 
+def cdc_cross_lane_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — best/worst lag lanes, spread, weakest delete capture."""
+    return metrics.cross_lane_summary(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
+
+
 def cdc_recent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 — lag percentiles over each lane's last-2000 emitted events (the
     reference's sliding sample buffer)."""
@@ -453,6 +458,7 @@ QUERIES = {
     "cdc_convergence_check": cdc_convergence_check,
     "cdc_lane_metrics": cdc_lane_metrics,
     "cdc_recent_lag": cdc_recent_lag,
+    "cdc_cross_lane_summary": cdc_cross_lane_summary,
     "cdc_missed_deletes": cdc_missed_deletes,
     "cdc_write_amplification": cdc_write_amplification,
     "cdc_event_stats": cdc_event_stats,
@@ -609,6 +615,28 @@ SELECT method,
        round(quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.95), 3) AS lag_ms_p95,
        max(emitted_at_ms - commit_ts_ms) AS lag_ms_max
 FROM lanes GROUP BY method ORDER BY method
+""",
+    "cdc_cross_lane_summary": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + """
+, per_lane AS (
+  SELECT method,
+         quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.95) AS p95,
+         sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS captured_deletes
+  FROM lanes GROUP BY method
+),
+j AS (
+  SELECT p.*,
+         ((captured_deletes * 10000) // (SELECT count(*) FROM src WHERE op = 'delete')) / 10000.0 AS delete_pct
+  FROM per_lane p
+)
+SELECT min_by(method, p95) AS best_lag_method,
+       round(min(p95), 3) AS best_lag_p95_ms,
+       max_by(method, p95) AS worst_lag_method,
+       round(max(p95), 3) AS worst_lag_p95_ms,
+       round(max(p95) - min(p95), 3) AS lag_spread_ms,
+       min_by(method, delete_pct) AS weakest_delete_method,
+       min(delete_pct) AS min_delete_pct
+FROM j
 """,
     "cdc_recent_lag": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
     + """

@@ -146,6 +146,37 @@ def write_amplification(ops: DataFrame, lanes: DataFrame) -> DataFrame:
     )
 
 
+def cross_lane_summary(ops: DataFrame, lanes: DataFrame) -> DataFrame:
+    """M6 — the comparator's summary panel (``web/App.tsx:985-1020``): which
+    lane has the best/worst p95 lag and the spread, the weakest delete
+    capture, and the max write amplification. One row."""
+    lag = (F.col("emitted_at_ms") - F.col("commit_ts_ms")).cast("double")
+    per_lane = (
+        lanes.withColumn("lag_ms", lag)
+        .groupBy("method")
+        .agg(
+            F.expr("percentile(lag_ms, 0.95)").alias("p95"),
+            F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes"),
+        )
+    )
+    n_del = ops.filter(F.col("op") == "delete").agg(
+        F.count(F.lit(1)).alias("source_deletes")
+    )
+    j = per_lane.crossJoin(F.broadcast(n_del)).withColumn(
+        "delete_pct",
+        F.expr("(captured_deletes * 10000) div source_deletes") / 10000.0,
+    )
+    return j.agg(
+        F.min_by("method", "p95").alias("best_lag_method"),
+        F.round(F.min("p95"), 3).alias("best_lag_p95_ms"),
+        F.max_by("method", "p95").alias("worst_lag_method"),
+        F.round(F.max("p95"), 3).alias("worst_lag_p95_ms"),
+        F.round(F.max("p95") - F.min("p95"), 3).alias("lag_spread_ms"),
+        F.min_by("method", "delete_pct").alias("weakest_delete_method"),
+        F.min("delete_pct").alias("min_delete_pct"),
+    )
+
+
 def event_stats(lanes: DataFrame) -> DataFrame:
     """M8 — per-lane, per-op counts plus each op's share of the lane total
     (``assets/app.js:2966-3019``)."""
