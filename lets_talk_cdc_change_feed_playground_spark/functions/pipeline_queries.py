@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from lets_talk_cdc_change_feed_playground_spark.functions import text_kernels as K
 from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
@@ -153,7 +154,16 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: 16 permutations, 4 bands × 4 rows; band
     collisions become candidates, verified with exact token-set jaccard."""
-    sig = _signatures(spark, sf_dir).withColumn("sz", F.size("tok_set"))
+    # The signature frame feeds ~10 plan branches (4 band projections × both
+    # join sides + the two verify sides); without persistence each branch
+    # re-runs the Arrow minhash kernel over the full corpus. Signatures are
+    # O(docs × (16 ints + tok hashes)) — a tiny fraction of the text they
+    # summarize — so materializing once is the right call at any scale.
+    sig = (
+        _signatures(spark, sf_dir)
+        .withColumn("sz", F.size("tok_set"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     per_band = T.N_PERM // T.N_BANDS
     bands = None
     for band in range(T.N_BANDS):
@@ -215,8 +225,13 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprints, banded on 8-bit chunks,
     kept when hamming distance ≤ 3."""
-    sh = _docs_t(spark, sf_dir).select(
-        "doc_id", K.simhash_kernel(F.col("norm")).alias("simhash")
+    # Persisted for the same reason as the minhash signature frame: the
+    # fingerprints feed the group/self-join/band branches below, and each
+    # unpersisted reference would re-run the Arrow simhash kernel.
+    sh = (
+        _docs_t(spark, sf_dir)
+        .select("doc_id", K.simhash_kernel(F.col("norm")).alias("simhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # Near-dup corpora collapse onto few distinct simhashes, making a naive
