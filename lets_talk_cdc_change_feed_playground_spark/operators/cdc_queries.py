@@ -485,8 +485,8 @@ def _lane_diff_sql(method: str) -> str:
 
 _VERDICT_LANE_SQL = """
 SELECT '{method}' AS method,
-       sum(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS missing,
-       sum(CASE WHEN status = 'extra' THEN 1 ELSE 0 END) AS extra,
+       CAST(sum(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+       CAST(sum(CASE WHEN status = 'extra' THEN 1 ELSE 0 END) AS BIGINT) AS extra,
        (SELECT count(*) FROM (
           SELECT expected_idx,
                  max(expected_idx) OVER (ORDER BY actual_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
@@ -589,9 +589,9 @@ d AS (
 SELECT 'users' AS tbl,
        (SELECT count(*) FROM source_state) AS source_rows,
        (SELECT count(*) FROM actual_state) AS sink_rows,
-       COALESCE(sum(CASE WHEN status = 'missing_row' THEN 1 ELSE 0 END), 0) AS missing_rows,
-       COALESCE(sum(CASE WHEN status = 'unexpected_row' THEN 1 ELSE 0 END), 0) AS orphan_rows,
-       COALESCE(sum(CASE WHEN status = 'field_mismatch' THEN 1 ELSE 0 END), 0) AS field_mismatches,
+       CAST(COALESCE(sum(CASE WHEN status = 'missing_row' THEN 1 ELSE 0 END), 0) AS BIGINT) AS missing_rows,
+       CAST(COALESCE(sum(CASE WHEN status = 'unexpected_row' THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_rows,
+       CAST(COALESCE(sum(CASE WHEN status = 'field_mismatch' THEN 1 ELSE 0 END), 0) AS BIGINT) AS field_mismatches,
        CASE WHEN COALESCE(sum(CASE WHEN status = 'missing_row' THEN 1 ELSE 0 END), 0) = 0
                  AND COALESCE(sum(CASE WHEN status = 'unexpected_row' THEN 1 ELSE 0 END), 0) = 0
                  AND COALESCE(sum(CASE WHEN status = 'field_mismatch' THEN 1 ELSE 0 END), 0) = 0
@@ -606,9 +606,9 @@ FROM d
     + """
 SELECT method,
        count(*) AS produced,
-       sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS inserts,
-       sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS updates,
-       sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS deletes,
+       CAST(sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+       CAST(sum(CASE WHEN op = 'u' THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
        count(DISTINCT pk) AS distinct_pks,
        max(ts_ms) AS last_ts_ms,
        round(quantile_cont(CAST(emitted_at_ms - commit_ts_ms AS DOUBLE), 0.5), 3) AS lag_ms_p50,
@@ -657,23 +657,23 @@ GROUP BY method ORDER BY method
     + """
 SELECT method,
        (SELECT count(*) FROM src WHERE op = 'delete') AS source_deletes,
-       sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS captured_deletes,
-       (SELECT count(*) FROM src WHERE op = 'delete')
-         - sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS missed_deletes
+       CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS captured_deletes,
+       CAST((SELECT count(*) FROM src WHERE op = 'delete')
+         - sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS missed_deletes
 FROM lanes GROUP BY method ORDER BY method
 """,
     "cdc_write_amplification": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
     + """
 SELECT method,
        (SELECT count(*) FROM src) AS source_writes,
-       sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END) AS extra_writes,
+       CAST(sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END) AS BIGINT) AS extra_writes,
        (((SELECT count(*) FROM src) + sum(CASE WHEN method = 'trigger' THEN 1 ELSE 0 END)) * 10000
           // (SELECT count(*) FROM src)) / 10000.0 AS write_amplification
 FROM lanes GROUP BY method ORDER BY method
 """,
     "cdc_event_stats": _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
     + """
-SELECT method, op, n, last_ts_ms, lane_total,
+SELECT method, op, n, last_ts_ms, CAST(lane_total AS BIGINT) AS lane_total,
        ((n * 10000) // lane_total) / 10000.0 AS share
 FROM (
   SELECT method, op, count(*) AS n, max(ts_ms) AS last_ts_ms,
@@ -707,9 +707,9 @@ j AS (
   LEFT JOIN consumed c ON c.method = g.method AND c.bucket_ms = g.bucket_ms
 )
 SELECT method, bucket_ms,
-       sum(np) OVER w AS produced,
-       sum(nc) OVER w AS consumed,
-       sum(np) OVER w - sum(nc) OVER w AS backlog
+       CAST(sum(np) OVER w AS BIGINT) AS produced,
+       CAST(sum(nc) OVER w AS BIGINT) AS consumed,
+       CAST(sum(np) OVER w - sum(nc) OVER w AS BIGINT) AS backlog
 FROM j
 WINDOW w AS (PARTITION BY method ORDER BY bucket_ms)
 ORDER BY method, bucket_ms

@@ -64,7 +64,7 @@ bus AS (
 LEDGER_SQL = """
 txns AS (
   SELECT txn_id, max(commit_ts) AS commit_ts, count(*) AS n_events,
-         sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
+         CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          min(lsn) AS lsn_min,
          CASE WHEN sum(CASE WHEN dropped THEN 1 ELSE 0 END) = 0
               THEN max(delivery_ts) END AS complete_tick
@@ -186,8 +186,8 @@ ORACLE = {
     + """
 SELECT "partition",
        count(*) AS enqueued,
-       sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS dropped,
-       sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS delivered
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+       CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS delivered
 FROM bus GROUP BY "partition" ORDER BY "partition"
 """,
     "cdc_apply_on_commit": _with(_bus_sql(0), LEDGER_SQL)
@@ -195,9 +195,10 @@ FROM bus GROUP BY "partition" ORDER BY "partition"
     "cdc_atomicity_check": _with(_bus_sql(_PCT), LEDGER_SQL)
     + """
 SELECT l.txn_id, l.commit_ts, l.n_events, l.n_dropped,
-       p.as_polled_first_tick, p.as_polled_last_tick,
+       CAST(p.as_polled_first_tick AS BIGINT) AS as_polled_first_tick,
+       CAST(p.as_polled_last_tick AS BIGINT) AS as_polled_last_tick,
        (l.n_dropped > 0 OR p.as_polled_first_tick <> p.as_polled_last_tick) AS torn_as_polled,
-       l.apply_tick AS on_commit_apply_tick,
+       CAST(l.apply_tick AS BIGINT) AS on_commit_apply_tick,
        l.applied AS applied_on_commit
 FROM ledger l
 LEFT JOIN (
@@ -220,9 +221,9 @@ a AS (
 ),
 ticks AS (SELECT DISTINCT tick_ms FROM (SELECT tick_ms FROM d UNION ALL SELECT tick_ms FROM a))
 SELECT t.tick_ms,
-       COALESCE(sum(d.n_delivered) OVER w, 0) AS delivered,
-       COALESCE(sum(a.n_applied) OVER w, 0) AS applied,
-       COALESCE(sum(d.n_delivered) OVER w, 0) - COALESCE(sum(a.n_applied) OVER w, 0) AS backlog,
+       CAST(COALESCE(sum(d.n_delivered) OVER w, 0) AS BIGINT) AS delivered,
+       CAST(COALESCE(sum(a.n_applied) OVER w, 0) AS BIGINT) AS applied,
+       CAST(COALESCE(sum(d.n_delivered) OVER w, 0) - COALESCE(sum(a.n_applied) OVER w, 0) AS BIGINT) AS backlog,
        max(d.max_commit) OVER w - COALESCE(max(a.max_applied_commit) OVER w, 0) AS lag_ms
 FROM ticks t
 LEFT JOIN d ON d.tick_ms = t.tick_ms

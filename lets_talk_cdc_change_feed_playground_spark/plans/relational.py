@@ -500,7 +500,7 @@ s AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM g
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS session_value,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
 FROM s GROUP BY user_id, session_id

@@ -100,12 +100,22 @@ def main() -> int:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_dtypes = dict(con.execute(oracles[name]).df().dtypes.astype(str))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         ok = True
         msgs = []
+        # Driver-hash hazard: DuckDB HUGEINT (e.g. SUM of ints) becomes float64
+        # in pandas while Spark bigint stays int64 -> "3334" vs "3334.0".
+        s_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        for c, st in s_types.items():
+            if st in ("bigint", "int", "smallint", "tinyint") and d_dtypes.get(c) == "float64":
+                ci = d_cols.index(c)
+                if not any(r[ci] is None for r in d_rows):
+                    ok = False
+                    msgs.append(f"dtype hazard: {c} duck=float64 (HUGEINT?) vs spark={st}; CAST AS BIGINT in oracle SQL")
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             msgs.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
