@@ -58,8 +58,14 @@ def _with_after(ops: DataFrame) -> DataFrame:
 
 
 def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> DataFrame:
-    """C1 over the driver-testdata ops feed."""
-    return log_capture_ops(ops_feed(spark, sf_dir), fetch_ms)
+    """C1 over the driver-testdata ops feed (materialized once per session)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("lane_log", sf_dir, fetch_ms),
+        lambda: log_capture_ops(ops_feed(spark, sf_dir), fetch_ms),
+    )
 
 
 def log_capture_ops(ops: DataFrame, fetch_ms: int = FETCH_MS) -> DataFrame:
@@ -100,8 +106,14 @@ def polling_capture(
     poll_ms: int = POLL_MS,
     include_soft_deletes: bool = False,
 ) -> DataFrame:
-    """C2 over the driver-testdata ops feed."""
-    return polling_capture_ops(ops_feed(spark, sf_dir), poll_ms, include_soft_deletes)
+    """C2 over the driver-testdata ops feed (materialized once per session)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("lane_polling", sf_dir, poll_ms, include_soft_deletes),
+        lambda: polling_capture_ops(ops_feed(spark, sf_dir), poll_ms, include_soft_deletes),
+    )
 
 
 def polling_capture_ops(
@@ -175,8 +187,14 @@ def trigger_capture(
     extract_ms: int = EXTRACT_MS,
     overhead_ms: int = OVERHEAD_MS,
 ) -> DataFrame:
-    """C3 over the driver-testdata ops feed."""
-    return trigger_capture_ops(ops_feed(spark, sf_dir), extract_ms, overhead_ms)
+    """C3 over the driver-testdata ops feed (materialized once per session)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("lane_trigger", sf_dir, extract_ms, overhead_ms),
+        lambda: trigger_capture_ops(ops_feed(spark, sf_dir), extract_ms, overhead_ms),
+    )
 
 
 def trigger_capture_ops(

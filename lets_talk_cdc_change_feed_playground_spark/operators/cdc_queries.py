@@ -184,10 +184,18 @@ _LANE_ORDER = {
 
 
 def _lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return metrics.normalize_lanes(
-        capture.log_capture(spark, sf_dir),
-        capture.polling_capture(spark, sf_dir),
-        capture.trigger_capture(spark, sf_dir),
+    """Normalized 3-lane event frame, materialized once per session — seven
+    metric queries aggregate over it (see :mod:`.shared`)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("lanes_norm", sf_dir),
+        lambda: metrics.normalize_lanes(
+            capture.log_capture(spark, sf_dir),
+            capture.polling_capture(spark, sf_dir),
+            capture.trigger_capture(spark, sf_dir),
+        ),
     )
 
 
@@ -203,8 +211,18 @@ def _lane_actual(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
 
 
 def _lane_diff(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
-    exp = diffs.expected_entries(ops_feed(spark, sf_dir))
-    return diffs.lane_diff(exp, _lane_actual(spark, sf_dir, method))
+    """V1 diff frame for one lane, materialized once per session (consumed by
+    the diff listing, top-k lag, and verdict-style aggregates)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("lane_diff", sf_dir, method),
+        lambda: diffs.lane_diff(
+            diffs.expected_entries(ops_feed(spark, sf_dir)),
+            _lane_actual(spark, sf_dir, method),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -239,59 +257,17 @@ def cdc_lane_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V7 — per-lane pipeline verdict over all three lanes.
 
-    Single-pass plan: expected entries are computed once and replicated per
-    lane; all three lanes' actual entries union into one frame and meet the
-    expected side in ONE full-outer join keyed by (method, key, rn) — not
-    three separate diff pipelines. The inversion running max is the bucketed
-    two-phase pattern partitioned by lane."""
+    Consumes the session-cached V1 diff frames (one per lane — the same
+    frames the diff listing and top-k lag queries read), unions them with a
+    lane tag, and reduces to per-lane verdict aggregates. The inversion
+    running max is the bucketed two-phase pattern partitioned by lane."""
     methods = ("log", "polling", "trigger")
-    exp1 = diffs.expected_entries(ops_feed(spark, sf_dir))
-    exp = exp1.crossJoin(
-        spark.createDataFrame([(m,) for m in methods], ["method"])
-    )
-    acts = None
+    d = None
     for m in methods:
-        a = _lane_actual(spark, sf_dir, m).withColumn("method", F.lit(m))
-        acts = a if acts is None else acts.unionByName(a)
+        dm = _lane_diff(spark, sf_dir, m).withColumn("method", F.lit(m))
+        d = dm if d is None else d.unionByName(dm)
 
     from pyspark.sql import Window as W
-
-    we = W.partitionBy("method", "key").orderBy("idx")
-    e = exp.select(
-        "method",
-        "key",
-        F.row_number().over(we).alias("rn"),
-        F.col("idx").alias("expected_idx"),
-        F.col("time").alias("expected_time"),
-    )
-    a = acts.select(
-        F.col("method").alias("a_method"),
-        F.col("key").alias("a_key"),
-        F.row_number().over(
-            W.partitionBy("method", "key").orderBy("idx")
-        ).alias("a_rn"),
-        F.col("idx").alias("actual_idx"),
-        F.col("time").alias("actual_time"),
-    )
-    d = e.join(
-        a,
-        (F.col("method") == F.col("a_method"))
-        & (F.col("key") == F.col("a_key"))
-        & (F.col("rn") == F.col("a_rn")),
-        "full_outer",
-    ).select(
-        F.coalesce("method", "a_method").alias("method"),
-        F.when(F.col("actual_idx").isNull(), F.lit("missing"))
-        .when(F.col("expected_idx").isNull(), F.lit("extra"))
-        .otherwise(F.lit("matched"))
-        .alias("status"),
-        "expected_idx",
-        "actual_idx",
-        F.when(
-            F.col("expected_idx").isNotNull() & F.col("actual_idx").isNotNull(),
-            F.greatest(F.col("actual_time") - F.col("expected_time"), F.lit(0)),
-        ).alias("lag_ms"),
-    )
 
     # per-lane inversion count: bucketed running max partitioned by method
     matched = d.filter(F.col("status") == "matched").withColumn(

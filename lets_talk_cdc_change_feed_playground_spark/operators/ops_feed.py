@@ -58,7 +58,17 @@ src AS (
 
 
 def ops_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived SourceOp DataFrame: (seq, t, pk, op, event_type, value, props)."""
+    """The derived SourceOp DataFrame: (seq, t, pk, op, event_type, value, props).
+
+    Materialized once per session (see :mod:`.shared`) — every capture lane,
+    bus feed, and diff query starts from this frame.
+    """
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(spark, ("ops_feed", sf_dir), lambda: _ops_feed(spark, sf_dir))
+
+
+def _ops_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(

@@ -58,7 +58,28 @@ def bus_feed(
     tick_ms: int = TICK_MS,
 ) -> DataFrame:
     """One row per change event on the bus, with partition/offset/availability/
-    drop/delivery columns — the playground's broker state as data."""
+    drop/delivery columns — the playground's broker state as data.
+
+    Materialized once per session per parameterization (see :mod:`.shared`);
+    five judged queries consume the same two bus variants."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("bus_feed", sf_dir, txn_size, partitions, drift, drop_p, tick_ms),
+        lambda: _bus_feed(spark, sf_dir, txn_size, partitions, drift, drop_p, tick_ms),
+    )
+
+
+def _bus_feed(
+    spark: SparkSession,
+    sf_dir: str,
+    txn_size: int,
+    partitions: int,
+    drift: bool,
+    drop_p: float,
+    tick_ms: int,
+) -> DataFrame:
     ops = ops_feed(spark, sf_dir)
     ops = with_global_seq(ops, F.expr("t div 3600000"), ["t", "seq"], "lsn")
     wtxn = W.partitionBy("txn_id")

@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-based coalescing (not parallelism-first): AQE picks the
+        # post-shuffle partition count from actual bytes — thousands of
+        # partitions at 100 TB, a handful for small intermediates — instead
+        # of pinning every tiny shuffle to defaultParallelism tasks.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
