@@ -509,6 +509,68 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DEDUP_MIN = 0.98
 NGRAM_JACCARD_MIN = 0.05
 
+K_IVF = 16  # coarse-quantizer cells for the IVF ANN variant
+NPROBE = 4  # cells each query probes
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the inverted-file scale path for similarity search:
+    the corpus is partitioned into ``K_IVF`` cells by nearest centroid and
+    each query scores only its ``NPROBE`` closest cells (a ``K/NPROBE``-fold
+    candidate reduction that grows with K at scale).
+
+    The coarse quantizer here is deterministic seed selection (the ``K_IVF``
+    lowest vec_ids) so both engines build identical cells — production swaps
+    in KMeans-trained centroids; the partition/probe plumbing (broadcast
+    centroids, one shuffle on cell id, per-query top-k) is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    n = e.withColumn("nrm", T.l2_norm(F.col("v")))
+    cents = n.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = n.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", T.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    ranked = scored.withColumn("crn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", "label", "v", "nrm", F.col("cent_id").alias("cell")
+    )
+    probe = (
+        ranked.filter((F.col("vec_id") < TOPK_QUERIES) & (F.col("crn") <= NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    pairs = assign.alias("a").join(
+        F.broadcast(probe.alias("p")),
+        (F.col("a.cell") == F.col("p.cell"))
+        & (F.col("a.vec_id") != F.col("p.query_id")),
+    ).select(
+        "p.query_id",
+        F.col("a.vec_id").alias("neighbor_id"),
+        F.col("a.label").alias("neighbor_label"),
+        (T.dot(F.col("p.qv"), F.col("a.v")) / (F.col("p.qn") * F.col("a.nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            "query_id", "neighbor_id", "neighbor_label", F.col("rn").alias("rank"), "cosine"
+        )
+        .orderBy("query_id", "rank")
+    )
+
 
 def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: vectors whose cosine to an earlier vector
@@ -611,6 +673,7 @@ QUERIES = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "emb_topk_similarity": emb_topk_similarity,
     "emb_lsh_topk": emb_lsh_topk,
+    "emb_ivf_topk": emb_ivf_topk,
     "emb_cosine_dedup": emb_cosine_dedup,
 }
 
@@ -776,6 +839,43 @@ SELECT e.vec_id,
 FROM (SELECT vec_id FROM embeddings) e
 LEFT JOIN mins m ON m.vec_id = e.vec_id
 ORDER BY e.vec_id
+"""
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> p[1]*p[2])), (a, x) -> a + x)"
+)
+
+ORACLE["emb_ivf_topk"] = f"""
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a, x) -> a + x)) AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {K_IVF}),
+scored AS (
+  SELECT n.vec_id, n.label, n.v, n.nrm, c.cent_id,
+         {_DOT_SQL.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) AS ccos
+  FROM n CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+  FROM scored
+),
+assign AS (SELECT vec_id, label, v, nrm, cent_id AS cell FROM ranked WHERE crn = 1),
+probe AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell
+  FROM ranked WHERE vec_id < {TOPK_QUERIES} AND crn <= {NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+         {_DOT_SQL.format(a="p.qv", b="a.v")} / (p.qn * a.nrm) AS cosine
+  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, rn AS rank, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM pairs)
+WHERE rn <= {TOPK}
+ORDER BY query_id, rank
 """
 
 ORACLE["emb_lsh_topk"] = f"""

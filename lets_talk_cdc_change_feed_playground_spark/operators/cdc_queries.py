@@ -210,6 +210,18 @@ def _lane_actual(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     return diffs.actual_entries(ev, "commit_ts_ms", ["emitted_at_ms", "audit_seq"])
 
 
+def _expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected multiset entries, materialized once per session (all three
+    lane diffs compare against the same expected side)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("expected_entries", sf_dir),
+        lambda: diffs.expected_entries(ops_feed(spark, sf_dir)),
+    )
+
+
 def _lane_diff(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     """V1 diff frame for one lane, materialized once per session (consumed by
     the diff listing, top-k lag, and verdict-style aggregates)."""
@@ -219,7 +231,7 @@ def _lane_diff(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
         spark,
         ("lane_diff", sf_dir, method),
         lambda: diffs.lane_diff(
-            diffs.expected_entries(ops_feed(spark, sf_dir)),
+            _expected(spark, sf_dir),
             _lane_actual(spark, sf_dir, method),
         ),
     )

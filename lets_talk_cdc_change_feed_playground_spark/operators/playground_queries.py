@@ -117,22 +117,34 @@ def cdc_bus_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ledger(spark: SparkSession, sf_dir: str, drop_p: float) -> DataFrame:
+    """Txn ledger over the bus variant, materialized once per session (the
+    apply schedule, atomicity check, and consumer timeline all fold it)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("txn_ledger", sf_dir, drop_p),
+        lambda: pg.txn_ledger(pg.bus_feed(spark, sf_dir, drop_p=drop_p)),
+    )
+
+
 def cdc_apply_on_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — commit-floor transactional apply schedule (drop-free run)."""
-    return pg.txn_ledger(pg.bus_feed(spark, sf_dir, drop_p=0.0)).orderBy("txn_id")
+    return _ledger(spark, sf_dir, 0.0).orderBy("txn_id")
 
 
 def cdc_atomicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 vs A4 — which transactions tear under apply-as-polled and which
     never apply under apply-on-commit (5% drops)."""
     bus = pg.bus_feed(spark, sf_dir)
-    return pg.atomicity_check(bus, pg.txn_ledger(bus)).orderBy("txn_id")
+    return pg.atomicity_check(bus, _ledger(spark, sf_dir, pg.DROP_P)).orderBy("txn_id")
 
 
 def cdc_consumer_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 — delivered/applied/backlog/lag per tick (drop-free run)."""
     bus = pg.bus_feed(spark, sf_dir, drop_p=0.0)
-    return pg.consumer_timeline(bus, pg.txn_ledger(bus))
+    return pg.consumer_timeline(bus, _ledger(spark, sf_dir, 0.0))
 
 
 def cdc_offset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

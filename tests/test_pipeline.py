@@ -76,6 +76,17 @@ def test_topk_similarity_shape(spark, sf_dir):
     assert bad == 0
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF output is well-formed and its neighbors recall a decent share of
+    the exact brute-force top-k (nprobe=4 of 16 cells)."""
+    ivf = PQ.emb_ivf_topk(spark, sf_dir).cache()
+    assert ivf.count() <= PQ.TOPK_QUERIES * PQ.TOPK
+    assert ivf.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    exact = PQ.emb_topk_similarity(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = ivf.select("query_id", "neighbor_id").intersect(exact).count()
+    assert hits >= exact.count() * 0.3  # approximate, but not garbage
+
+
 def test_text_stats_ranges(spark, sf_dir):
     d = PQ.docs_text_stats(spark, sf_dir).cache()
     assert d.filter(F.col("n_tokens") <= 0).count() == 0
