@@ -87,6 +87,22 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert hits >= exact.count() * 0.3  # approximate, but not garbage
 
 
+def test_near_dup_joins_are_equi_joins(spark, sf_dir):
+    """Band joins must be hash equi-joins on (band, value) — a cartesian
+    product here means the LSH bucketing degraded to all-pairs."""
+    for fn in (PQ.docs_minhash_dedup, PQ.docs_simhash_pairs, PQ.docs_ngram_jaccard):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_shared_frames_are_reused(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.operators import capture
+
+    a = capture.log_capture(spark, sf_dir)
+    b = capture.log_capture(spark, sf_dir)
+    assert a is b  # same materialized frame, not a rebuilt plan
+
+
 def test_text_stats_ranges(spark, sf_dir):
     d = PQ.docs_text_stats(spark, sf_dir).cache()
     assert d.filter(F.col("n_tokens") <= 0).count() == 0
