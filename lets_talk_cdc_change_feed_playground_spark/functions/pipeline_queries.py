@@ -664,8 +664,49 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN_NUM = 45  # quality >= 0.45, held as exact integer hundredths
+
+
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality-filter → exact-dedup
+    (keepers only) → per-(lang, source) corpus accounting.
+
+    The quality threshold compares in exact integer arithmetic (quality is a
+    rational with denominator 10·n_tok·50 — multiply through instead of
+    comparing doubles) so corpus membership can't flip between engines."""
+    d = _docs_t(spark, sf_dir)
+    n_tok = F.size("toks")
+    n_dis = F.size(F.array_distinct("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+    # quality = 0.4*min(n_tok/50,1) + 0.3*(n_dis/n_tok) + 0.3*min(5*n_stop/n_tok,1)
+    # scaled by 100*50*n_tok: 40*n_tok*min(n_tok,50) + 1500*n_dis + 1500*min(5*n_stop, n_tok)*...
+    # -> compare  4*min(n_tok,50)*n_tok + 150*n_dis + 150*least(5*n_stop, n_tok)
+    #          >= QUALITY_MIN_NUM*5*n_tok   (everything integer)
+    q_num = (
+        F.lit(4) * F.least(n_tok, F.lit(50)) * n_tok
+        + F.lit(150) * n_dis
+        + F.lit(150) * F.least(F.lit(5) * n_stop, n_tok)
+    )
+    good = d.filter(q_num >= F.lit(QUALITY_MIN_NUM * 5) * n_tok)
+    w = W.partitionBy(F.md5(F.col("norm")))
+    keep = good.withColumn("__keeper", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__keeper")
+    )
+    return (
+        keep.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 QUERIES = {
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_clean_corpus": docs_clean_corpus,
     "docs_minhash_dedup": docs_minhash_dedup,
     "docs_simhash_nn": docs_simhash_pairs,
     "docs_text_stats": docs_text_stats,
@@ -799,6 +840,32 @@ WHERE rn <= {TOPK}
 ORDER BY query_id, rank
 """,
 }
+
+ORACLE["docs_clean_corpus"] = f"""
+WITH {DOCS_T_SQL},
+q AS (
+  SELECT doc_id, lang, source, n_chars, norm, toks,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_dis,
+         len(list_filter(toks, t -> t IN ({_STOP_LIST}))) AS n_stop
+  FROM docs_t
+),
+good AS (
+  SELECT * FROM q
+  WHERE 4 * least(n_tok, 50) * n_tok + 150 * n_dis + 150 * least(5 * n_stop, n_tok)
+        >= {QUALITY_MIN_NUM * 5} * n_tok
+),
+keep AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper FROM good
+  ) WHERE doc_id = keeper
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM keep GROUP BY lang, source ORDER BY lang, source
+"""
 
 ORACLE["docs_ngram_jaccard"] = f"""
 WITH {DOCS_T_SQL},

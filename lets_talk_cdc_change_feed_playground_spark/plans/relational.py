@@ -640,6 +640,168 @@ WHERE EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# Q13 shape: dimension LEFT OUTER fact, two-level aggregation — the outer
+# join preserves order-less customers (c_count = 0 bucket).
+# Scale notes: both aggregations shuffle on their group key; no broadcast of
+# the SF-scaling customer table.
+# --------------------------------------------------------------------------
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 shape (partsupp approximated by lineitem's observed part-supplier
+# pairs): distinct-supplier count per brand/type.
+# Scale notes: countDistinct is a two-phase hash aggregate; the part join is
+# AQE-planned (part scales with SF).
+# --------------------------------------------------------------------------
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18 shape: semi-join orders onto an aggregated-key set (large-volume
+# orders), then top-k by value.
+# Scale notes: the HAVING predicate compares the EXACT decimal sum (no
+# rounded-double boundary); top-k is a distributed sorted limit.
+# --------------------------------------------------------------------------
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("__qdec"),
+        )
+        .filter(F.col("__qdec") > 150)
+        .select(
+            "l_orderkey",
+            F.round("__qdec", 2).cast("double").alias("sum_qty"),
+        )
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 150
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: anti-join (customers with no recent orders) + scalar aggregate
+# subquery (above-average positive balance), grouped by nation.
+# Scale notes: the average comparison is exact decimal/integer arithmetic
+# (acctbal*n > sum), so no float boundary can flip membership; the scalar
+# aggregate broadcasts as a 1-row frame.
+# --------------------------------------------------------------------------
+_Q22_CUTOFF = "1998-05-01"
+
+
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF)
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("__possum"),
+        F.count(F.lit(1)).alias("__posn"),
+    )
+    return (
+        cust.join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast(_DEC) * F.col("__posn") > F.col("__possum"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey,
+       count(*) AS n_cust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_acctbal
+FROM customer
+CROSS JOIN (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(38,6))) AS possum, count(*) AS posn
+  FROM customer WHERE c_acctbal > 0
+) p
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+  AND CAST(c_acctbal AS DECIMAL(38,6)) * posn > possum
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -659,6 +821,10 @@ QUERIES = {
     "order_status_set_ops": order_status_set_ops,
     "orders_status_pivot": orders_status_pivot,
     "events_scalar_functions": events_scalar_functions,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_idle_balances": q22_idle_balances,
 }
 
 ORACLE = {
@@ -680,4 +846,8 @@ ORACLE = {
     "order_status_set_ops": ORDER_STATUS_SET_OPS_SQL,
     "orders_status_pivot": ORDERS_PIVOT_SQL,
     "events_scalar_functions": EVENTS_SCALAR_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q16_supplier_variety": Q16_SQL,
+    "q18_large_volume_orders": Q18_SQL,
+    "q22_idle_balances": Q22_SQL,
 }
