@@ -802,6 +802,56 @@ ORDER BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# Hot-key aggregation through the two-phase salted combine (functions/skew).
+# event_type has ~10 distinct values across the whole table — the degenerate
+# key distribution where a plain groupBy pins one reducer per key at 100 TB.
+# Salting sprays each key over 16 sub-keys and merges partials; the result
+# is identical to the plain aggregation (the oracle is a plain GROUP BY).
+# --------------------------------------------------------------------------
+def events_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lets_talk_cdc_change_feed_playground_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    # Salting BY the distinct column makes count_distinct exactly mergeable:
+    # each user_id lands in exactly one salt bucket, so phase-2 SUM of the
+    # per-bucket distinct counts is the true distinct count (the same trick
+    # makes any count_distinct algebraic when the salt is a function of the
+    # counted column).
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        salt_col="user_id",
+        partials={
+            "n_events": lambda: F.count(F.lit(1)),
+            "__vdec": lambda: F.sum(F.col("value").cast(_DEC)),
+            "n_users": lambda: F.count_distinct(F.col("user_id")),
+        },
+        merges={
+            "n_events": lambda c: F.sum(F.col(c)).cast("long"),
+            "__vdec": lambda c: F.sum(F.col(c)),
+            "n_users": lambda c: F.sum(F.col(c)).cast("long"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("__vdec", 2).cast("double").alias("value_sum"),
+        "n_users",
+    ).orderBy("event_type")
+
+
+EVENTS_SALTED_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS value_sum,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -825,6 +875,7 @@ QUERIES = {
     "q16_supplier_variety": q16_supplier_variety,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
+    "events_salted_hot_keys": events_salted_hot_keys,
 }
 
 ORACLE = {
@@ -850,4 +901,5 @@ ORACLE = {
     "q16_supplier_variety": Q16_SQL,
     "q18_large_volume_orders": Q18_SQL,
     "q22_idle_balances": Q22_SQL,
+    "events_salted_hot_keys": EVENTS_SALTED_SQL,
 }
