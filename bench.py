@@ -10,7 +10,10 @@ projections). Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   BENCH_QUERIES        comma-separated subset to run
-  BENCH_REPEAT         timed repetitions per query, best-of (default 1)
+  BENCH_REPEAT         timed repetitions per query, best-of (default 2 —
+                       one ambient-noise spike otherwise distorts a query's
+                       number for the whole round)
+  BENCH_COLD           set to skip the shared-frame warmup
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     subset = [s for s in os.environ.get("BENCH_QUERIES", "").split(",") if s]
 
     spark = get_spark("bench")
