@@ -30,21 +30,95 @@ def with_global_seq(
     order_cols: list[str],
     out_col: str = "lsn",
     start: int = 1,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Add ``out_col`` = dense global rank of rows ordered by (bucket, *order_cols)."""
+    """Add ``out_col`` = dense rank of rows ordered by (bucket, *order_cols),
+    computed independently per ``partition_cols`` group (global when empty)."""
     bucket = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
     src = df.withColumn("__bucket", bucket)
+    pc = list(partition_cols)
 
-    counts = src.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
-    off_w = W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+    counts = src.groupBy(*pc, "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = W.partitionBy(*pc).orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(
+        *pc,
         "__bucket",
         F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
     )
 
-    in_bucket = F.row_number().over(W.partitionBy("__bucket").orderBy(*order_cols))
+    in_bucket = F.row_number().over(
+        W.partitionBy(*pc, "__bucket").orderBy(*order_cols)
+    )
     return (
-        src.join(F.broadcast(offsets), "__bucket")
+        src.join(F.broadcast(offsets), [*pc, "__bucket"])
         .withColumn(out_col, (F.col("__off") + in_bucket + F.lit(start - 1)).cast("long"))
         .drop("__bucket", "__off")
     )
+
+
+def with_prefix_aggs(
+    df: DataFrame,
+    bucket_col: str | Column,
+    order_cols: list[str],
+    sums: dict[str, str] | None = None,
+    maxes: dict[str, str] | None = None,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Running aggregates in (bucket, *order_cols) order without a single-task
+    window.
+
+    ``sums`` / ``maxes`` map output column → input column; each output is the
+    cumulative SUM / MAX (nulls ignored, like the window functions) of its
+    input over all rows up to and including the current one, ordered by
+    ``(bucket, *order_cols)`` within each ``partition_cols`` group.
+
+    Decomposition (exact for sum and max): per-bucket running agg via a
+    *partitioned* window + a broadcast prefix over per-bucket totals — the only
+    unpartitioned window runs over one row per bucket. ``bucket_col`` must be a
+    monotone coarsening of the ordering (e.g. ``ts div 3_600_000``)."""
+    sums = sums or {}
+    maxes = maxes or {}
+    bucket = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    src = df.withColumn("__bucket", bucket)
+    pc = list(partition_cols)
+
+    local_w = (
+        W.partitionBy(*pc, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    for out, col in sums.items():
+        src = src.withColumn(f"__l_{out}", F.sum(col).over(local_w))
+    for out, col in maxes.items():
+        src = src.withColumn(f"__l_{out}", F.max(col).over(local_w))
+
+    totals = src.groupBy(*pc, "__bucket").agg(
+        *[F.sum(c).alias(f"__b_{o}") for o, c in sums.items()],
+        *[F.max(c).alias(f"__b_{o}") for o, c in maxes.items()],
+    )
+    prefix_w = (
+        W.partitionBy(*pc).orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        *pc,
+        "__bucket",
+        *[F.sum(f"__b_{o}").over(prefix_w).alias(f"__p_{o}") for o in sums],
+        *[F.max(f"__b_{o}").over(prefix_w).alias(f"__p_{o}") for o in maxes],
+    )
+
+    out_df = src.join(F.broadcast(prefix), [*pc, "__bucket"])
+    for out in sums:
+        out_df = out_df.withColumn(
+            out,
+            F.when(
+                F.col(f"__l_{out}").isNull() & F.col(f"__p_{out}").isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(f"__l_{out}", F.lit(0)) + F.coalesce(f"__p_{out}", F.lit(0))
+            ),
+        )
+    for out in maxes:
+        out_df = out_df.withColumn(out, F.greatest(f"__l_{out}", f"__p_{out}"))
+    drop = ["__bucket"] + [f"__l_{o}" for o in (*sums, *maxes)] + [
+        f"__p_{o}" for o in (*sums, *maxes)
+    ]
+    return out_df.drop(*drop)

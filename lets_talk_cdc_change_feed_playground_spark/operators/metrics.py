@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_prefix_aggs
+
 
 def normalize_lanes(log: DataFrame, polling: DataFrame, trigger: DataFrame) -> DataFrame:
     """Union the three capture outputs into one (method, op, pk, ts_ms,
@@ -216,14 +218,18 @@ def backlog_timeline(ops: DataFrame, lanes: DataFrame, bucket_ms: int = 3_600_00
         .join(consumed, ["method", "bucket_ms"], "left")
         .fillna(0, ["n_produced", "n_consumed"])
     )
-    wc = W.partitionBy("method").orderBy("bucket_ms")
+    # per-lane cumulative counters: the (method × bucket) grid grows with
+    # capture duration, so run the prefix sums two-phase (day super-buckets)
+    # instead of one task per lane.
+    j = with_prefix_aggs(
+        j,
+        F.expr(f"bucket_ms div {86_400_000}"),
+        ["bucket_ms"],
+        sums={"produced": "n_produced", "consumed": "n_consumed"},
+        partition_cols=("method",),
+    )
     return (
-        j.select(
-            "method",
-            "bucket_ms",
-            F.sum("n_produced").over(wc).alias("produced"),
-            F.sum("n_consumed").over(wc).alias("consumed"),
-        )
+        j.select("method", "bucket_ms", "produced", "consumed")
         .withColumn("backlog", F.col("produced") - F.col("consumed"))
         .orderBy("method", "bucket_ms")
     )

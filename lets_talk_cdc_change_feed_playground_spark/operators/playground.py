@@ -38,7 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_global_seq
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+    with_global_seq,
+    with_prefix_aggs,
+)
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31, ops_feed
 
 TXN_SIZE = 3
@@ -235,18 +238,25 @@ def consumer_timeline(bus: DataFrame, ledger: DataFrame) -> DataFrame:
     )
     ticks = d.select("tick_ms").union(a.select("tick_ms")).distinct()
     j = ticks.join(d, "tick_ms", "left").join(a, "tick_ms", "left")
-    w = W.orderBy("tick_ms").rowsBetween(W.unboundedPreceding, 0)
+    # cumulative delivered/applied/commit maxima via the two-phase bucketed
+    # running aggregate — the timeline is one row per tick, which still grows
+    # with capture duration, so no unpartitioned data-sized window.
+    j = with_prefix_aggs(
+        j,
+        F.expr(f"tick_ms div {3_600_000}"),
+        ["tick_ms"],
+        sums={"__delivered": "n_delivered", "__applied": "n_applied"},
+        maxes={"__max_commit": "max_commit", "__max_applied": "max_applied_commit"},
+    )
     return j.select(
         "tick_ms",
-        F.coalesce(F.sum("n_delivered").over(w), F.lit(0)).alias("delivered"),
-        F.coalesce(F.sum("n_applied").over(w), F.lit(0)).alias("applied"),
+        F.coalesce("__delivered", F.lit(0)).alias("delivered"),
+        F.coalesce("__applied", F.lit(0)).alias("applied"),
         (
-            F.coalesce(F.sum("n_delivered").over(w), F.lit(0))
-            - F.coalesce(F.sum("n_applied").over(w), F.lit(0))
+            F.coalesce("__delivered", F.lit(0)) - F.coalesce("__applied", F.lit(0))
         ).alias("backlog"),
         (
-            F.max("max_commit").over(w)
-            - F.coalesce(F.max("max_applied_commit").over(w), F.lit(0))
+            F.col("__max_commit") - F.coalesce("__max_applied", F.lit(0))
         ).alias("lag_ms"),
     ).orderBy("tick_ms")
 
@@ -264,18 +274,30 @@ def rate_limited_consume(
     ``d`` the tick-aligned delivery time). ``consume_tick`` is that value
     rounded up to the next tick; queue_delay = consume - delivery."""
     delivered = bus.filter(~F.col("dropped"))
-    w = W.partitionBy("partition").orderBy("delivery_ts", "lsn")
-    i = F.row_number().over(w) - 1
     # exact integer arithmetic in service-slot units (each tick has per_tick
-    # slots): slot_i = i + max_{j<=i}(tick_number_j * per_tick - j)
-    d = delivered.withColumn("__i", i).withColumn(
+    # slots): slot_i = i + max_{j<=i}(tick_number_j * per_tick - j).
+    # Both the per-partition index i and the running max are two-phase
+    # bucketed (hour buckets of delivery time) so no bus partition funnels
+    # through a single task.
+    d = with_global_seq(
+        delivered,
+        F.expr(f"delivery_ts div {3_600_000}"),
+        ["delivery_ts", "lsn"],
+        out_col="__i",
+        start=0,
+        partition_cols=("partition",),
+    ).withColumn(
         "__key",
         F.expr(f"delivery_ts div {tick_ms}") * per_tick - F.col("__i"),
     )
-    runmax = F.max("__key").over(
-        W.partitionBy("partition").orderBy("delivery_ts", "lsn").rowsBetween(W.unboundedPreceding, 0)
+    d = with_prefix_aggs(
+        d,
+        F.expr(f"delivery_ts div {3_600_000}"),
+        ["delivery_ts", "lsn"],
+        maxes={"__runmax": "__key"},
+        partition_cols=("partition",),
     )
-    consume_units = runmax + F.col("__i")  # the event's service slot index
+    consume_units = F.col("__runmax") + F.col("__i")  # the event's service slot index
     consume_tick = F.floor(consume_units / per_tick).cast("long") * tick_ms
     return d.select(
         "lsn",
