@@ -62,6 +62,7 @@ FEATURES_SCHEMA = StructType(
         StructField("kind", StringType()),
         StructField("n_bytes", IntegerType()),
         StructField("content_sha", StringType()),
+        StructField("feat0", LongType()),  # first raw 32-bit feature unit
         StructField("features", ArrayType(FloatType())),
     ]
 )
@@ -131,6 +132,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "content_sha": pdf["content"].map(
                         lambda b: hashlib.sha256(b).hexdigest()
                     ),
+                    "feat0": pdf["content"].map(
+                        lambda b: struct.unpack(
+                            "<I", hashlib.sha256(b).digest()[:4]
+                        )[0]
+                    ),
                     "features": pdf["content"].map(_fake_decode),
                 }
             )
@@ -165,6 +171,119 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA.fields])
 
     return media.mapInPandas(kernel, FRAMES_SCHEMA)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media corpus keyed off ``documents.doc_id`` — scales with
+    SF and is reproducible on both engines: content bytes are the UTF-8 text of
+    ``repeat(sha256_hex(doc_id), 4 + doc_id % 5)``, so the binary-column
+    pipeline is exercised end-to-end while a SQL oracle can recompute every
+    digest (DuckDB ``sha256`` over the same string)."""
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    kind = (
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        "media_id",
+        kind.alias("kind"),
+        F.expr(
+            "encode(repeat(sha2(cast(media_id as string), 256),"
+            " cast(4 + media_id % 5 as int)), 'utf-8')"
+        ).alias("content"),
+        F.struct(
+            F.element_at(
+                F.create_map(
+                    F.lit("image"), F.lit("image/png"),
+                    F.lit("audio"), F.lit("audio/wav"),
+                    F.lit("video"), F.lit("video/mp4"),
+                ),
+                kind,
+            ).alias("mime"),
+            F.when(kind != "audio", (64 + (F.col("media_id") % 8) * 16).cast("int")).alias("width"),
+            F.when(kind != "audio", (64 + (F.col("media_id") % 4) * 16).cast("int")).alias("height"),
+            F.when(kind != "image", (1000 + F.col("media_id") * 10).cast("int")).alias("duration_ms"),
+            F.when(kind == "audio", F.lit(16000)).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged entry: full binary decode/featurize pass (Arrow ``mapInPandas``)
+    over the documents-derived corpus, reduced to oracle-stable scalars."""
+    feats = extract_features(media_from_documents(spark, sf_dir))
+    return feats.select("media_id", "kind", "n_bytes", "content_sha", "feat0")
+
+
+def media_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged entry: 1→N video frame sampling through the Arrow kernel; frames
+    surface as UTF-8 strings (the fake payload is ASCII hex) for the oracle."""
+    frames = sample_frames(media_from_documents(spark, sf_dir), every_ms=500)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.decode("frame", "UTF-8").alias("frame_str"),
+    )
+
+
+def _hex_byte_sql(col: str, k: int) -> str:
+    """SQL for byte ``k`` of a lowercase hex digest string (0-based)."""
+    hi = f"(strpos('0123456789abcdef', substr({col}, {2 * k + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({col}, {2 * k + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+_MEDIA_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         repeat(sha256(CAST(doc_id AS VARCHAR)), CAST(4 + doc_id % 5 AS INT))
+           AS content_str
+  FROM documents
+)
+"""
+
+_FEAT0_SQL = " + ".join(
+    f"{_hex_byte_sql('content_sha', k)} * {256 ** k}" for k in range(4)
+)
+
+ORACLE = {
+    "media_features": f"""
+{_MEDIA_SQL},
+f AS (
+  SELECT media_id, kind, content_str, sha256(content_str) AS content_sha FROM m
+)
+SELECT media_id, kind,
+       CAST(length(content_str) AS INT) AS n_bytes,
+       content_sha,
+       CAST({_FEAT0_SQL} AS BIGINT) AS feat0
+FROM f
+""",
+    "media_frames": f"""
+{_MEDIA_SQL},
+v AS (
+  SELECT media_id, content_str,
+         CAST(1000 + media_id * 10 AS INT) AS duration_ms,
+         length(content_str) AS len
+  FROM m WHERE kind = 'video'
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_idx,
+       substr(content_str, CAST((i * 16) % (len - 16) + 1 AS INT), 16) AS frame_str
+FROM v CROSS JOIN UNNEST(range(greatest(1, duration_ms // 500))) AS t(i)
+""",
+}
+
+QUERIES = {
+    "media_features": media_features_query,
+    "media_frames": media_frames_query,
+}
 
 
 def media_stats(media: DataFrame) -> DataFrame:
