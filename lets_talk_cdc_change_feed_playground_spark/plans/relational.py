@@ -852,6 +852,440 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Q4 shape: EXISTS → left-semi join with a non-equi residual condition.
+# Scale: orders filter pushed to scan; semi join shuffles both sides on
+# orderkey only (no payload duplication — semi join carries no right columns).
+# --------------------------------------------------------------------------
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 10 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 10 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations — 6-table star with two
+# independent nation attributions. Scale: nation broadcast; the nation
+# filters reduce supplier/customer BEFORE the fact joins, so AQE can
+# broadcast the surviving slivers; lineitem shuffles once per fact key.
+# --------------------------------------------------------------------------
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(CAST(volume AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    AND n1.n_name IN ('NATION_1','NATION_2') AND n2.n_name IN ('NATION_1','NATION_2')
+    AND n1.n_name <> n2.n_name
+) GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: market share — conditional share of a grouped aggregate. The
+# ratio is an UNROUNDED double division of two exact decimal sums: both
+# engines divide bit-identical doubles, so no half-boundary hazard.
+# --------------------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31"))
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0).cast(_DEC)).cast("double")
+                / F.sum(vol.cast(_DEC)).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                     AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND EXISTS (SELECT 1 FROM customer
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+              WHERE c_custkey = o_custkey AND r_name = 'EUROPE')
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year. Cost model adapted to
+# the schema (no partsupp): unit cost = 50% of p_retailprice.
+# Scale: part filter prunes the join early; profit is decimal-accumulated.
+# --------------------------------------------------------------------------
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.5) * F.col("l_quantity")
+    )
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year,
+       CAST(round(sum(CAST(amount AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) - p_retailprice * 0.5 * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+) GROUP BY nation, o_year ORDER BY nation, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 shape: shipping-delay bands × order priority (conditional counts over
+# a fact-fact join). Scale: single orderkey shuffle; counts are map-side
+# combinable.
+# --------------------------------------------------------------------------
+def q12_ship_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    band = F.when(
+        F.datediff("l_shipdate", F.to_date(F.lit("1996-01-01"))) % 365 >= 180,
+        "second_half",
+    ).otherwise("first_half")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(band.alias("ship_band"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_band")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', DATE '1996-01-01', CAST(l_shipdate AS DATE)) % 365 >= 180
+            THEN 'second_half' ELSE 'first_half' END AS ship_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY ship_band ORDER BY ship_band
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 shape: promo revenue share in a month. Unrounded double ratio of
+# exact decimal sums (see Q8 note).
+# --------------------------------------------------------------------------
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0).cast(_DEC)).cast("double")
+            / F.sum(vol.cast(_DEC)).cast("double")
+        ).alias("promo_share")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier — aggregate, take the max, join back on equality.
+# The max is a 1-row broadcast; revenue equality is deterministic because
+# both sides compare the same decimal-rounded double.
+# --------------------------------------------------------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 shape: small-quantity orders vs the per-part average — correlated
+# aggregate expressed as an aggregate-then-join (no per-row subquery).
+# The 0.2·avg threshold uses the 4-dp decimal-rounded average so the
+# comparison is identical on both engines.
+# --------------------------------------------------------------------------
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    brand_li = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = brand_li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        davg("l_quantity").alias("__avg_qty")
+    )
+    small = brand_li.join(avg_qty, F.col("l_partkey") == F.col("__pk")).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty")
+    )
+    return small.agg(
+        (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+), avg_qty AS (
+  SELECT l_partkey AS pk,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS aq
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_li JOIN avg_qty ON l_partkey = pk
+WHERE l_quantity < 0.2 * aq
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive band predicates across a join.
+# Scale: the part side is pre-filtered to the union of the bands before the
+# join, so the OR residual only runs on surviving rows.
+# --------------------------------------------------------------------------
+def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 shape (adapted — no receipt/commit dates): suppliers who were the
+# SOLE latest shipper on multi-supplier orders. exists/not-exists pair
+# expressed as aggregate-then-join: per-order supplier count + max
+# shipdate, keep orders where exactly one supplier ships at the max.
+# --------------------------------------------------------------------------
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.max("l_shipdate").alias("__max_ship"),
+    ).filter(F.col("__n_supp") >= 2)
+    latest = li.join(
+        per_order,
+        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_shipdate") == F.col("__max_ship")),
+    )
+    sole = (
+        latest.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_latest"),
+            F.min("l_suppkey").alias("__suppkey"),
+        )
+        .filter(F.col("__n_latest") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("__suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("__suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp, max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) >= 2
+), sole AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_latest, min(l_suppkey) AS suppkey
+  FROM lineitem JOIN per_order ON l_orderkey = ok AND l_shipdate = max_ship
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1
+)
+SELECT s_name, numwait FROM (
+  SELECT suppkey, count(*) AS numwait FROM sole GROUP BY suppkey
+) JOIN supplier ON suppkey = s_suppkey
+ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -876,6 +1310,16 @@ QUERIES = {
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
     "events_salted_hot_keys": events_salted_hot_keys,
+    "q4_priority_late_ship": q4_priority_late_ship,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q12_ship_delay_bands": q12_ship_delay_bands,
+    "q14_promo_effect": q14_promo_effect,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q19_banded_revenue": q19_banded_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLE = {
@@ -902,4 +1346,14 @@ ORACLE = {
     "q18_large_volume_orders": Q18_SQL,
     "q22_idle_balances": Q22_SQL,
     "events_salted_hot_keys": EVENTS_SALTED_SQL,
+    "q4_priority_late_ship": Q4_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q12_ship_delay_bands": Q12_SQL,
+    "q14_promo_effect": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q19_banded_revenue": Q19_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
 }
