@@ -44,3 +44,42 @@ def test_sessionize_sessions_are_positive(spark, sf_dir):
     rows = R.events_sessionize(spark, sf_dir).collect()
     assert all(r["n_events"] >= 1 for r in rows)
     assert all(r["session_id"] >= 1 for r in rows)
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """EXISTS must compile to a left-semi hash join (no payload duplication,
+    no cartesian product) with the orders date filter pushed to the scan."""
+    plan = R.q4_priority_late_ship(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q7_broadcasts_only_fixed_dims(spark, sf_dir):
+    """nation is hint-broadcast; supplier/customer joins are left to AQE so
+    they shuffle (not OOM) once the dims outgrow the threshold at scale."""
+    plan = R.q7_volume_shipping(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+
+
+def test_q15_max_is_single_row_broadcast(spark, sf_dir):
+    """The max-revenue join-back must broadcast the 1-row aggregate, never
+    shuffle the revenue frame against it."""
+    plan = R.q15_top_supplier(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_no_unpartitioned_window(spark, sf_dir):
+    """Sole-latest-shipper is aggregate-then-join — a global window over
+    lineitem would single-task at scale."""
+    plan = R.q21_waiting_suppliers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_part_prefilter_reaches_scan(spark, sf_dir):
+    """The brand union pre-filter must reach the part scan so the OR residual
+    only runs on surviving rows."""
+    plan = R.q19_banded_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(p_brand)" in plan or "In(p_brand" in plan
