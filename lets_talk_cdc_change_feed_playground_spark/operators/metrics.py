@@ -192,44 +192,52 @@ def event_stats(lanes: DataFrame) -> DataFrame:
     )
 
 
-def backlog_timeline(ops: DataFrame, lanes: DataFrame, bucket_ms: int = 3_600_000) -> DataFrame:
+def backlog_timeline(
+    ops: DataFrame,
+    lanes: DataFrame,
+    bucket_ms: int = 3_600_000,
+    methods: tuple[str, ...] = ("log", "polling", "trigger"),
+) -> DataFrame:
     """M1/M7 — produced/consumed/backlog progression per time bucket and lane:
     cumulative source ops (by commit time) vs cumulative emitted events (by
     delivery time); backlog is the difference (``src/engine/metrics.ts:23-31``,
-    ``src/changefeed/model.ts:375-381``). Window work runs over one row per
-    (lane, bucket), never per event."""
+    ``src/changefeed/model.ts:375-381``).
+
+    Shape: the per-lane consumed counts are folded into ONE row per bucket
+    (conditional counts — the lane set is the engine's fixed three), the
+    cumulative pass runs two-phase over that single bucket sequence, and the
+    per-lane rows are unpivoted back out at the end. One aggregation + one
+    outer join + one prefix pass regardless of lane count; window work runs
+    over one row per bucket, never per event."""
     produced = (
         ops.groupBy((F.expr(f"t div {bucket_ms}") * bucket_ms).alias("bucket_ms"))
         .agg(F.count(F.lit(1)).alias("n_produced"))
     )
-    consumed = (
-        lanes.groupBy(
-            "method",
-            (F.expr(f"(emitted_at_ms - 1) div {bucket_ms}") * bucket_ms).alias("bucket_ms"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_consumed"))
+    consumed = lanes.groupBy(
+        (F.expr(f"(emitted_at_ms - 1) div {bucket_ms}") * bucket_ms).alias("bucket_ms")
+    ).agg(
+        *[
+            F.sum((F.col("method") == m).cast("long")).alias(f"n_{i}")
+            for i, m in enumerate(methods)
+        ]
     )
-    # dense (method × bucket) grid so cumulative sums line up across lanes;
-    # emission buckets can trail the last produced bucket, so union both.
-    buckets = produced.select("bucket_ms").union(consumed.select("bucket_ms")).distinct()
-    grid = buckets.crossJoin(consumed.select("method").distinct())
-    j = (
-        grid.join(produced, "bucket_ms", "left")
-        .join(consumed, ["method", "bucket_ms"], "left")
-        .fillna(0, ["n_produced", "n_consumed"])
+    j = produced.join(consumed, "bucket_ms", "full").fillna(
+        0, ["n_produced"] + [f"n_{i}" for i in range(len(methods))]
     )
-    # per-lane cumulative counters: the (method × bucket) grid grows with
-    # capture duration, so run the prefix sums two-phase (day super-buckets)
-    # instead of one task per lane.
     j = with_prefix_aggs(
         j,
         F.expr(f"bucket_ms div {86_400_000}"),
         ["bucket_ms"],
-        sums={"produced": "n_produced", "consumed": "n_consumed"},
-        partition_cols=("method",),
+        sums={"produced": "n_produced", **{f"c_{i}": f"n_{i}" for i in range(len(methods))}},
     )
+    stack_args = ", ".join(f"'{m}', c_{i}" for i, m in enumerate(methods))
     return (
-        j.select("method", "bucket_ms", "produced", "consumed")
+        j.select(
+            "bucket_ms",
+            "produced",
+            F.expr(f"stack({len(methods)}, {stack_args}) AS (method, consumed)"),
+        )
+        .select("method", "bucket_ms", "produced", "consumed")
         .withColumn("backlog", F.col("produced") - F.col("consumed"))
         .orderBy("method", "bucket_ms")
     )

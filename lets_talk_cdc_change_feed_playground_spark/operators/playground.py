@@ -236,8 +236,7 @@ def consumer_timeline(bus: DataFrame, ledger: DataFrame) -> DataFrame:
             F.max("commit_ts").alias("max_applied_commit"),
         )
     )
-    ticks = d.select("tick_ms").union(a.select("tick_ms")).distinct()
-    j = ticks.join(d, "tick_ms", "left").join(a, "tick_ms", "left")
+    j = d.join(a, "tick_ms", "full")
     # cumulative delivered/applied/commit maxima via the two-phase bucketed
     # running aggregate — the timeline is one row per tick, which still grows
     # with capture duration, so no unpartitioned data-sized window.
