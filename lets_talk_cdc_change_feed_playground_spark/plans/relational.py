@@ -1286,6 +1286,135 @@ ORDER BY numwait DESC, s_name LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Q2 shape (adapted — lineitem as the supply relation): cheapest supplier
+# per part within a region, correlated-min expressed as aggregate-then-join.
+# Unit price = extendedprice/quantity — identical double division on both
+# engines, so the min and the equality join-back are deterministic.
+# --------------------------------------------------------------------------
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    supply = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    floor_ = supply.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    best = (
+        supply.join(
+            floor_,
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    return (
+        best.join(supp, F.col("best_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("best_suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            F.round("min_price", 4).alias("min_unit_price"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+Q2_SQL = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), supply AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15 AND p_type = 'STANDARD')
+    AND l_suppkey IN (SELECT s_suppkey FROM supp)
+), floor_ AS (
+  SELECT l_partkey AS pk, min(unit_price) AS min_price FROM supply GROUP BY l_partkey
+), best AS (
+  SELECT l_partkey, min_price, min(l_suppkey) AS best_suppkey
+  FROM supply JOIN floor_ ON l_partkey = pk AND unit_price = min_price
+  GROUP BY l_partkey, min_price
+)
+SELECT l_partkey AS p_partkey, best_suppkey AS s_suppkey, s_name, s_acctbal,
+       round(min_price, 4) AS min_unit_price
+FROM best JOIN supp ON best_suppkey = s_suppkey
+ORDER BY s_acctbal DESC, p_partkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Funnel: view → click → purchase per user, each stage's timestamp strictly
+# after the previous stage. Correlated mins become three co-partitioned
+# groupBy/join rounds on user_id — Spark reuses the exchange, and timestamp
+# comparisons are exact on both engines.
+# --------------------------------------------------------------------------
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    pch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(pch.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_purchase_after_click
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1320,6 +1449,8 @@ QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "q19_banded_revenue": q19_banded_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "events_funnel": events_funnel,
 }
 
 ORACLE = {
@@ -1356,4 +1487,6 @@ ORACLE = {
     "q17_small_quantity": Q17_SQL,
     "q19_banded_revenue": Q19_SQL,
     "q21_waiting_suppliers": Q21_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
 }
