@@ -1333,7 +1333,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best_suppkey").alias("s_suppkey"),
             "s_name",
             "s_acctbal",
-            F.round("min_price", 4).alias("min_unit_price"),
+            # unrounded: both engines hold bit-identical doubles, while
+            # round(x, 4) can straddle a half boundary across engines
+            F.col("min_price").alias("min_unit_price"),
         )
         .orderBy(F.col("s_acctbal").desc(), "p_partkey")
         .limit(20)
@@ -1359,7 +1361,7 @@ WITH supp AS (
   GROUP BY l_partkey, min_price
 )
 SELECT l_partkey AS p_partkey, best_suppkey AS s_suppkey, s_name, s_acctbal,
-       round(min_price, 4) AS min_unit_price
+       min_price AS min_unit_price
 FROM best JOIN supp ON best_suppkey = s_suppkey
 ORDER BY s_acctbal DESC, p_partkey LIMIT 20
 """
