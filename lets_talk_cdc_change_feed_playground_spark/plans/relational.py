@@ -903,13 +903,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = (
         _t(spark, sf_dir, "supplier")
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     cust = (
         _t(spark, sf_dir, "customer")
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
     j = (
@@ -939,7 +939,8 @@ FROM (
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
   WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
-    AND n1.n_name IN ('NATION_1','NATION_2') AND n2.n_name IN ('NATION_1','NATION_2')
+    AND n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+    AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
     AND n1.n_name <> n2.n_name
 ) GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
