@@ -403,6 +403,37 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction).
+
+    Scale shape: explode → (doc, term) counts (map-side combinable), document
+    frequencies from the already-distinct (doc, term) frame, a 1-row broadcast
+    for N, and a per-doc window for the top-k — no global window, no UDF.
+    The score is the rational IDF ``(tf · 1000 · (N+1)) div (df+1)`` — exact
+    integer arithmetic (a transcendental ``ln`` differs by ulps between the
+    JVM and C libm, which would poison the value hash), same ordering
+    behaviour: monotone in tf, antitone in df."""
+    d = _docs_t(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        (F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("(tf * 1000 * (n_docs + 1)) div (df + 1)"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the labeled ``lang`` column
     (the driver corpus is synthetic English-like text under many labels, so
@@ -711,6 +742,7 @@ QUERIES = {
     "docs_simhash_nn": docs_simhash_pairs,
     "docs_text_stats": docs_text_stats,
     "docs_langid": docs_langid,
+    "docs_tfidf_terms": docs_tfidf_terms,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "emb_topk_similarity": emb_topk_similarity,
     "emb_lsh_topk": emb_lsh_topk,
@@ -820,6 +852,25 @@ SELECT lang,
        count(*) AS n_docs
 FROM docs_t
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "docs_tfidf_terms": f"""
+WITH {DOCS_T_SQL},
+tok AS (
+  SELECT doc_id, t.term FROM docs_t, UNNEST(toks) AS t(term)
+  WHERE length(t.term) >= 3 AND t.term NOT IN ({_STOP_LIST})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM docs_t),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         (tf * 1000 * (n_docs + 1)) // (df + 1) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY doc_id, rank
 """,
     "emb_topk_similarity": f"""
 WITH n AS (
