@@ -73,17 +73,43 @@ def lane_metrics(lanes: DataFrame) -> DataFrame:
     )
 
 
-def recent_lag_metrics(lanes: DataFrame, window_size: int = 2000) -> DataFrame:
+def recent_lag_metrics(
+    lanes: DataFrame, window_size: int = 2000, bucket_ms: int = 3_600_000
+) -> DataFrame:
     """M2 sliding-sample fidelity — the reference keeps only the last 2000
     lag samples per lane (``src/engine/metrics.ts:42-44``); this computes the
     percentiles over exactly that window: the ``window_size`` most recently
-    emitted events per lane."""
+    emitted events per lane.
+
+    Scale shape: ranking a lane's whole history just to keep its tail would
+    single-task the full stream, so a bucket prefilter runs first — per-lane
+    per-hour counts (one row per bucket) find the cutoff bucket after which
+    fewer than ``window_size`` rows exist; only that bounded tail (≤
+    window_size + one bucket) enters the ranking window. Rows in later
+    buckets have strictly larger ``emitted_at_ms``, so membership in the
+    top-``window_size`` is unchanged."""
+    b = lanes.withColumn("__bucket", F.expr(f"emitted_at_ms div {bucket_ms}"))
+    counts = b.groupBy("method", "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    wb = (
+        W.partitionBy("method")
+        .orderBy(F.desc("__bucket"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cutoff = (
+        counts.withColumn("__later", F.coalesce(F.sum("__n").over(wb), F.lit(0)))
+        .filter(F.col("__later") < window_size)
+        .groupBy("method")
+        .agg(F.min("__bucket").alias("__cutoff"))
+    )
+    tail = b.join(F.broadcast(cutoff), "method").filter(
+        F.col("__bucket") >= F.col("__cutoff")
+    )
     # total order: rows tied on all four keys are fully identical in this
     # projection, so boundary membership is deterministic
     w = W.partitionBy("method").orderBy(
         F.desc("emitted_at_ms"), F.desc("commit_ts_ms"), F.desc("pk"), F.desc("op")
     )
-    recent = lanes.withColumn("__rn", F.row_number().over(w)).filter(
+    recent = tail.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= window_size
     )
     lag = (F.col("emitted_at_ms") - F.col("commit_ts_ms")).cast("double")
