@@ -101,12 +101,20 @@ def _bus_feed(
         if drift
         else F.lit(0)
     )
+    # B1 dense per-partition offsets: two-phase sequence (hour buckets of
+    # enqueue time) — a per-partition row_number would single-task each bus
+    # partition's full stream.
+    df = df.withColumn("available_at", F.col("enq_t") + drift_ms)
+    df = with_global_seq(
+        df,
+        F.expr("enq_t div 3600000"),
+        ["enq_t", "lsn"],
+        out_col="offset",
+        start=0,
+        partition_cols=("partition",),
+    )
     df = (
-        df.withColumn("available_at", F.col("enq_t") + drift_ms)
-        .withColumn(
-            "offset",
-            F.row_number().over(W.partitionBy("partition").orderBy("enq_t", "lsn")) - 1,
-        )
+        df
         .withColumn(
             "dropped",
             (hash31(F.col("lsn").cast("string")) % 100) < int(drop_p * 100),
