@@ -49,17 +49,19 @@ def column_introductions(ops: DataFrame) -> DataFrame:
         "seq",
         F.explode(F.col("after")).alias("column", "value"),
     )
-    w = W.partitionBy("table", "column").orderBy("t", "seq")
-    return (
-        keys.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "table",
-            "column",
-            infer_type(F.col("column"), F.col("value")).alias("col_type"),
-            F.col("t").alias("t"),
-            F.col("seq").alias("seq"),
-        )
+    # first occurrence via min(struct) — a map-side-combinable aggregation;
+    # a per-(table, column) row_number window would push every occurrence of
+    # a column (i.e. most of the stream) through single tasks. (t, seq) is a
+    # total order, so the struct min never compares the value field.
+    first = keys.groupBy("table", "column").agg(
+        F.min(F.struct("t", "seq", "value")).alias("__f")
+    )
+    return first.select(
+        "table",
+        "column",
+        infer_type(F.col("column"), F.col("__f.value")).alias("col_type"),
+        F.col("__f.t").alias("t"),
+        F.col("__f.seq").alias("seq"),
     )
 
 
@@ -72,14 +74,23 @@ def schema_versions(ops: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n_intro"))
     )
     joined = ops.join(marks, ["table", "t", "seq"], "left").fillna(0, ["__n_intro"])
-    wv = (
-        W.partitionBy("table")
-        .orderBy("t", "seq")
-        .rowsBetween(W.unboundedPreceding, 0)
+    # running count per table via the two-phase prefix pass — a per-table
+    # window would funnel each table's whole op stream through one task.
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_prefix_aggs,
     )
-    return joined.withColumn(
-        "schema_version", F.sum("__n_intro").over(wv).cast("int")
-    ).drop("__n_intro")
+
+    joined = with_prefix_aggs(
+        joined,
+        F.expr("t div 3600000"),
+        ["t", "seq"],
+        sums={"__cum_intro": "__n_intro"},
+        partition_cols=("table",),
+    )
+    return (
+        joined.withColumn("schema_version", F.col("__cum_intro").cast("int"))
+        .drop("__n_intro", "__cum_intro")
+    )
 
 
 def schema_change_events(ops: DataFrame) -> DataFrame:
