@@ -77,7 +77,13 @@ def gate_on_commit_floor(
 
 class OrderedApplySink:
     """``foreachBatch`` target: apply released transactions in
-    ``(commit_ts, lsn)`` order, recording the apply sequence."""
+    ``(commit_ts, lsn)`` order, recording the apply sequence.
+
+    Test/demo sink: it collects each micro-batch (already reduced to
+    watermark-released transactions) to assert ordering. A production sink
+    applies the same batch distributed — ``apply.merge_batch`` /
+    ``UpsertSink`` is that path; the released-txn frame is partitionable by
+    pk because per-key apply order equals (commit_ts, lsn) order."""
 
     def __init__(self):
         self.applied: list[dict] = []
