@@ -433,6 +433,37 @@ def cdc_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.backlog_timeline(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — payload-sniffed ADD COLUMN control stream over an evolving-schema
+    ops feed derived from ``events``: every event carries (value, event_type);
+    a ``k`` column appears only on ``event_id % 3 = 0`` rows and a boolean
+    ``flag`` column only on ``event_id % 7 = 0`` rows, so each event_type
+    table grows columns mid-stream. Runs the real MAP-payload sniffing path
+    (explode → first-occurrence aggregate → typed ``op='s'`` rows)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import schema_evolution
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    ops = ev.select(
+        F.col("event_type").alias("table"),
+        F.expr("unix_micros(ts) div 1000").alias("t"),
+        F.col("event_id").alias("seq"),
+        F.expr(
+            """
+            map_concat(
+              map('value', CAST(value AS STRING), 'event_type', event_type),
+              CASE WHEN event_id % 3 = 0
+                   THEN map('k', get_json_object(props, '$.k')) ELSE map() END,
+              CASE WHEN event_id % 7 = 0
+                   THEN map('flag', CASE WHEN value > 50 THEN 'true' ELSE 'false' END)
+                   ELSE map() END
+            )
+            """
+        ).alias("after"),
+    )
+    return schema_evolution.schema_change_events(ops).orderBy("table", "next_version")
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -451,6 +482,7 @@ QUERIES = {
     "cdc_write_amplification": cdc_write_amplification,
     "cdc_event_stats": cdc_event_stats,
     "cdc_backlog_timeline": cdc_backlog_timeline,
+    "cdc_schema_evolution": cdc_schema_evolution,
 }
 
 
@@ -701,5 +733,31 @@ SELECT method, bucket_ms,
 FROM j
 WINDOW w AS (PARTITION BY method ORDER BY bucket_ms)
 ORDER BY method, bucket_ms
+""",
+    "cdc_schema_evolution": r"""
+WITH ev AS (
+  SELECT event_id, epoch_ms(ts) AS t, event_type, CAST(value AS VARCHAR) AS value_s,
+         json_extract_string(props, '$.k') AS k_s,
+         CASE WHEN value > 50 THEN 'true' ELSE 'false' END AS flag_s
+  FROM events
+), cols AS (
+  SELECT event_type AS tbl, t, event_id AS seq, 'value' AS col, value_s AS val FROM ev
+  UNION ALL SELECT event_type, t, event_id, 'event_type', event_type FROM ev
+  UNION ALL SELECT event_type, t, event_id, 'k', k_s FROM ev WHERE event_id % 3 = 0
+  UNION ALL SELECT event_type, t, event_id, 'flag', flag_s FROM ev WHERE event_id % 7 = 0
+), first AS (
+  SELECT tbl, col, val, t, seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, col ORDER BY t, seq) AS rn FROM cols
+  ) WHERE rn = 1
+)
+SELECT tbl AS "table", 's' AS op, t, seq, 'add_column' AS action, col AS "column",
+       CASE WHEN regexp_matches(val, '^(true|false)$') THEN 'bool'
+            WHEN regexp_matches(val, '^-?[0-9]+(\.[0-9]+)?$') THEN 'number'
+            WHEN regexp_matches(col, '(_ts|timestamp)$') THEN 'timestamp'
+            ELSE 'string' END AS col_type,
+       CAST(row_number() OVER (PARTITION BY tbl ORDER BY t, seq, col) - 1 AS INT) AS previous_version,
+       CAST(row_number() OVER (PARTITION BY tbl ORDER BY t, seq, col) AS INT) AS next_version
+FROM first
+ORDER BY "table", next_version
 """,
 }

@@ -97,7 +97,9 @@ def schema_change_events(ops: DataFrame) -> DataFrame:
     """C4 — ``op='s'`` control rows, ordered with the data stream
     (``SCHEMA_ADD_COL``, ``src/modes/logBased.ts:238-260``)."""
     intro = column_introductions(ops)
-    w = W.partitionBy("table").orderBy("t", "seq")
+    # column name as the final tiebreak: one op can introduce several columns
+    # at the same (t, seq), and version numbering must be deterministic
+    w = W.partitionBy("table").orderBy("t", "seq", "column")
     ver = F.row_number().over(w)
     return intro.select(
         "table",
