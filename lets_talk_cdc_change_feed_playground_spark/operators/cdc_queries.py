@@ -464,6 +464,51 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_evolution.schema_change_events(ops).orderBy("table", "next_version")
 
 
+def cdc_replay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A9/A10 over MAP payloads — the consumer merge fold with partial
+    updates, deletes that reset the row, payload-sniffed columns appearing
+    mid-stream, and the A10 drift toggle dropping ``event_type``. The final
+    per-(table, pk) state ships as a sorted ``k=v`` string so the DuckDB twin
+    can rebuild it column-relationally (last value per column after the last
+    delete)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import schema_evolution
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    ops = ev.select(
+        F.col("event_type").alias("table"),
+        F.col("user_id").cast("string").alias("pk"),
+        F.expr("unix_micros(ts) div 1000").alias("t"),
+        F.col("event_id").alias("seq"),
+        F.expr("CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'update' END").alias("op"),
+        F.expr(
+            """
+            map_concat(
+              map('value', CAST(value AS STRING), 'event_type', event_type),
+              CASE WHEN event_id % 3 = 0
+                   THEN map('k', get_json_object(props, '$.k')) ELSE map() END,
+              CASE WHEN event_id % 7 = 0
+                   THEN map('flag', CASE WHEN value > 50 THEN 'true' ELSE 'false' END)
+                   ELSE map() END
+            )
+            """
+        ).alias("after"),
+    )
+    folded = schema_evolution.replay_fold(ops, drop_columns=("event_type",))
+    return folded.select(
+        "table",
+        "pk",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("data")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        ).alias("data_str"),
+        "updated_t",
+    ).orderBy("table", "pk")
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -483,6 +528,7 @@ QUERIES = {
     "cdc_event_stats": cdc_event_stats,
     "cdc_backlog_timeline": cdc_backlog_timeline,
     "cdc_schema_evolution": cdc_schema_evolution,
+    "cdc_replay_fold": cdc_replay_fold,
 }
 
 
@@ -759,5 +805,38 @@ SELECT tbl AS "table", 's' AS op, t, seq, 'add_column' AS action, col AS "column
        CAST(row_number() OVER (PARTITION BY tbl ORDER BY t, seq, col) AS INT) AS next_version
 FROM first
 ORDER BY "table", next_version
+""",
+    "cdc_replay_fold": r"""
+WITH base AS (
+  SELECT event_type AS tbl, CAST(user_id AS VARCHAR) AS pk,
+         epoch_ms(ts) AS t, event_id AS seq,
+         CAST(epoch_ms(ts) AS HUGEINT) * 10000000 + event_id AS okey,
+         CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'update' END AS op,
+         CAST(value AS VARCHAR) AS value_s,
+         json_extract_string(props, '$.k') AS k_s,
+         CASE WHEN value > 50 THEN 'true' ELSE 'false' END AS flag_s,
+         event_id
+  FROM events
+), dels AS (
+  SELECT tbl, pk, max(okey) AS dk FROM base WHERE op = 'delete' GROUP BY tbl, pk
+), ups AS (
+  SELECT b.*, COALESCE(d.dk, -1) AS dk
+  FROM base b LEFT JOIN dels d USING (tbl, pk)
+  WHERE b.op = 'update' AND b.okey > COALESCE(d.dk, -1)
+), colvals AS (
+  SELECT tbl, pk, col, arg_max(val, okey) AS val FROM (
+    SELECT tbl, pk, okey, 'value' AS col, value_s AS val FROM ups
+    UNION ALL SELECT tbl, pk, okey, 'k', k_s FROM ups WHERE event_id % 3 = 0
+    UNION ALL SELECT tbl, pk, okey, 'flag', flag_s FROM ups WHERE event_id % 7 = 0
+  ) GROUP BY tbl, pk, col
+), state AS (
+  SELECT tbl, pk, string_agg(col || '=' || val, ',' ORDER BY col) AS data_str
+  FROM colvals GROUP BY tbl, pk
+), upd AS (
+  SELECT tbl, pk, max(t) AS updated_t FROM base GROUP BY tbl, pk
+)
+SELECT s.tbl AS "table", s.pk AS pk, s.data_str, u.updated_t
+FROM state s JOIN upd u ON s.tbl = u.tbl AND s.pk = u.pk
+ORDER BY s.tbl, s.pk
 """,
 }
