@@ -1418,6 +1418,78 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 """
 
 
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows in batch: 2 h windows advancing every 30 min —
+# each event replicates into win/hop = 4 windows via an explode, then a
+# plain map-side-combinable aggregate. This is Structured Streaming's
+# F.window(ts, "2 hours", "30 minutes") semantics expressed relationally.
+# --------------------------------------------------------------------------
+def events_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hop, win = 1_800_000, 7_200_000
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 1000").alias("t"), "event_type", "value", "user_id"
+    )
+    hops = ev.select(
+        "*", F.explode(F.expr(f"sequence(0, {win // hop - 1})")).alias("__i")
+    ).withColumn("window_start", F.expr(f"(t div {hop} - __i) * {hop}"))
+    return (
+        hops.groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_HOPPING_SQL = """
+SELECT (epoch_ms(ts) // 1800000 - i) * 1800000 AS window_start,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events CROSS JOIN UNNEST(range(4)) AS h(i)
+GROUP BY window_start ORDER BY window_start
+"""
+
+
+# --------------------------------------------------------------------------
+# S3 snapshot read: a table state becomes the INSERT event stream that
+# precedes the tail (tx_id = snapshot-<pk>), with a dense snapshot LSN via
+# the two-phase sequence (never a single-task global row_number).
+# --------------------------------------------------------------------------
+def cdc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_global_seq,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    ops = with_global_seq(
+        c, F.expr("c_custkey div 1000"), ["c_custkey"], out_col="lsn"
+    )
+    return ops.select(
+        "lsn",
+        F.lit("c").alias("op"),
+        F.col("c_custkey").cast("string").alias("pk"),
+        F.concat(F.lit("snapshot-"), F.col("c_custkey").cast("string")).alias("tx_id"),
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+    ).orderBy("lsn")
+
+
+CDC_SNAPSHOT_SQL = """
+SELECT row_number() OVER (ORDER BY c_custkey) AS lsn,
+       'c' AS op,
+       CAST(c_custkey AS VARCHAR) AS pk,
+       'snapshot-' || CAST(c_custkey AS VARCHAR) AS tx_id,
+       c_name, c_mktsegment, c_acctbal
+FROM customer ORDER BY lsn
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1454,6 +1526,8 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "events_funnel": events_funnel,
+    "events_hopping_stats": events_hopping_stats,
+    "cdc_snapshot_read": cdc_snapshot_read,
 }
 
 ORACLE = {
@@ -1492,4 +1566,6 @@ ORACLE = {
     "q21_waiting_suppliers": Q21_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_hopping_stats": EVENTS_HOPPING_SQL,
+    "cdc_snapshot_read": CDC_SNAPSHOT_SQL,
 }
