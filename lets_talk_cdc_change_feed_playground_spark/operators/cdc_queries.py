@@ -509,6 +509,59 @@ def cdc_replay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table", "pk")
 
 
+def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — Debezium envelope parsing on Kafka-shaped records. Events become
+    ``(topic, key, value)`` rows with a real JSON envelope (via ``to_json``),
+    run through the actual ``parse_debezium`` path (``from_json`` + topic
+    stripping + rcud filtering — snapshot 'r' reads are injected and must be
+    dropped), then flatten to oracle-stable scalars."""
+    from lets_talk_cdc_change_feed_playground_spark.sources.debezium import (
+        parse_debezium,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    rec = ev.select(
+        F.concat(F.lit("dbserver1.public."), F.col("event_type")).alias("topic"),
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.expr(
+                        """
+                        CASE WHEN event_id % 13 = 0 THEN 'r'
+                             WHEN event_type = 'error' THEN 'd'
+                             WHEN event_id % 2 = 0 THEN 'c'
+                             ELSE 'u' END
+                        """
+                    ).alias("op"),
+                    F.lit(None).cast("map<string,string>").alias("before"),
+                    F.expr(
+                        "map('value', CAST(value AS STRING),"
+                        " 'k', get_json_object(props, '$.k'))"
+                    ).alias("after"),
+                    F.expr("CAST(unix_micros(ts) div 1000 AS STRING)").alias("ts_ms"),
+                    F.struct(F.col("event_type").alias("table")).alias("source"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+    )
+    parsed = parse_debezium(rec)
+    return parsed.select(
+        "tbl",
+        "pk",
+        "op",
+        "ts_ms",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("after")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        ).alias("after_str"),
+    ).orderBy("tbl", "ts_ms", "pk", "op")
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -529,6 +582,7 @@ QUERIES = {
     "cdc_backlog_timeline": cdc_backlog_timeline,
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_replay_fold": cdc_replay_fold,
+    "cdc_debezium_parse": cdc_debezium_parse,
 }
 
 
@@ -838,5 +892,18 @@ WITH base AS (
 SELECT s.tbl AS "table", s.pk AS pk, s.data_str, u.updated_t
 FROM state s JOIN upd u ON s.tbl = u.tbl AND s.pk = u.pk
 ORDER BY s.tbl, s.pk
+""",
+    "cdc_debezium_parse": r"""
+SELECT event_type AS tbl,
+       CAST(user_id AS VARCHAR) AS pk,
+       CASE WHEN event_type = 'error' THEN 'd'
+            WHEN event_id % 2 = 0 THEN 'c'
+            ELSE 'u' END AS op,
+       epoch_ms(ts) AS ts_ms,
+       'k=' || json_extract_string(props, '$.k') || ',value=' || CAST(value AS VARCHAR)
+         AS after_str
+FROM events
+WHERE event_id % 13 <> 0
+ORDER BY tbl, ts_ms, pk, op
 """,
 }
