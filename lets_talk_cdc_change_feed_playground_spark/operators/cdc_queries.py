@@ -562,6 +562,34 @@ def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tbl", "ts_ms", "pk", "op")
 
 
+def cdc_value_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 — type-coercing canonical equality: '6.550' ≡ '6.55', '37.0' ≡ '37',
+    padded strings trim-equal; full MAP payload comparison must accept
+    coercible maps and reject key-set drift. The booleans are computed by the
+    real coercion path — the oracle pins the canonical string forms and the
+    expected verdicts."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import schema_evolution as se
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    a = F.col("value").cast("string")
+    c = F.concat(F.lit("  "), F.col("event_type"), F.lit(" "))
+    m1 = F.expr(
+        "map('value', CAST(value AS STRING), 'name', concat('  ', event_type, ' '))"
+    )
+    m2 = F.expr(
+        "map('value', concat(CAST(value AS STRING), '0'), 'name', event_type)"
+    )
+    m3 = F.expr("map('value', CAST(value AS STRING))")
+    return ev.select(
+        "event_id",
+        se.canon_value(a).alias("canon_num"),
+        se.canon_value(c).alias("canon_str"),
+        se.states_equal_coercive(m1, m2).alias("maps_equal"),
+        se.states_equal_coercive(m1, m3).alias("maps_differ_keys"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -583,6 +611,7 @@ QUERIES = {
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_replay_fold": cdc_replay_fold,
     "cdc_debezium_parse": cdc_debezium_parse,
+    "cdc_value_coercion": cdc_value_coercion,
 }
 
 
@@ -905,5 +934,16 @@ SELECT event_type AS tbl,
 FROM events
 WHERE event_id % 13 <> 0
 ORDER BY tbl, ts_ms, pk, op
+""",
+    "cdc_value_coercion": r"""
+SELECT event_id,
+       CASE WHEN CAST(value AS DOUBLE) = CAST(CAST(value AS DOUBLE) AS BIGINT)
+            THEN CAST(CAST(CAST(value AS DOUBLE) AS BIGINT) AS VARCHAR)
+            ELSE CAST(CAST(value AS DOUBLE) AS VARCHAR) END AS canon_num,
+       event_type AS canon_str,
+       TRUE AS maps_equal,
+       FALSE AS maps_differ_keys
+FROM events
+ORDER BY event_id
 """,
 }
