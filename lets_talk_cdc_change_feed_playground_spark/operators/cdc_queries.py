@@ -590,6 +590,43 @@ def cdc_value_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def cdc_harness_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — harness-history aggregation: markdown report-table lines (with
+    injected header/separator/placeholder noise that the parser must drop)
+    are parsed by the real ``parse_harness_history`` path and rolled up per
+    (scenario, status)."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.filters import (
+        parse_harness_history,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    lines = ev.select(
+        F.expr(
+            """
+            CASE WHEN event_id % 50 = 0 THEN '| Date | Scenario | Status |'
+                 WHEN event_id % 50 = 1 THEN '|---|---|---|'
+                 WHEN event_id % 97 = 0 THEN '| no runs yet |'
+                 ELSE concat('| ', date_format(ts, 'yyyy-MM-dd'),
+                             ' | scenario_', event_type,
+                             ' | ', CASE WHEN value > 50 THEN 'PASS' ELSE 'FAIL' END,
+                             ' | [report](r', event_id, '.html) |')
+            END
+            """
+        ).alias("line")
+    )
+    parsed = parse_harness_history(lines)
+    return (
+        parsed.groupBy("scenario", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_date").alias("last_run_date"),
+            F.max("report_link").alias("last_link"),
+        )
+        .orderBy("scenario", "status")
+    )
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -612,6 +649,7 @@ QUERIES = {
     "cdc_replay_fold": cdc_replay_fold,
     "cdc_debezium_parse": cdc_debezium_parse,
     "cdc_value_coercion": cdc_value_coercion,
+    "cdc_harness_history": cdc_harness_history,
 }
 
 
@@ -945,5 +983,16 @@ SELECT event_id,
        FALSE AS maps_differ_keys
 FROM events
 ORDER BY event_id
+""",
+    "cdc_harness_history": r"""
+SELECT 'scenario_' || event_type AS scenario,
+       CASE WHEN value > 50 THEN 'pass' ELSE 'fail' END AS status,
+       count(*) AS n_runs,
+       max(strftime(ts, '%Y-%m-%d')) AS last_run_date,
+       max('r' || CAST(event_id AS VARCHAR) || '.html') AS last_link
+FROM events
+WHERE event_id % 50 NOT IN (0, 1) AND event_id % 97 <> 0
+GROUP BY scenario, status
+ORDER BY scenario, status
 """,
 }
