@@ -627,6 +627,35 @@ def cdc_harness_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_scenario_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 — scenario filtering (AND-of-tags + tokenized search) over a
+    scenario catalog derived from ``part``: every part becomes a scenario
+    with brand/type/parity tags; the filter keeps 'even'-tagged scenarios
+    whose haystack matches both search tokens."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.filters import (
+        filter_scenarios,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    p = load_table(spark, sf_dir, "part")
+    scenarios = p.select(
+        F.concat(F.lit("sc"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("name"),
+        F.expr("p_type || ' parts sized ' || CAST(p_size AS STRING)").alias(
+            "description"
+        ),
+        F.array(
+            F.lower("p_brand"),
+            F.lower("p_type"),
+            F.expr("CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END"),
+        ).alias("tags"),
+    )
+    hit = filter_scenarios(scenarios, tags=("even",), query="blue bolt")
+    return hit.select(
+        "id", "name", "description", F.array_join("tags", ",").alias("tags_str")
+    ).orderBy("id")
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -650,6 +679,7 @@ QUERIES = {
     "cdc_debezium_parse": cdc_debezium_parse,
     "cdc_value_coercion": cdc_value_coercion,
     "cdc_harness_history": cdc_harness_history,
+    "cdc_scenario_filters": cdc_scenario_filters,
 }
 
 
@@ -994,5 +1024,21 @@ FROM events
 WHERE event_id % 50 NOT IN (0, 1) AND event_id % 97 <> 0
 GROUP BY scenario, status
 ORDER BY scenario, status
+""",
+    "cdc_scenario_filters": r"""
+WITH sc AS (
+  SELECT 'sc' || CAST(p_partkey AS VARCHAR) AS id,
+         p_name AS name,
+         p_type || ' parts sized ' || CAST(p_size AS VARCHAR) AS description,
+         lower(p_brand) AS t1, lower(p_type) AS t2,
+         CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS t3
+  FROM part
+)
+SELECT id, name, description, t1 || ',' || t2 || ',' || t3 AS tags_str
+FROM sc
+WHERE t3 = 'even'
+  AND contains(lower(id || ' ' || name || ' ' || description || ' ' || t1 || ' ' || t2 || ' ' || t3), 'blue')
+  AND contains(lower(id || ' ' || name || ' ' || description || ' ' || t1 || ' ' || t2 || ' ' || t3), 'bolt')
+ORDER BY id
 """,
 }
