@@ -446,7 +446,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     ops = ev.select(
         F.col("event_type").alias("table"),
-        F.expr("unix_micros(ts) div 1000").alias("t"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"),
         F.col("event_id").alias("seq"),
         F.expr(
             """
@@ -478,7 +478,7 @@ def cdc_replay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = ev.select(
         F.col("event_type").alias("table"),
         F.col("user_id").cast("string").alias("pk"),
-        F.expr("unix_micros(ts) div 1000").alias("t"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"),
         F.col("event_id").alias("seq"),
         F.expr("CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'update' END").alias("op"),
         F.expr(
@@ -540,7 +540,7 @@ def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "map('value', CAST(value AS STRING),"
                         " 'k', get_json_object(props, '$.k'))"
                     ).alias("after"),
-                    F.expr("CAST(unix_micros(ts) div 1000 AS STRING)").alias("ts_ms"),
+                    F.expr("CAST(unix_micros(cast(ts as timestamp)) div 1000 AS STRING)").alias("ts_ms"),
                     F.struct(F.col("event_type").alias("table")).alias("source"),
                 ).alias("payload")
             )

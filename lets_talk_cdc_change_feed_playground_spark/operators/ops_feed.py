@@ -73,7 +73,7 @@ def _ops_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.col("event_id").alias("seq"),
-        F.expr("unix_micros(ts) div 1000").alias("t"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"),
         F.col("user_id").cast("string").alias("pk"),
         F.when(F.row_number().over(w) == 1, F.lit("insert"))
         .when(F.col("event_type") == "error", F.lit("delete"))

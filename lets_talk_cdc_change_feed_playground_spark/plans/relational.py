@@ -470,7 +470,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         (
             F.coalesce(
-                F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w),
+                F.unix_millis(F.col("ts").cast("timestamp")) - F.lag(F.unix_millis(F.col("ts").cast("timestamp"))).over(w),
                 F.lit(gap_ms + 1),
             )
             > gap_ms
@@ -1427,7 +1427,7 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 def events_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop, win = 1_800_000, 7_200_000
     ev = _t(spark, sf_dir, "events").select(
-        F.expr("unix_micros(ts) div 1000").alias("t"), "event_type", "value", "user_id"
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"), "event_type", "value", "user_id"
     )
     hops = ev.select(
         "*", F.explode(F.expr(f"sequence(0, {win // hop - 1})")).alias("__i")
