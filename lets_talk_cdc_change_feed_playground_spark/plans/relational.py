@@ -1490,6 +1490,105 @@ FROM customer ORDER BY lsn
 """
 
 
+# --------------------------------------------------------------------------
+# Q11 shape (adapted — no partsupp table): per-part "supply value" held by
+# suppliers of one nation, keeping parts whose value exceeds a fraction of
+# the nation-wide total. The grand total is a one-row aggregate broadcast
+# back over the per-part sums (scalar-subquery shape, no second scan).
+# Scale: lineitem is scanned once; the supplier filter semi-joins before the
+# big aggregation, and the threshold compare is a broadcast nested loop of a
+# single row — no shuffle added at 100 TB.
+# --------------------------------------------------------------------------
+def q11_important_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    vals = (
+        li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = vals.agg(
+        F.round(F.sum(F.col("value").cast(_DEC)), 2).cast("double").alias("__total")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.lit(0.001) * F.col("__total"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 3
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM vals
+WHERE value > 0.001 * (SELECT CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) FROM vals)
+ORDER BY value DESC, l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 shape (adapted — no partsupp): suppliers who shipped above-average
+# volume of 'cold %' parts in 1996 ("promotion-eligible"). The per-supplier
+# volume and the average volume come from ONE aggregation reused twice
+# (self-agg scalar broadcast), not two scans.
+# Scale: part prefilter broadcasts (it's selective), lineitem scanned once
+# with shipdate + partkey pushdown, final supplier join is on the already
+# tiny qualifying set.
+# --------------------------------------------------------------------------
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("cold")).select(
+        "p_partkey"
+    )
+    per_supp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("cold_qty"))
+    )
+    avg_qty = per_supp.agg(
+        F.round(
+            F.sum(F.col("cold_qty").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("__avg")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(F.broadcast(avg_qty))
+        .filter(F.col("cold_qty") > F.col("__avg"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "s_acctbal", "cold_qty")
+        .orderBy(F.col("cold_qty").desc(), "s_name")
+    )
+
+
+Q20_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS cold_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'cold%'
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_name, s_acctbal, cold_qty
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE cold_qty > (SELECT round(CAST(sum(CAST(cold_qty AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) FROM per_supp)
+ORDER BY cold_qty DESC, s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1525,6 +1624,8 @@ QUERIES = {
     "q19_banded_revenue": q19_banded_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_supply": q11_important_supply,
+    "q20_promo_suppliers": q20_promo_suppliers,
     "events_funnel": events_funnel,
     "events_hopping_stats": events_hopping_stats,
     "cdc_snapshot_read": cdc_snapshot_read,
@@ -1565,6 +1666,8 @@ ORACLE = {
     "q19_banded_revenue": Q19_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_supply": Q11_SQL,
+    "q20_promo_suppliers": Q20_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_hopping_stats": EVENTS_HOPPING_SQL,
     "cdc_snapshot_read": CDC_SNAPSHOT_SQL,
