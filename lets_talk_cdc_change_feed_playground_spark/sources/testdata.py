@@ -33,6 +33,32 @@ TABLES = (
 # hint-forced.
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# Tables that carry the heavy per-row expression work (JSON round-trips,
+# tokenization, vector math, wide aggregations). The driver's testdata ships
+# each table as ONE parquet file with ONE row group — and row groups are the
+# parquet split unit, so no matter what spark.sql.files.maxPartitionBytes
+# says, the scan is a single task and everything up to the first shuffle runs
+# on one core. A real 100 TB lake has thousands of splittable files (scan
+# parallelism >= cluster cores), where this spread is a no-op; locally we
+# round-robin once after the scan so all local[] cores participate.
+_SPREAD_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """One-task-scan shim: fan a single-row-group file out to the session's
+    parallelism. Skipped when the scan already has enough splits (real lake)
+    or the file is trivially small (the shuffle would cost more than it
+    buys)."""
+    try:
+        if os.path.getsize(path) < 250_000:
+            return df
+    except OSError:
+        return df
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the ``events`` table, normalizing its nanosecond timestamps.
@@ -44,16 +70,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation so oracle comparisons line up.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return _spread(spark, df, path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name in _SPREAD_TABLES:
+        df = _spread(spark, df, path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
