@@ -32,6 +32,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "lets_talk_cdc_change_feed_playground_spark.operators.playground_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.multimodal",
+        "lets_talk_cdc_change_feed_playground_spark.streaming.stream_queries",
     ):
         if importlib.util.find_spec(mod_name) is not None:
             modules.append(importlib.import_module(mod_name))
