@@ -78,6 +78,7 @@ def main() -> int:
             from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
                 _docs_t,
                 _signatures,
+                _simhash_frame,
             )
 
             for df in (
@@ -94,6 +95,7 @@ def main() -> int:
                 _ledger(spark, sf_dir, pg.DROP_P),
                 _docs_t(spark, sf_dir),
                 _signatures(spark, sf_dir),
+                _simhash_frame(spark, sf_dir),
             ):
                 df.write.format("noop").mode("overwrite").save()
         except Exception as e:

@@ -281,21 +281,26 @@ def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit fingerprints, banded on 8-bit chunks,
-    kept when hamming distance ≤ 3."""
-    # Persisted (session-wide) for the same reason as the minhash signature
-    # frame: the fingerprints feed the group/self-join/band branches below,
-    # and each unpersisted reference would re-run the Arrow simhash kernel.
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted simhash fingerprints — shared for the same reason as
+    the minhash signature frame: the fingerprints feed the group/self-join/
+    band branches of the NN search, and each unpersisted reference would
+    re-run the Arrow simhash kernel."""
     from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
 
-    sh = shared_df(
+    return shared_df(
         spark,
         ("simhash", sf_dir),
         lambda: _docs_t(spark, sf_dir).select(
             "doc_id", K.simhash_kernel(F.col("norm")).alias("simhash")
         ),
     )
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit fingerprints, banded on 8-bit chunks,
+    kept when hamming distance ≤ 3."""
+    sh = _simhash_frame(spark, sf_dir)
 
     # Near-dup corpora collapse onto few distinct simhashes, making a naive
     # all-docs band join quadratic (tens of millions of candidate pairs at
