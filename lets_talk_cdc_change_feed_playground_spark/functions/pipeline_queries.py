@@ -740,7 +740,60 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by Spark and the DuckDB oracle: simple character classes only, so
+# Java regex and RE2 agree byte-for-byte.
+_PII_URL = r"https?://[^ ]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM = r"[0-9]{12,}"
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: redact URLs, emails, and long digit runs.
+
+    The driver corpus is clean, so deterministic PII is injected first
+    (doc_id-keyed emails/URLs/card numbers — the same injected-noise pattern
+    as the CDC fault queries), then scrubbed with one JVM-side
+    ``regexp_replace`` chain; per-doc match counts come from
+    ``regexp_extract_all``. One projection pass, no shuffle, no UDF — at
+    100 TB this runs at parquet scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" visit https://host"), F.col("doc_id").cast("string"), F.lit(".example.org/p")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" card 4111"), F.lpad(F.col("doc_id").cast("string"), 12, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_URL, "<URL>"), _PII_EMAIL, "<EMAIL>"
+        ),
+        _PII_NUM,
+        "<NUM>",
+    )
+    return corpus.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_URL), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_NUM), F.lit(0))).alias("n_nums"),
+        scrubbed.alias("scrubbed"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "docs_pii_scrub": docs_pii_scrub,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_clean_corpus": docs_clean_corpus,
     "docs_minhash_dedup": docs_minhash_dedup,
@@ -775,7 +828,30 @@ def _planes_sql() -> str:
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in T.STOPWORDS)
 
+_PII_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' visit https://host' || CAST(doc_id AS VARCHAR) || '.example.org/p' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' card 4111' || lpad(CAST(doc_id AS VARCHAR), 12, '0') ELSE '' END
+         AS raw
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{_PII_NUM}')) AS n_nums,
+       regexp_replace(regexp_replace(regexp_replace(raw, '{_PII_URL}', '<URL>', 'g'),
+                      '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_NUM}', '<NUM>', 'g') AS scrubbed,
+       length(regexp_replace(regexp_replace(regexp_replace(raw, '{_PII_URL}', '<URL>', 'g'),
+                      '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_NUM}', '<NUM>', 'g')) AS scrubbed_len
+FROM corpus
+ORDER BY doc_id
+"""
+
 ORACLE = {
+    "docs_pii_scrub": _PII_SQL,
     "docs_exact_dedup": f"""
 SELECT doc_id, content_hash,
        min(doc_id) OVER (PARTITION BY content_hash) AS keeper_doc_id,
