@@ -46,8 +46,29 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return queries, oracle
 
 
+# Runtime SQL confs the judged queries depend on; pinned per call so the
+# queries behave identically under ANY caller's session (the driver gate
+# builds its own bare SparkSession), not just our get_spark().
+_REQUIRED_CONF = {
+    "spark.sql.session.timeZone": "UTC",  # epoch math on the NTZ ts column
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",  # JS object-spread merge folds
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events TIMESTAMP(NANOS)
+}
+
+
+def _with_conf(fn: QueryFn) -> QueryFn:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for k, v in _REQUIRED_CONF.items():
+            spark.conf.set(k, v)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return _collect()[0]
+    return {name: _with_conf(fn) for name, fn in _collect()[0].items()}
 
 
 def oracle_sql() -> dict[str, str]:

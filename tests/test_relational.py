@@ -83,3 +83,19 @@ def test_q19_part_prefilter_reaches_scan(spark, sf_dir):
     only runs on surviving rows."""
     plan = R.q19_banded_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(p_brand)" in plan or "In(p_brand" in plan
+
+
+def test_q11_threshold_is_broadcast_not_reagg(spark, sf_dir):
+    """The grand-total compare joins a 1-row aggregate back via broadcast;
+    lineitem is scanned once (no second scan for the total)."""
+    plan = R.q11_important_supply(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") <= 2  # per-part vals + total reuse
+
+
+def test_q20_part_prefilter_broadcasts(spark, sf_dir):
+    """The selective cold-part prefilter must broadcast into the lineitem
+    join with the shipdate range pushed to the scan."""
+    plan = R.q20_promo_suppliers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
