@@ -24,6 +24,10 @@ import re
 import sys
 import time
 
+# Steady-state measurement: persist the spread base tables session-wide
+# (see sources/testdata.py:load_table). Must be set before engine imports.
+os.environ.setdefault("SPARK_GRAFT_CACHE_BASE", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
