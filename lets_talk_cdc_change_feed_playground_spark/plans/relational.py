@@ -363,6 +363,38 @@ GROUP BY ROLLUP (p_type, p_brand)
 
 
 # --------------------------------------------------------------------------
+# Orders cube — all four grouping combinations of (status, priority) in one
+# pass (completes the rollup/pivot/cube trio). Scale: cube expands to 4
+# grouping sets map-side; partial aggregation still applies per set.
+# --------------------------------------------------------------------------
+def orders_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
 # Running revenue per customer — cumulative window over order history.
 # Window sums accumulate in decimal: frame order is deterministic, but the
 # final double must match the oracle bit-for-bit.
@@ -1601,6 +1633,7 @@ QUERIES = {
     "top_customers_per_segment": top_customers_per_segment,
     "customers_without_orders": customers_without_orders,
     "part_type_rollup": part_type_rollup,
+    "orders_cube_stats": orders_cube_stats,
     "running_revenue_per_customer": running_revenue_per_customer,
     "supplier_region_stats": supplier_region_stats,
     "events_hourly_stats": events_hourly_stats,
@@ -1643,6 +1676,7 @@ ORACLE = {
     "top_customers_per_segment": TOP_CUSTOMERS_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "part_type_rollup": PART_ROLLUP_SQL,
+    "orders_cube_stats": ORDERS_CUBE_SQL,
     "running_revenue_per_customer": RUNNING_REVENUE_SQL,
     "supplier_region_stats": SUPPLIER_REGION_SQL,
     "events_hourly_stats": EVENTS_HOURLY_SQL,
