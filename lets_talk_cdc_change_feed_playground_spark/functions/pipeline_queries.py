@@ -676,6 +676,50 @@ def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    4× storage/bandwidth shrink before shipping vectors to an ANN index.
+
+    Per-vector scale = max(|x|)/127 (0-vectors keep scale 0 and quantize to
+    all zeros); codes are round-half-up clamped to [-127, 127]. The output
+    reports the codes plus reconstruction error so the quantization loss is
+    itself judged. One projection pass — scan-speed at any scale."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = F.round(amax / F.lit(127.0), 9)
+    q = e.select("vec_id", "v", scale.alias("scale"))
+    codes = F.transform(
+        "v",
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / F.col("scale"), 0).cast("int")),
+            )
+        ),
+    )
+    out = q.select("vec_id", "scale", codes.alias("codes"), "v")
+    err = F.aggregate(
+        F.zip_with(
+            "codes",
+            "v",
+            lambda c, x: (c.cast("double") * F.col("scale") - x)
+            * (c.cast("double") * F.col("scale") - x),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + F.abs(c)).alias(
+            "code_l1"
+        ),
+        F.round(F.sqrt(err), 6).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
 def emb_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: vectors whose cosine to an earlier vector
     is ≥ 0.98 are duplicates of it. Candidates come from the same
@@ -901,9 +945,34 @@ FROM a2 GROUP BY cid ORDER BY cluster_id
 """
 
 
+_INT8_SQL = """
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v,
+         round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale
+  FROM vecs
+),
+c AS (
+  SELECT vec_id, scale, v,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+             ELSE greatest(-127, least(127, CAST(round(x / scale, 0) AS INT))) END) AS codes
+  FROM q
+)
+SELECT vec_id, scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(codes, cc -> CAST(abs(cc) AS BIGINT))), (a, x) -> a + x) AS code_l1,
+       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_zip(codes, v),
+               p -> (CAST(p[1] AS DOUBLE)*scale - p[2])*(CAST(p[1] AS DOUBLE)*scale - p[2]))),
+           (a, x) -> a + x)), 6) AS recon_err
+FROM c ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "docs_pii_scrub": docs_pii_scrub,
     "emb_kmeans_cells": emb_kmeans_cells,
+    "emb_int8_quantize": emb_int8_quantize,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_clean_corpus": docs_clean_corpus,
     "docs_minhash_dedup": docs_minhash_dedup,
@@ -963,6 +1032,7 @@ ORDER BY doc_id
 ORACLE = {
     "docs_pii_scrub": _PII_SQL,
     "emb_kmeans_cells": _KMEANS_SQL,
+    "emb_int8_quantize": _INT8_SQL,
     "docs_exact_dedup": f"""
 SELECT doc_id, content_hash,
        min(doc_id) OVER (PARTITION BY content_hash) AS keeper_doc_id,

@@ -147,3 +147,19 @@ def test_kernels_match_catalyst_twins(spark, sf_dir):
         "th", K.distinct_token_hashes_kernel(F.col("norm")).alias("dk")
     ).collect()
     assert all(set(r["th"]) == set(r["dk"]) for r in rows)
+
+
+def test_kmeans_cells_partition_corpus(spark, sf_dir):
+    """Lloyd cells partition the corpus: populations sum to |corpus|, inertia
+    is finite and non-negative, cluster ids come from the seed range."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        K_IVF,
+        emb_kmeans_cells,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    rows = emb_kmeans_cells(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    assert all(0 <= r["cluster_id"] < K_IVF for r in rows)
+    assert all(r["mean_dist2"] >= 0 for r in rows)
