@@ -676,6 +676,34 @@ def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the mixing step of a training-data
+    pipeline: per-(lang, source) strata get different keep rates (en kept at
+    80%, everything else at 30%, src0 always boosted to 100%), decided by the
+    reference's 31-multiplier hash of the doc id so the sample is stable
+    across runs and engines — never ``rand()``. Output is the per-stratum
+    audit: population, kept count, realized rate vs target rate."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31
+
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", F.lit(100))
+        .when(F.col("lang") == "en", F.lit(80))
+        .otherwise(F.lit(30))
+    )
+    keep = hash31(F.col("doc_id").cast("string"), 100) < rate
+    return (
+        d.select("lang", "source", rate.alias("target_pct"), keep.cast("int").alias("kept"))
+        .groupBy("lang", "source", "target_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") * 100.0 / F.count(F.lit(1)), 2).alias("realized_pct"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the standard
     4× storage/bandwidth shrink before shipping vectors to an ANN index.
@@ -969,8 +997,32 @@ FROM c ORDER BY vec_id
 """
 
 
+def _stratified_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+        hash31_sql,
+    )
+
+    h = hash31_sql("CAST(doc_id AS VARCHAR)", 100)
+    return f"""
+WITH d AS (
+  SELECT lang, source,
+         CASE WHEN source = 'src0' THEN 100
+              WHEN lang = 'en' THEN 80 ELSE 30 END AS target_pct,
+         CASE WHEN ({h}) < CASE WHEN source = 'src0' THEN 100
+              WHEN lang = 'en' THEN 80 ELSE 30 END THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, source, target_pct,
+       count(*) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(sum(kept) * 100.0 / count(*), 2) AS realized_pct
+FROM d GROUP BY lang, source, target_pct ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "docs_pii_scrub": docs_pii_scrub,
+    "docs_stratified_sample": docs_stratified_sample,
     "emb_kmeans_cells": emb_kmeans_cells,
     "emb_int8_quantize": emb_int8_quantize,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1031,6 +1083,7 @@ ORDER BY doc_id
 
 ORACLE = {
     "docs_pii_scrub": _PII_SQL,
+    "docs_stratified_sample": _stratified_sql(),
     "emb_kmeans_cells": _KMEANS_SQL,
     "emb_int8_quantize": _INT8_SQL,
     "docs_exact_dedup": f"""

@@ -179,7 +179,44 @@ def cdc_event_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 batch — assemble transactions from delivered bus events
+    (``web/App.tsx:2115-2156`` buffers by txnId until index/total complete).
+
+    Per transaction: expected vs received counts under the 5% deterministic
+    drop rate, completeness, first/last delivery tick, and assembly wait
+    (last delivery tick minus commit). Incomplete (torn) transactions are
+    exactly the ones the apply-on-commit barrier must hold back — this query
+    is the batch spec the streaming ``streaming/txn.py`` state op replays."""
+    bus = pg.bus_feed(spark, sf_dir)
+    delivered = bus.filter(~F.col("dropped"))
+    return (
+        delivered.groupBy("tx_id")
+        .agg(
+            F.max("tx_total").alias("expected"),
+            F.count(F.lit(1)).alias("received"),
+            F.min("delivery_ts").alias("first_tick"),
+            F.max("delivery_ts").alias("last_tick"),
+            F.max("commit_ts").alias("commit_ts"),
+        )
+        .select(
+            "tx_id",
+            "expected",
+            "received",
+            (F.col("received") == F.col("expected")).alias("complete"),
+            "first_tick",
+            "last_tick",
+            F.when(
+                F.col("received") == F.col("expected"),
+                F.col("last_tick") - F.col("commit_ts"),
+            ).alias("assembly_wait_ms"),
+        )
+        .orderBy("tx_id")
+    )
+
+
 QUERIES = {
+    "cdc_txn_assembly": cdc_txn_assembly,
     "cdc_bus_partitions": cdc_bus_partitions,
     "cdc_bus_drops": cdc_bus_drops,
     "cdc_apply_on_commit": cdc_apply_on_commit,
@@ -193,6 +230,19 @@ QUERIES = {
 _PCT = int(pg.DROP_P * 100)
 
 ORACLE = {
+    "cdc_txn_assembly": _with(_bus_sql(_PCT))
+    + """
+SELECT tx_id,
+       max(tx_total) AS expected,
+       count(*) AS received,
+       count(*) = max(tx_total) AS complete,
+       min(delivery_ts) AS first_tick,
+       max(delivery_ts) AS last_tick,
+       CASE WHEN count(*) = max(tx_total)
+            THEN max(delivery_ts) - max(commit_ts) END AS assembly_wait_ms
+FROM bus WHERE NOT dropped
+GROUP BY tx_id ORDER BY tx_id
+""",
     "cdc_bus_partitions": _with(_bus_sql(_PCT)) + "SELECT * FROM bus",
     "cdc_bus_drops": _with(_bus_sql(_PCT))
     + """
