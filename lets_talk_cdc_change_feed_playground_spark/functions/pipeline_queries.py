@@ -840,6 +840,79 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_ROUNDS = 3  # bounded min-label propagation rounds (see docstring)
+
+
+def docs_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph — the iterative step a
+    dedup pipeline needs when duplicate pairs chain (A≈B, B≈C ⇒ one group
+    even if A and C never collide).
+
+    Edges = exact-dup pairs (same content hash) ∪ n-gram-jaccard near-dup
+    pairs; ``CC_ROUNDS`` rounds of min-label propagation (each: one
+    groupBy-min over neighbors + one join back) assign every doc the
+    smallest doc_id reachable within that many hops. Bounded rounds instead
+    of loop-until-fixpoint keeps the plan static and both engines
+    bit-identical; near-dup clusters are star/clique shaped (a leader
+    collides with most members), so 3 hops covers real chains — at scale
+    this is the standard large-star/small-star iteration, one extra round
+    per doubling of chain diameter."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    d = _docs_t(spark, sf_dir)
+
+    def build_edges() -> DataFrame:
+        h = d.select("doc_id", F.md5("norm").alias("ch"))
+        m = F.min("doc_id").over(W.partitionBy("ch"))
+        exact = (
+            h.select("doc_id", m.alias("m"))
+            .filter(F.col("doc_id") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
+        )
+        near = docs_ngram_jaccard(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        e1 = exact.unionByName(near)
+        return e1.unionByName(
+            e1.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+
+    # Each propagation round joins the edge list again; without session
+    # persistence every round would re-run the whole pair derivation
+    # (the n-gram block join) — the edge frame is tiny relative to it.
+    und = shared_df(spark, ("dedup_edges", sf_dir), build_edges)
+
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for i in range(CC_ROUNDS):
+        nbr = (
+            und.join(labels, und["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        if i < CC_ROUNDS - 1:
+            # Iterative lineage truncation — without it round N re-executes
+            # rounds 1..N-1 (the standard Spark iterative-algorithm pattern;
+            # a cluster deployment uses checkpoint() to reliable storage).
+            labels = labels.localCheckpoint(eager=True)
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("component_id")
+    )
+
+
 QUALITY_MIN_NUM = 45  # quality >= 0.45, held as exact integer hundredths
 
 
@@ -1020,9 +1093,53 @@ FROM d GROUP BY lang, source, target_pct ORDER BY lang, source
 """
 
 
+def _components_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, CC_ROUNDS + 1):
+        rounds.append(
+            f"""nbr{i} AS (
+  SELECT e.a AS doc_id, min(p.label) AS nl
+  FROM und e JOIN {prev} p ON e.b = p.doc_id GROUP BY e.a
+),
+l{i} AS (
+  SELECT p.doc_id, least(p.label, coalesce(n.nl, p.label)) AS label
+  FROM {prev} p LEFT JOIN nbr{i} n ON p.doc_id = n.doc_id
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH {DOCS_T_SQL},
+ch AS (SELECT doc_id, md5(norm) AS ch FROM docs_t),
+exact_pairs AS (
+  SELECT m AS a, doc_id AS b FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY ch) AS m FROM ch
+  ) WHERE doc_id <> m
+),
+s AS (
+  SELECT doc_id, lang, source,
+         list_distinct([th[i]*{T.TOKEN_HASH_PRIME} + th[i+1] for i in range(1, len(th))]) AS sh
+  FROM (SELECT doc_id, lang, source, {TOKEN_HASHES_SQL} AS th FROM docs_t)
+),
+s2 AS (SELECT * FROM s WHERE len(sh) > 0),
+near_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s2 a JOIN s2 b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) * 21 >= len(a.sh) + len(b.sh)
+),
+e1 AS (SELECT * FROM exact_pairs UNION SELECT * FROM near_pairs),
+und AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+l0 AS (SELECT doc_id, doc_id AS label FROM docs_t),
+{",".join(rounds)}
+SELECT label AS component_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
+FROM {prev} GROUP BY label ORDER BY component_id
+"""
+
+
 QUERIES = {
     "docs_pii_scrub": docs_pii_scrub,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_dedup_components": docs_dedup_components,
     "emb_kmeans_cells": emb_kmeans_cells,
     "emb_int8_quantize": emb_int8_quantize,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1084,6 +1201,7 @@ ORDER BY doc_id
 ORACLE = {
     "docs_pii_scrub": _PII_SQL,
     "docs_stratified_sample": _stratified_sql(),
+    # docs_dedup_components assigned below the DOCS_T_SQL/TOKEN_HASHES_SQL defs
     "emb_kmeans_cells": _KMEANS_SQL,
     "emb_int8_quantize": _INT8_SQL,
     "docs_exact_dedup": f"""
@@ -1251,6 +1369,8 @@ SELECT lang, source, doc_a, doc_b, isz / CAST(ssz - isz AS DOUBLE) AS jaccard
 FROM p WHERE isz * 21 >= ssz
 ORDER BY lang, source, doc_a, doc_b
 """
+
+ORACLE["docs_dedup_components"] = _components_sql()
 
 ORACLE["emb_cosine_dedup"] = f"""
 WITH n AS (
