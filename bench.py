@@ -83,6 +83,7 @@ def main() -> int:
                 _docs_t,
                 _signatures,
                 _simhash_frame,
+                docs_dedup_components,
             )
 
             for df in (
@@ -100,6 +101,7 @@ def main() -> int:
                 _docs_t(spark, sf_dir),
                 _signatures(spark, sf_dir),
                 _simhash_frame(spark, sf_dir),
+                docs_dedup_components(spark, sf_dir),  # stages the edge frame
             ):
                 df.write.format("noop").mode("overwrite").save()
         except Exception as e:
