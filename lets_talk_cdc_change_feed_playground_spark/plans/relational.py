@@ -363,6 +363,50 @@ GROUP BY ROLLUP (p_type, p_brand)
 
 
 # --------------------------------------------------------------------------
+# Rolling 30-day spend per customer — a VALUE-RANGE window frame (every other
+# window in the surface is row- or partition-framed). Partitioned by customer,
+# ordered by epoch day, RANGE [-30, 0]: late/sparse order histories get the
+# true trailing-month sum, not a fixed row count. Scale: partitions are
+# per-customer (small, many) — no unpartitioned window anywhere.
+# --------------------------------------------------------------------------
+def orders_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "o_totalprice",
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2)
+        .cast("double")
+        .alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    ).orderBy("o_custkey", "day", "o_orderkey")
+
+
+ORDERS_ROLLING_SQL = """
+SELECT o_custkey, o_orderkey,
+       epoch_ms(o_orderdate) // 86400000 AS day,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w, 2) AS DOUBLE) AS spend_30d,
+       count(*) OVER w AS orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY (epoch_ms(o_orderdate) // 86400000)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, day, o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Orders cube — all four grouping combinations of (status, priority) in one
 # pass (completes the rollup/pivot/cube trio). Scale: cube expands to 4
 # grouping sets map-side; partial aggregation still applies per set.
@@ -1634,6 +1678,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "part_type_rollup": part_type_rollup,
     "orders_cube_stats": orders_cube_stats,
+    "orders_rolling_spend": orders_rolling_spend,
     "running_revenue_per_customer": running_revenue_per_customer,
     "supplier_region_stats": supplier_region_stats,
     "events_hourly_stats": events_hourly_stats,
@@ -1677,6 +1722,7 @@ ORACLE = {
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "part_type_rollup": PART_ROLLUP_SQL,
     "orders_cube_stats": ORDERS_CUBE_SQL,
+    "orders_rolling_spend": ORDERS_ROLLING_SQL,
     "running_revenue_per_customer": RUNNING_REVENUE_SQL,
     "supplier_region_stats": SUPPLIER_REGION_SQL,
     "events_hourly_stats": EVENTS_HOURLY_SQL,
