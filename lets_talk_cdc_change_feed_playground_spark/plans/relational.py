@@ -1530,6 +1530,96 @@ GROUP BY window_start ORDER BY window_start
 
 
 # --------------------------------------------------------------------------
+# Retention cohorts — users grouped by first-seen day, survival counted at
+# each day offset. Two aggregations over one scan: distinct (user, day)
+# activity, then a broadcast-joined cohort floor. Scale: both groupBys key on
+# user/day — no window, no driver loop.
+# --------------------------------------------------------------------------
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    activity = ev.distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_users"))
+    ret = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "active_users",
+            "cohort_users",
+            F.round(F.col("active_users") * 100.0 / F.col("cohort_users"), 2).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id),
+sizes AS (SELECT cohort_day, count(*) AS cohort_users FROM cohort GROUP BY cohort_day),
+ret AS (
+  SELECT cohort_day, a.day - cohort_day AS day_offset, count(*) AS active_users
+  FROM activity a JOIN cohort USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, active_users, cohort_users,
+       round(active_users * 100.0 / cohort_users, 2) AS retention_pct
+FROM ret JOIN sizes USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# Part co-order affinity — the canonical pair-explosion shuffle, mitigated:
+# (a) per-order part lists dedup to distinct parts, (b) only parts appearing
+# in >= 5 orders enter the self-join (a frequency prefilter bounds the pair
+# space the way minhash banding bounds candidate pairs), (c) the global top-k
+# is a distributed TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+def parts_coorder_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    hot = freq.filter(F.col("n_orders") >= 5).select("l_partkey")
+    lih = li.join(F.broadcast(hot), "l_partkey")
+    a = lih.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = lih.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_coorders"))
+    )
+    return pairs.orderBy(
+        F.col("n_coorders").desc(), "pa", "pb"
+    ).limit(25)
+
+
+PARTS_COORDER_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+hot AS (SELECT l_partkey FROM li GROUP BY l_partkey HAVING count(*) >= 5),
+lih AS (SELECT li.* FROM li JOIN hot USING (l_partkey)),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_coorders
+  FROM lih a JOIN lih b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT pa, pb, n_coorders FROM pairs ORDER BY n_coorders DESC, pa, pb LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
 # S3 snapshot read: a table state becomes the INSERT event stream that
 # precedes the tail (tx_id = snapshot-<pk>), with a dense snapshot LSN via
 # the two-phase sequence (never a single-task global row_number).
@@ -1705,6 +1795,8 @@ QUERIES = {
     "q11_important_supply": q11_important_supply,
     "q20_promo_suppliers": q20_promo_suppliers,
     "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
+    "parts_coorder_affinity": parts_coorder_affinity,
     "events_hopping_stats": events_hopping_stats,
     "cdc_snapshot_read": cdc_snapshot_read,
 }
@@ -1749,6 +1841,8 @@ ORACLE = {
     "q11_important_supply": Q11_SQL,
     "q20_promo_suppliers": Q20_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
+    "parts_coorder_affinity": PARTS_COORDER_SQL,
     "events_hopping_stats": EVENTS_HOPPING_SQL,
     "cdc_snapshot_read": CDC_SNAPSHOT_SQL,
 }
