@@ -196,12 +196,69 @@ ORDER BY hour, event_type
 )
 
 
+def stream_polling_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 as a streaming job — the subtlest engine semantics hash-checked:
+    the per-key soft-delete row store lives in keyed state, and a key's
+    poll-window event is emitted only when a later-window op proves the
+    clock passed the boundary (the reference's ``lastSync`` behaviour), so
+    each key's final window stays pending forever. The oracle is therefore
+    the batch polling lane MINUS each key's last-op window — expressed
+    directly in SQL, not by replaying chunk boundaries."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.polling import (
+        polling_capture_stream,
+    )
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ops_chunks(spark, sf_dir))
+    )
+    polls = _run_to_table(
+        polling_capture_stream(src, include_soft_deletes=True), "append"
+    )
+    return polls.select(
+        "poll_ts_ms",
+        "op",
+        "pk",
+        "after_event_type",
+        "after_value",
+        "after_props",
+        "ts_ms",
+        "tx_id",
+        "method",
+    ).orderBy("poll_ts_ms", "pk")
+
+
+def _stream_poll_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import (
+        POLL_STATE_SQL,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import POLL_MS
+
+    return (
+        "WITH "
+        + OPS_SQL
+        + ","
+        + POLL_STATE_SQL
+        + f"""
+SELECT p.poll_ts_ms, p.op, p.pk, p.after_event_type, p.after_value,
+       p.after_props, p.ts_ms, p.tx_id, p.method
+FROM polled_soft p
+JOIN (SELECT pk, max(t // {POLL_MS}) AS lw FROM src GROUP BY pk) l USING (pk)
+WHERE p.poll_ts_ms // {POLL_MS} - 1 < l.lw
+ORDER BY p.poll_ts_ms, p.pk
+"""
+    )
+
+
 QUERIES = {
     "stream_log_capture": stream_log_capture,
     "stream_hourly_stats": stream_hourly_stats,
+    "stream_polling_capture": stream_polling_capture,
 }
 
 ORACLE = {
     "stream_log_capture": STREAM_LOG_SQL,
     "stream_hourly_stats": STREAM_HOURLY_SQL,
+    "stream_polling_capture": _stream_poll_sql(),
 }
