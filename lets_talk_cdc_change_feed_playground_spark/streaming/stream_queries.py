@@ -251,14 +251,78 @@ ORDER BY p.poll_ts_ms, p.pk
     )
 
 
+def stream_trigger_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 as a streaming job — completes the capture-engine trio in both
+    execution modes: the audit trigger emits synchronously per op with
+    ``commit_ts = t + overhead`` and the trigger before-image rules (deleted
+    rows keep data, updates revive). Keyed state carries the row image so
+    before-images survive micro-batch boundaries. Oracle = the batch audit
+    lane minus ``audit_seq``/``emitted_at_ms``, which belong to the extract
+    schedule, not the capture semantics."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.polling import (
+        trigger_capture_stream,
+    )
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ops_chunks(spark, sf_dir))
+    )
+    audit = _run_to_table(trigger_capture_stream(src), "append")
+    return audit.select(
+        "seq",
+        "op",
+        "pk",
+        "before_event_type",
+        "before_value",
+        "before_props",
+        "after_event_type",
+        "after_value",
+        "after_props",
+        "commit_ts_ms",
+        "tx_id",
+        "method",
+    ).orderBy("seq")
+
+
+def _stream_trigger_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+        OVERHEAD_MS,
+    )
+
+    return (
+        "WITH "
+        + OPS_SQL
+        + f"""
+SELECT seq,
+       CASE op WHEN 'insert' THEN 'c' WHEN 'update' THEN 'u' ELSE 'd' END AS op,
+       pk,
+       CASE WHEN op = 'insert' THEN NULL ELSE last_value(CASE WHEN op <> 'delete' THEN event_type END IGNORE NULLS) OVER wprev END AS before_event_type,
+       CASE WHEN op = 'insert' THEN NULL ELSE last_value(CASE WHEN op <> 'delete' THEN value END IGNORE NULLS) OVER wprev END AS before_value,
+       CASE WHEN op = 'insert' THEN NULL ELSE last_value(CASE WHEN op <> 'delete' THEN props END IGNORE NULLS) OVER wprev END AS before_props,
+       CASE WHEN op <> 'delete' THEN event_type END AS after_event_type,
+       CASE WHEN op <> 'delete' THEN value END AS after_value,
+       CASE WHEN op <> 'delete' THEN props END AS after_props,
+       t + {OVERHEAD_MS} AS commit_ts_ms,
+       'tx-' || (t + {OVERHEAD_MS}) AS tx_id,
+       'trigger' AS method
+FROM src
+WINDOW wprev AS (PARTITION BY pk ORDER BY t, seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+ORDER BY seq
+"""
+    )
+
+
 QUERIES = {
     "stream_log_capture": stream_log_capture,
     "stream_hourly_stats": stream_hourly_stats,
     "stream_polling_capture": stream_polling_capture,
+    "stream_trigger_capture": stream_trigger_capture,
 }
 
 ORACLE = {
     "stream_log_capture": STREAM_LOG_SQL,
     "stream_hourly_stats": STREAM_HOURLY_SQL,
     "stream_polling_capture": _stream_poll_sql(),
+    "stream_trigger_capture": _stream_trigger_sql(),
 }
