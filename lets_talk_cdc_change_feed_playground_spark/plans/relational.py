@@ -1530,6 +1530,86 @@ GROUP BY window_start ORDER BY window_start
 
 
 # --------------------------------------------------------------------------
+# Point-in-time as-of join — the feature-store primitive: each event gets the
+# user's most recent order AS OF the event time (never a later one — label
+# leakage is the bug this join exists to prevent). Implemented the
+# scale-correct way: union both streams into one per-user timeline and take
+# a running last_value(ignore nulls) — ONE window pass, no per-key range
+# join, no pair explosion. DuckDB expresses the same thing with row_number
+# over the inequality join (and has native ASOF JOIN).
+# --------------------------------------------------------------------------
+def events_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("tie"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("tie"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        W.partitionBy("uid")
+        .orderBy("t", "kind", "tie")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    def last_of(c):
+        return F.last(F.when(F.col("kind") == 0, F.col(c)), ignorenulls=True).over(w)
+
+    tl = o.unionByName(e).select(
+        "*",
+        last_of("o_orderkey").alias("asof_orderkey"),
+        last_of("o_totalprice").alias("asof_totalprice"),
+        last_of("t").alias("asof_t"),
+    )
+    return (
+        tl.filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            F.col("uid").alias("user_id"),
+            "event_type",
+            "asof_orderkey",
+            "asof_totalprice",
+            F.expr("(t - asof_t) div 86400000").alias("days_since_order"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS t FROM events
+),
+o AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, epoch_ms(o_orderdate) AS t FROM orders
+),
+m AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice, o.t AS ot,
+         row_number() OVER (PARTITION BY e.event_id ORDER BY o.t DESC, o.o_orderkey DESC) AS rn
+  FROM e JOIN o ON e.user_id = o.o_custkey AND o.t <= e.t
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       m.o_orderkey AS asof_orderkey,
+       m.o_totalprice AS asof_totalprice,
+       (e.t - m.ot) // 86400000 AS days_since_order
+FROM e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+ORDER BY e.event_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Retention cohorts — users grouped by first-seen day, survival counted at
 # each day offset. Two aggregations over one scan: distinct (user, day)
 # activity, then a broadcast-joined cohort floor. Scale: both groupBys key on
@@ -1796,6 +1876,7 @@ QUERIES = {
     "q20_promo_suppliers": q20_promo_suppliers,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
+    "events_asof_features": events_asof_features,
     "parts_coorder_affinity": parts_coorder_affinity,
     "events_hopping_stats": events_hopping_stats,
     "cdc_snapshot_read": cdc_snapshot_read,
@@ -1842,6 +1923,7 @@ ORACLE = {
     "q20_promo_suppliers": Q20_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
+    "events_asof_features": EVENTS_ASOF_SQL,
     "parts_coorder_affinity": PARTS_COORDER_SQL,
     "events_hopping_stats": EVENTS_HOPPING_SQL,
     "cdc_snapshot_read": CDC_SNAPSHOT_SQL,
