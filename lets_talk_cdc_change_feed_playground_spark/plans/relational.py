@@ -1530,6 +1530,83 @@ GROUP BY window_start ORDER BY window_start
 
 
 # --------------------------------------------------------------------------
+# Anomaly windows — two classic patterns composed: gaps-and-islands merges
+# consecutive above-threshold hours into intervals, then a BUCKETED interval
+# join (explode each island into its hour buckets, equi-join events on
+# (type, hour)) counts the events inside each window. The bucket explode is
+# the scale-correct range-join strategy: candidate pairs are bounded by
+# interval length, never |events| × |intervals|.
+# --------------------------------------------------------------------------
+def events_anomaly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    avg = hourly.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("n").cast(_DEC)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_n")
+    )
+    anom = hourly.join(F.broadcast(avg), "event_type").filter(
+        F.col("n") * 2 > F.col("avg_n") * 3
+    )
+    wt = W.partitionBy("event_type").orderBy("h")
+    islands = (
+        anom.withColumn("grp", F.col("h") - F.row_number().over(wt))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("h").alias("start_h"),
+            F.max("h").alias("end_h"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .drop("grp")
+    )
+    buckets = islands.select(
+        "event_type",
+        "start_h",
+        "end_h",
+        "n_hours",
+        F.explode(F.sequence("start_h", "end_h")).alias("h"),
+    )
+    return (
+        buckets.join(ev, ["event_type", "h"])
+        .groupBy("event_type", "start_h", "end_h", "n_hours")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "start_h")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h FROM events
+),
+hourly AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+avg_n AS (
+  SELECT event_type,
+         round(CAST(sum(CAST(n AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_n
+  FROM hourly GROUP BY 1
+),
+anom AS (
+  SELECT hourly.* FROM hourly JOIN avg_n USING (event_type) WHERE n * 2 > avg_n * 3
+),
+islands AS (
+  SELECT event_type, min(h) AS start_h, max(h) AS end_h, count(*) AS n_hours
+  FROM (SELECT *, h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp FROM anom)
+  GROUP BY event_type, grp
+),
+buckets AS (
+  SELECT event_type, start_h, end_h, n_hours, unnest(generate_series(start_h, end_h)) AS h
+  FROM islands
+)
+SELECT event_type, start_h, end_h, n_hours, count(*) AS n_events
+FROM buckets JOIN ev USING (event_type, h)
+GROUP BY 1, 2, 3, 4
+ORDER BY event_type, start_h
+"""
+
+
+# --------------------------------------------------------------------------
 # Point-in-time as-of join — the feature-store primitive: each event gets the
 # user's most recent order AS OF the event time (never a later one — label
 # leakage is the bug this join exists to prevent). Implemented the
@@ -1877,6 +1954,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_asof_features": events_asof_features,
+    "events_anomaly_windows": events_anomaly_windows,
     "parts_coorder_affinity": parts_coorder_affinity,
     "events_hopping_stats": events_hopping_stats,
     "cdc_snapshot_read": cdc_snapshot_read,
@@ -1924,6 +2002,7 @@ ORACLE = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_asof_features": EVENTS_ASOF_SQL,
+    "events_anomaly_windows": EVENTS_ANOMALY_SQL,
     "parts_coorder_affinity": PARTS_COORDER_SQL,
     "events_hopping_stats": EVENTS_HOPPING_SQL,
     "cdc_snapshot_read": CDC_SNAPSHOT_SQL,
