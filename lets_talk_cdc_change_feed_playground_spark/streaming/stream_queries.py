@@ -313,11 +313,71 @@ ORDER BY seq
     )
 
 
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/A1 as a streaming job — the MERGE sink materialization
+    hash-checked: the chunked ops stream runs through the keyed-state log
+    capture into the ``foreachBatch`` upsert sink (versioned-parquet MERGE, a
+    miniature of Delta commit versioning, idempotent per batch); the sink's
+    final table must equal the batch replay fold of the full WAL."""
+    import tempfile as _tf
+
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply import (
+        UpsertSink,
+    )
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ops_chunks(spark, sf_dir))
+    )
+    sink = UpsertSink(spark, _tf.mkdtemp(prefix="sg_upsert_store_"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            log_capture_stream(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        sink.current()
+        .select("pk", "event_type", "value", "props")
+        .orderBy("pk")
+    )
+
+
+def _stream_upsert_sql() -> str:
+    return (
+        "WITH "
+        + OPS_SQL
+        + """
+SELECT pk,
+       CASE WHEN op <> 'delete' THEN event_type END AS event_type,
+       CASE WHEN op <> 'delete' THEN value END AS value,
+       CASE WHEN op <> 'delete' THEN props END AS props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY t DESC, seq DESC) AS rn
+  FROM src
+)
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""
+    )
+
+
 QUERIES = {
     "stream_log_capture": stream_log_capture,
     "stream_hourly_stats": stream_hourly_stats,
     "stream_polling_capture": stream_polling_capture,
     "stream_trigger_capture": stream_trigger_capture,
+    "stream_upsert_sink": stream_upsert_sink,
 }
 
 ORACLE = {
@@ -325,4 +385,5 @@ ORACLE = {
     "stream_hourly_stats": STREAM_HOURLY_SQL,
     "stream_polling_capture": _stream_poll_sql(),
     "stream_trigger_capture": _stream_trigger_sql(),
+    "stream_upsert_sink": _stream_upsert_sql(),
 }
