@@ -840,6 +840,41 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rule family): duplicate-word
+    and duplicate-bigram fractions plus the top single word's share of the
+    document, with an exact-integer repetition flag (10·dups > 3·tokens —
+    no float-boundary ambiguity between engines). All array expressions in
+    one projection — no shuffle, scan-speed at any scale."""
+    d = _docs_t(spark, sf_dir).filter(F.size("toks") > 1)
+    n = F.size("toks")
+    nd = F.size(F.array_distinct("toks"))
+    # slice element i (0-based lambda index) pairs with toks[i + 1] (Spark's
+    # [] indexing is 0-based; the DuckDB twin uses its 1-based comprehension)
+    bi = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1), (t, i) -> t || ' ' || toks[i + 1])"
+    )
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter("toks", lambda x: x == t)),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            (n - nd).alias("dup_words"),
+            F.round((n - nd) / n.cast("double"), 4).alias("dup_word_frac"),
+            (F.size(bi) - F.size(F.array_distinct(bi))).alias("dup_bigrams"),
+            top.alias("top_word_count"),
+            F.round(top / n.cast("double"), 4).alias("top_word_frac"),
+            ((n - nd) * 10 > n * 3).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 CC_ROUNDS = 3  # bounded min-label propagation rounds (see docstring)
 
 
@@ -1139,6 +1174,7 @@ FROM {prev} GROUP BY label ORDER BY component_id
 QUERIES = {
     "docs_pii_scrub": docs_pii_scrub,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_repetition_stats": docs_repetition_stats,
     "docs_dedup_components": docs_dedup_components,
     "emb_kmeans_cells": emb_kmeans_cells,
     "emb_int8_quantize": emb_int8_quantize,
@@ -1371,6 +1407,24 @@ ORDER BY lang, source, doc_a, doc_b
 """
 
 ORACLE["docs_dedup_components"] = _components_sql()
+
+ORACLE["docs_repetition_stats"] = f"""
+WITH {DOCS_T_SQL},
+d AS (
+  SELECT doc_id, toks,
+         [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bi
+  FROM docs_t WHERE len(toks) > 1
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(toks) - len(list_distinct(toks)) AS dup_words,
+       round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4) AS dup_word_frac,
+       len(bi) - len(list_distinct(bi)) AS dup_bigrams,
+       list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS top_word_count,
+       round(list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) / CAST(len(toks) AS DOUBLE), 4) AS top_word_frac,
+       (len(toks) - len(list_distinct(toks))) * 10 > len(toks) * 3 AS repetitive
+FROM d ORDER BY doc_id
+"""
 
 ORACLE["emb_cosine_dedup"] = f"""
 WITH n AS (
