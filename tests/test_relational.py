@@ -99,3 +99,20 @@ def test_q20_part_prefilter_broadcasts(spark, sf_dir):
     plan = R.q20_promo_suppliers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_asof_join_is_single_window_pass(spark, sf_dir):
+    """The point-in-time join must be the union-timeline single window —
+    no range join, no cartesian product."""
+    plan = R.events_asof_features(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_anomaly_windows_no_cartesian(spark, sf_dir):
+    """The interval join goes through exploded hour buckets (equi-join),
+    never an inequality-only join."""
+    plan = R.events_anomaly_windows(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
