@@ -509,6 +509,52 @@ def cdc_replay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table", "pk")
 
 
+def cdc_multitable_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 across tables — the topic-per-table model (``dbserver1.public.
+    <table>``): the ops feed splits into per-event-type tables, each table's
+    WAL gets its own dense LSN (per-topic offsets are independent in Kafka;
+    ``src/domain/types.ts:39-55`` carries topic+offset per event). The LSN is
+    the two-phase bucketed sequence partitioned BY TABLE — a global sequence
+    across tables would serialize unrelated topics at scale."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_global_seq,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    ops = ev.select(
+        F.col("event_type").alias("tbl"),
+        F.col("event_id").alias("seq"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"),
+        F.col("user_id").cast("string").alias("pk"),
+        "value",
+    )
+    wal = with_global_seq(
+        ops, F.expr("t div 3600000"), ["t", "seq"], out_col="lsn",
+        partition_cols=("tbl",),
+    )
+    return wal.select(
+        "tbl",
+        "lsn",
+        F.concat(F.lit("dbserver1.public."), F.col("tbl")).alias("topic"),
+        "pk",
+        F.col("t").alias("ts_ms"),
+        "value",
+    ).orderBy("tbl", "lsn")
+
+
+CDC_MULTITABLE_SQL = """
+SELECT event_type AS tbl,
+       row_number() OVER (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id) AS lsn,
+       'dbserver1.public.' || event_type AS topic,
+       CAST(user_id AS VARCHAR) AS pk,
+       epoch_ms(ts) AS ts_ms,
+       value
+FROM events
+ORDER BY tbl, lsn
+"""
+
+
 def cdc_debezium_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 — Debezium envelope parsing on Kafka-shaped records. Events become
     ``(topic, key, value)`` rows with a real JSON envelope (via ``to_json``),
@@ -676,6 +722,7 @@ QUERIES = {
     "cdc_backlog_timeline": cdc_backlog_timeline,
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_replay_fold": cdc_replay_fold,
+    "cdc_multitable_capture": cdc_multitable_capture,
     "cdc_debezium_parse": cdc_debezium_parse,
     "cdc_value_coercion": cdc_value_coercion,
     "cdc_harness_history": cdc_harness_history,
@@ -990,6 +1037,7 @@ SELECT s.tbl AS "table", s.pk AS pk, s.data_str, u.updated_t
 FROM state s JOIN upd u ON s.tbl = u.tbl AND s.pk = u.pk
 ORDER BY s.tbl, s.pk
 """,
+    "cdc_multitable_capture": CDC_MULTITABLE_SQL,
     "cdc_debezium_parse": r"""
 SELECT event_type AS tbl,
        CAST(user_id AS VARCHAR) AS pk,
