@@ -49,10 +49,10 @@ def _op_code() -> Column:
     )
 
 
-def _with_after(ops: DataFrame) -> DataFrame:
+def _with_after(ops: DataFrame, payload: tuple[str, ...]) -> DataFrame:
     """after image = full payload for insert/update, NULL for delete."""
     cols = [
-        F.when(F.col("op") != "delete", F.col(c)).alias(f"after_{c}") for c in PAYLOAD
+        F.when(F.col("op") != "delete", F.col(c)).alias(f"after_{c}") for c in payload
     ]
     return ops.select("seq", "t", "pk", "op", *cols)
 
@@ -68,22 +68,28 @@ def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> D
     )
 
 
-def log_capture_ops(ops: DataFrame, fetch_ms: int = FETCH_MS) -> DataFrame:
+def log_capture_ops(
+    ops: DataFrame, fetch_ms: int = FETCH_MS, payload: tuple[str, ...] = PAYLOAD
+) -> DataFrame:
     """C1 — WAL-tail capture: ordered, lossless, with before images.
 
     ``before`` is the previous WAL record's ``after`` for the key (NULL after a
     delete, NULL for inserts) — exactly ``LogEngine.applySourceOp``'s
     ``cur.data`` since the feed carries full row images.
+
+    ``payload`` names the row-image columns: the driver-table trio by default,
+    or e.g. ``("data",)`` with a ``MAP<STRING,STRING>`` column for
+    open-schema scenario ops (the fixture-replay path).
     """
     wpk = W.partitionBy("pk").orderBy("t", "seq")
-    df = _with_after(ops)
+    df = _with_after(ops, payload)
     df = df.select(
         "*",
         *[
             F.when(F.col("op") == "insert", F.lit(None))
             .otherwise(F.lag(f"after_{c}").over(wpk))
             .alias(f"before_{c}")
-            for c in PAYLOAD
+            for c in payload
         ],
     )
     df = with_global_seq(df, F.expr(f"t div {fetch_ms}"), ["t", "seq"], "lsn")
@@ -91,8 +97,8 @@ def log_capture_ops(ops: DataFrame, fetch_ms: int = FETCH_MS) -> DataFrame:
         "lsn",
         _op_code().alias("op"),
         "pk",
-        *[f"before_{c}" for c in PAYLOAD],
-        *[f"after_{c}" for c in PAYLOAD],
+        *[f"before_{c}" for c in payload],
+        *[f"after_{c}" for c in payload],
         F.col("t").alias("ts_ms"),
         F.concat(F.lit("tx-"), F.col("t")).alias("tx_id"),
         ((F.expr(f"t div {fetch_ms}") + 1) * fetch_ms).alias("emitted_at_ms"),
@@ -120,6 +126,7 @@ def polling_capture_ops(
     ops: DataFrame,
     poll_ms: int = POLL_MS,
     include_soft_deletes: bool = False,
+    payload: tuple[str, ...] = PAYLOAD,
 ) -> DataFrame:
     """C2 — query-based capture: per-poll last-write-wins over a soft-delete store.
 
@@ -156,7 +163,7 @@ def polling_capture_ops(
             F.last(F.when(F.col("op") != "delete", F.col(c)), ignorenulls=True)
             .over(wordered)
             .alias(f"data_{c}")
-            for c in PAYLOAD
+            for c in payload
         ],
     )
 
@@ -173,7 +180,7 @@ def polling_capture_ops(
         "pk",
         *[
             F.when(F.col("deleted") == 0, F.col(f"data_{c}")).alias(f"after_{c}")
-            for c in PAYLOAD
+            for c in payload
         ],
         F.col("t").alias("ts_ms"),
         F.concat(F.lit("tx-"), F.col("t")).alias("tx_id"),
@@ -201,6 +208,7 @@ def trigger_capture_ops(
     ops: DataFrame,
     extract_ms: int = EXTRACT_MS,
     overhead_ms: int = OVERHEAD_MS,
+    payload: tuple[str, ...] = PAYLOAD,
 ) -> DataFrame:
     """C3 — audit-table capture: synchronous append with write-path overhead.
 
@@ -214,7 +222,7 @@ def trigger_capture_ops(
     wprev = (
         W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, -1)
     )
-    df = _with_after(ops)
+    df = _with_after(ops, payload)
     df = df.select(
         "*",
         *[
@@ -223,7 +231,7 @@ def trigger_capture_ops(
                 F.last(F.when(F.col("op") != "delete", F.col(f"after_{c}")), ignorenulls=True).over(wprev)
             )
             .alias(f"before_{c}")
-            for c in PAYLOAD
+            for c in payload
         ],
     )
     df = with_global_seq(df, F.expr(f"t div {extract_ms}"), ["t", "seq"], "audit_seq")
@@ -231,8 +239,8 @@ def trigger_capture_ops(
         "audit_seq",
         _op_code().alias("op"),
         "pk",
-        *[f"before_{c}" for c in PAYLOAD],
-        *[f"after_{c}" for c in PAYLOAD],
+        *[f"before_{c}" for c in payload],
+        *[f"after_{c}" for c in payload],
         (F.col("t") + overhead_ms).alias("commit_ts_ms"),
         F.concat(F.lit("tx-"), F.col("t") + overhead_ms).alias("tx_id"),
         ((F.expr(f"t div {extract_ms}") + 1) * extract_ms).alias("emitted_at_ms"),
