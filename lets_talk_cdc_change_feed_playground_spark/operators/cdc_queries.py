@@ -702,6 +702,112 @@ def cdc_scenario_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history built from the WAL.
+
+    The natural downstream product of a lossless change feed
+    (``sim/engines/LogEngine.ts:25-131`` gives exactly the ordered
+    before/after stream SCD2 needs): every non-delete WAL record opens a
+    row version valid from its commit time until the key's next change
+    (delete closes the interval without opening one); the open-ended
+    version is flagged current.
+
+    Scale: one `lead`/running-count window per pk — the same per-key
+    partitioning the session-shared WAL frame already has; no extra
+    shuffle at 100 TB beyond the lane itself.
+    """
+    from pyspark.sql import Window as W
+
+    wal = capture.log_capture(spark, sf_dir)
+    w = W.partitionBy("pk").orderBy("lsn")
+    hist = wal.select(
+        "pk",
+        "lsn",
+        "op",
+        F.col("after_event_type").alias("event_type"),
+        F.col("after_value").alias("value"),
+        F.col("after_props").alias("props"),
+        F.col("ts_ms").alias("valid_from_ms"),
+    ).select(
+        "*",
+        F.sum(F.when(F.col("op") != "d", 1).otherwise(0)).over(w).cast("long").alias("version"),
+        F.lead("valid_from_ms").over(w).alias("valid_to_ms"),
+    )
+    return (
+        hist.filter(F.col("op") != "d")
+        .select(
+            "pk",
+            "version",
+            "event_type",
+            "value",
+            "props",
+            "valid_from_ms",
+            "valid_to_ms",
+            F.col("valid_to_ms").isNull().alias("is_current"),
+        )
+        .orderBy("pk", "version")
+    )
+
+
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed.
+
+    Maintains a per-``event_type`` COUNT/SUM aggregate by applying only the
+    WAL deltas — ``+after`` for the new image, ``-before`` for the replaced
+    one (``src/domain/storage.ts:137-164`` apply semantics turned into
+    group-level arithmetic) — instead of recomputing from the table, then
+    proves convergence against the full replay-fold recompute in the same
+    result.
+
+    Scale: the delta stream is map-side combinable (sum/count over the
+    group key — one small shuffle); this is what keeps a 100 TB derived
+    aggregate fresh with work proportional to the change volume, not the
+    table size. Sums accumulate in decimal so the result is partition-order
+    independent.
+    """
+    dec = "decimal(38,6)"
+    wal = capture.log_capture(spark, sf_dir)
+    after = wal.filter(F.col("after_event_type").isNotNull()).select(
+        F.col("after_event_type").alias("event_type"),
+        F.lit(1).alias("dn"),
+        F.col("after_value").cast(dec).alias("dv"),
+    )
+    before = wal.filter(F.col("before_event_type").isNotNull()).select(
+        F.col("before_event_type").alias("event_type"),
+        F.lit(-1).alias("dn"),
+        (-F.col("before_value").cast(dec)).alias("dv"),
+    )
+    inc = (
+        after.unionByName(before)
+        .groupBy("event_type")
+        .agg(
+            F.sum("dn").cast("long").alias("n_rows"),
+            F.round(F.sum("dv"), 2).cast("double").alias("total_value"),
+        )
+    )
+    state = diffs.replay_state(wal, ["ts_ms", "lsn"])
+    rec = state.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_rec"),
+        F.round(F.sum(F.col("value").cast(dec)), 2).cast("double").alias("total_value_rec"),
+    )
+    return (
+        inc.join(rec, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.coalesce("n_rows_rec", F.lit(0).cast("long")).alias("n_rows_rec"),
+            F.coalesce("total_value_rec", F.lit(0.0)).alias("total_value_rec"),
+        )
+        .withColumn(
+            "converged",
+            (F.col("n_rows") == F.col("n_rows_rec"))
+            & (F.col("total_value") == F.col("total_value_rec")),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -727,6 +833,8 @@ QUERIES = {
     "cdc_value_coercion": cdc_value_coercion,
     "cdc_harness_history": cdc_harness_history,
     "cdc_scenario_filters": cdc_scenario_filters,
+    "cdc_scd2_history": cdc_scd2_history,
+    "cdc_incremental_agg": cdc_incremental_agg,
 }
 
 
@@ -1088,5 +1196,61 @@ WHERE t3 = 'even'
   AND contains(lower(id || ' ' || name || ' ' || description || ' ' || t1 || ' ' || t2 || ' ' || t3), 'blue')
   AND contains(lower(id || ' ' || name || ' ' || description || ' ' || t1 || ' ' || t2 || ' ' || t3), 'bolt')
 ORDER BY id
+""",
+    "cdc_scd2_history": _with(WAL_SQL)
+    + """
+SELECT pk, version, event_type, value, props, valid_from_ms, valid_to_ms, is_current
+FROM (
+  SELECT pk,
+         CAST(sum(CASE WHEN op <> 'd' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY pk ORDER BY lsn) AS BIGINT) AS version,
+         op,
+         after_event_type AS event_type,
+         after_value AS value,
+         after_props AS props,
+         ts_ms AS valid_from_ms,
+         lead(ts_ms) OVER (PARTITION BY pk ORDER BY lsn) AS valid_to_ms,
+         (lead(ts_ms) OVER (PARTITION BY pk ORDER BY lsn) IS NULL) AS is_current
+  FROM wal
+)
+WHERE op <> 'd'
+ORDER BY pk, version
+""",
+    "cdc_incremental_agg": _with(WAL_SQL)
+    + """
+, deltas AS (
+  SELECT after_event_type AS event_type, 1 AS dn,
+         CAST(after_value AS DECIMAL(38,6)) AS dv
+  FROM wal WHERE after_event_type IS NOT NULL
+  UNION ALL
+  SELECT before_event_type, -1, -CAST(before_value AS DECIMAL(38,6))
+  FROM wal WHERE before_event_type IS NOT NULL
+),
+inc AS (
+  SELECT event_type,
+         CAST(sum(dn) AS BIGINT) AS n_rows,
+         CAST(round(sum(dv), 2) AS DOUBLE) AS total_value
+  FROM deltas GROUP BY event_type
+),
+state AS (
+  SELECT pk, after_event_type AS event_type, after_value AS value
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts_ms DESC, lsn DESC) AS rn FROM wal)
+  WHERE rn = 1 AND op <> 'd'
+),
+rec AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_rows_rec,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value_rec
+  FROM state GROUP BY event_type
+)
+SELECT COALESCE(inc.event_type, rec.event_type) AS event_type,
+       COALESCE(inc.n_rows, 0) AS n_rows,
+       COALESCE(inc.total_value, 0.0) AS total_value,
+       COALESCE(rec.n_rows_rec, 0) AS n_rows_rec,
+       COALESCE(rec.total_value_rec, 0.0) AS total_value_rec,
+       (COALESCE(inc.n_rows, 0) = COALESCE(rec.n_rows_rec, 0)
+        AND COALESCE(inc.total_value, 0.0) = COALESCE(rec.total_value_rec, 0.0)) AS converged
+FROM inc FULL OUTER JOIN rec ON inc.event_type = rec.event_type
+ORDER BY event_type
 """,
 }

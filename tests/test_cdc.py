@@ -166,3 +166,44 @@ def test_replay_state_matches_source_fold(spark, sf_dir, ops):
 def test_all_cdc_queries_return_rows(spark, sf_dir):
     for name, fn in QUERIES.items():
         assert fn(spark, sf_dir).count() > 0, name
+
+
+def test_incremental_agg_converges(spark, sf_dir):
+    """IVM: delta-maintained aggregate equals the replay-fold recompute for
+    every group (the telescoping-sum invariant of +after/-before deltas)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import (
+        cdc_incremental_agg,
+    )
+
+    rows = cdc_incremental_agg(spark, sf_dir).collect()
+    assert rows and all(r["converged"] for r in rows)
+
+
+def test_scd2_intervals_tile(spark, sf_dir, ops):
+    """SCD2: per key the version chain is dense from 1, intervals are
+    half-open and non-overlapping (valid_to = next valid_from), and exactly
+    the keys alive at the end carry an open current version."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import (
+        cdc_scd2_history,
+    )
+
+    hist = cdc_scd2_history(spark, sf_dir).cache()
+    # versions dense per pk
+    bad_chain = (
+        hist.groupBy("pk")
+        .agg(F.min("version").alias("lo"), F.max("version").alias("hi"), F.count("*").alias("n"))
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    assert bad_chain == 0
+    # no overlaps: next version's valid_from >= this version's valid_to
+    w = W.partitionBy("pk").orderBy("version")
+    overlaps = (
+        hist.withColumn("nxt_from", F.lead("valid_from_ms").over(w))
+        .filter(F.col("nxt_from").isNotNull() & (F.col("nxt_from") < F.col("valid_from_ms")))
+        .count()
+    )
+    assert overlaps == 0
+    # current rows == final alive state
+    alive = diffs.source_state(ops).count()
+    assert hist.filter("is_current").count() == alive

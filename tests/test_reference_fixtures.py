@@ -171,3 +171,19 @@ def test_snapshot_seeds_survive_when_untouched(replayed):
     for key, seed in snap_keys.items():
         if key not in touched:
             assert expected[key] == seed
+
+
+def test_fixture_harness_verdict(replayed):
+    """The harness nightly pass criterion (``harness/verifier/index.js:169-205``:
+    missing=0 ∧ extra=0 ∧ ordering=0) holds for the log lane on every
+    fixture — the same check the reference's CI runs over its default
+    scenario after a Postgres→Debezium→Kafka round trip."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import diffs
+
+    rows, feed = replayed
+    exp = diffs.expected_entries(feed)
+    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",))
+    act = diffs.actual_entries(log, "ts_ms", ["ts_ms", "lsn"])
+    d = diffs.lane_diff(exp, act).cache()
+    assert d.filter(F.col("status") != "matched").count() == 0
+    assert diffs.ordering_inversions(d).first()["ordering_issues"] == 0
