@@ -1504,3 +1504,53 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, n
 WHERE rn <= {TOPK}
 ORDER BY query_id, rank
 """
+
+
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two approximate similarity paths against the exact
+    brute-force baseline — the quality metric that decides, at 100 TB, how
+    much candidate pruning (LSH buckets, IVF probes) the corpus tolerates.
+
+    Per query vector: fraction of the exact top-``TOPK`` neighbors the
+    LSH-bucketed and IVF-probed searches each recover. Composes the three
+    judged searches (all reuse the session-shared normalized frame) with two
+    broadcast-sized left joins on (query, neighbor).
+    """
+    brute = emb_topk_similarity(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = (
+        emb_lsh_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("lsh_hit", F.lit(1))
+    )
+    ivf = (
+        emb_ivf_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("ivf_hit", F.lit(1))
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (F.count("lsh_hit").cast("double") / TOPK).alias("lsh_recall"),
+            (F.count("ivf_hit").cast("double") / TOPK).alias("ivf_recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES["emb_ann_recall"] = emb_ann_recall
+
+ORACLE["emb_ann_recall"] = f"""
+WITH brute AS ({ORACLE["emb_topk_similarity"]}),
+     lsh AS ({ORACLE["emb_lsh_topk"]}),
+     ivf AS ({ORACLE["emb_ivf_topk"]})
+SELECT b.query_id,
+       CAST(count(l.neighbor_id) AS DOUBLE) / {TOPK} AS lsh_recall,
+       CAST(count(i.neighbor_id) AS DOUBLE) / {TOPK} AS ivf_recall
+FROM brute b
+LEFT JOIN lsh l ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""

@@ -808,6 +808,75 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savepoint consistency: state folded up to a mid-WAL LSN plus a replay
+    of the tail equals the full replay.
+
+    This is the restore path every long-lived 100 TB pipeline depends on —
+    recover from a checkpointed table snapshot and the WAL suffix instead of
+    re-reading history (the reference restarts its connector mid-stream and
+    requires source/sink convergence afterwards —
+    ``scenarios/01-canonical-reference/failures/restart.sh`` +
+    ``verifier/verify.mjs:131-221``). The savepoint is ``max(lsn)/2`` so the
+    check is deterministic at any scale factor.
+
+    Scale: two per-pk folds plus one full-outer compare, all on the pk
+    partitioning the shared WAL frame already has; the scalar cut joins in
+    as a broadcast single row, never a driver collect.
+    """
+    wal = capture.log_capture(spark, sf_dir)
+    cut = wal.agg((F.max("lsn") / 2).cast("long").alias("__cut"))
+    base = wal.join(F.broadcast(cut)).filter(F.col("lsn") <= F.col("__cut")).drop("__cut")
+    tail = wal.join(F.broadcast(cut)).filter(F.col("lsn") > F.col("__cut")).drop("__cut")
+
+    state_at = diffs.replay_state(base, ["ts_ms", "lsn"])
+    # snapshot rows become synthetic inserts ordered before every tail record
+    snap_events = state_at.select(
+        F.lit("c").alias("op"),
+        "pk",
+        F.col("event_type").alias("after_event_type"),
+        F.col("value").alias("after_value"),
+        F.col("props").alias("after_props"),
+        F.col("updated_ts_ms").alias("ts_ms"),
+        F.lit(0).cast("long").alias("lsn"),
+    )
+    tail_events = tail.select(
+        "op", "pk", "after_event_type", "after_value", "after_props", "ts_ms", "lsn"
+    )
+    restored = diffs.replay_state(
+        snap_events.unionByName(tail_events), ["ts_ms", "lsn"]
+    )
+    full = diffs.replay_state(wal, ["ts_ms", "lsn"])
+
+    j = full.select(
+        "pk",
+        F.col("event_type").alias("f_et"),
+        F.col("value").alias("f_v"),
+        F.col("props").alias("f_p"),
+    ).join(
+        restored.select(
+            "pk",
+            F.col("event_type").alias("r_et"),
+            F.col("value").alias("r_v"),
+            F.col("props").alias("r_p"),
+        ),
+        "pk",
+        "full_outer",
+    )
+    same = (
+        F.col("f_et").eqNullSafe(F.col("r_et"))
+        & F.col("f_v").eqNullSafe(F.col("r_v"))
+        & F.col("f_p").eqNullSafe(F.col("r_p"))
+        & F.col("f_et").isNotNull()
+        & F.col("r_et").isNotNull()
+    )
+    return j.agg(
+        F.count(F.col("f_et")).cast("long").alias("n_keys_full"),
+        F.count(F.col("r_et")).cast("long").alias("n_keys_restored"),
+        F.sum((~same).cast("int")).cast("long").alias("n_mismatched"),
+    ).withColumn("converged", F.col("n_mismatched") == 0)
+
+
 QUERIES = {
     "cdc_log_capture": cdc_log_capture,
     "cdc_polling_capture": cdc_polling_capture,
@@ -835,6 +904,7 @@ QUERIES = {
     "cdc_scenario_filters": cdc_scenario_filters,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_incremental_agg": cdc_incremental_agg,
+    "cdc_savepoint_restore": cdc_savepoint_restore,
 }
 
 
@@ -1252,5 +1322,45 @@ SELECT COALESCE(inc.event_type, rec.event_type) AS event_type,
         AND COALESCE(inc.total_value, 0.0) = COALESCE(rec.total_value_rec, 0.0)) AS converged
 FROM inc FULL OUTER JOIN rec ON inc.event_type = rec.event_type
 ORDER BY event_type
+""",
+    "cdc_savepoint_restore": _with(WAL_SQL)
+    + """
+, cut AS (SELECT CAST(max(lsn)/2 AS BIGINT) AS c FROM wal),
+full_state AS (
+  SELECT pk, after_event_type AS event_type, after_value AS value, after_props AS props
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts_ms DESC, lsn DESC) AS rn FROM wal)
+  WHERE rn = 1 AND op <> 'd'
+),
+base_state AS (
+  SELECT pk, after_event_type AS event_type, after_value AS value, after_props AS props,
+         ts_ms AS updated_ts_ms
+  FROM (SELECT w.*, row_number() OVER (PARTITION BY pk ORDER BY ts_ms DESC, lsn DESC) AS rn
+        FROM wal w, cut WHERE w.lsn <= cut.c)
+  WHERE rn = 1 AND op <> 'd'
+),
+unioned AS (
+  SELECT 'c' AS op, pk, event_type AS after_event_type, value AS after_value,
+         props AS after_props, updated_ts_ms AS ts_ms, CAST(0 AS BIGINT) AS lsn
+  FROM base_state
+  UNION ALL
+  SELECT w.op, w.pk, w.after_event_type, w.after_value, w.after_props, w.ts_ms, w.lsn
+  FROM wal w, cut WHERE w.lsn > cut.c
+),
+restored AS (
+  SELECT pk, after_event_type AS event_type, after_value AS value, after_props AS props
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts_ms DESC, lsn DESC) AS rn FROM unioned)
+  WHERE rn = 1 AND op <> 'd'
+)
+SELECT *, (n_mismatched = 0) AS converged FROM (
+  SELECT CAST(count(f.event_type) AS BIGINT) AS n_keys_full,
+         CAST(count(r.event_type) AS BIGINT) AS n_keys_restored,
+         CAST(COALESCE(sum(CASE WHEN NOT (f.event_type IS NOT DISTINCT FROM r.event_type
+                                          AND f.value IS NOT DISTINCT FROM r.value
+                                          AND f.props IS NOT DISTINCT FROM r.props
+                                          AND f.event_type IS NOT NULL
+                                          AND r.event_type IS NOT NULL)
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatched
+  FROM full_state f FULL OUTER JOIN restored r ON f.pk = r.pk
+)
 """,
 }
