@@ -1864,9 +1864,11 @@ ORDER BY value DESC, l_partkey
 # volume of 'cold %' parts in 1996 ("promotion-eligible"). The per-supplier
 # volume and the average volume come from ONE aggregation reused twice
 # (self-agg scalar broadcast), not two scans.
-# Scale: part prefilter broadcasts (it's selective), lineitem scanned once
-# with shipdate + partkey pushdown, final supplier join is on the already
-# tiny qualifying set.
+# Scale: the cold-part prefilter is selective but still grows with SF, so
+# it is NOT hard-broadcast — AQE broadcasts it below the threshold and
+# falls back to a shuffle join at 100× (the r1 lesson on SF-scaling dims).
+# lineitem scanned once with shipdate + partkey pushdown, final supplier
+# join is on the already tiny qualifying set.
 # --------------------------------------------------------------------------
 def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -1876,7 +1878,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     per_supp = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity").alias("cold_qty"))
     )

@@ -389,12 +389,146 @@ ORDER BY pk
     )
 
 
+_HB_TX = "__heartbeat__"
+_GATE_TICK_MS = 60_000
+_GATE_DELAY_MS = 3_600_000  # >> the bus's max commit-vs-arrival inversion
+
+
+def _commit_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the drop-free bus feed as 3 arrival-ordered chunk files (split
+    on ``delivery_ts``, so drift-late events cross micro-batch boundaries)
+    plus a heartbeat chunk that drives the final watermark past every real
+    commit window. The heartbeat's own window stays withheld forever — only
+    real transactions are ever released."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg
+
+    key = (spark.sparkContext.applicationId, sf_dir, "commit")
+    if key in _staged:
+        return _staged[key]
+    bus = pg.bus_feed(spark, sf_dir, drop_p=0.0)
+    ev = bus.select(
+        "tx_id",
+        F.col("tx_idx").cast("int").alias("tx_index"),
+        "commit_ts",
+        "lsn",
+        "pk",
+        "op",
+        F.col("event_type").alias("payload"),
+        "delivery_ts",
+    )
+    max_commit = ev.agg(F.max("commit_ts")).first()[0]
+    cuts = ev.approxQuantile("delivery_ts", [1 / 3, 2 / 3], 0.001)
+    out = tempfile.mkdtemp(prefix="sg_commit_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("delivery_ts") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("delivery_ts") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.drop("delivery_ts").coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    hb = spark.createDataFrame(
+        [
+            (
+                _HB_TX,
+                0,
+                int(max_commit) + _GATE_DELAY_MS + 2 * _GATE_TICK_MS,
+                -1,
+                "-",
+                "c",
+                "-",
+            )
+        ],
+        "tx_id string, tx_index int, commit_ts long, lsn long, pk string, "
+        "op string, payload string",
+    )
+    hdir = os.path.join(out, "hb")
+    hb.coalesce(1).write.parquet(hdir)
+    part = next(f for f in os.listdir(hdir) if f.endswith(".parquet"))
+    os.rename(os.path.join(hdir, part), os.path.join(flat, "99.parquet"))
+    _staged[key] = flat
+    return flat
+
+
+def stream_apply_on_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as a streaming job — the commit-floor barrier hash-checked: the
+    drop-free bus stream (drift-late events crossing micro-batch boundaries)
+    runs through the watermark-gated commit-window state op
+    (:func:`..streaming.apply_on_commit.gate_on_commit_floor`); a
+    transaction is released only when the watermark — the floor — proves
+    nothing earlier-committing can still arrive.
+
+    The released *set* is chunking-independent (the watermark delay exceeds
+    the bus's worst commit-vs-arrival inversion, so nothing is ever
+    late-dropped), and the apply schedule over it is the deterministic
+    (commit_ts, lsn) order the sink uses — assigned with the two-phase
+    global sequence, never a single-task window. Oracle = per-transaction
+    grouping of the same bus feed in SQL."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_global_seq,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply_on_commit import (
+        COMMIT_EVENT_SCHEMA,
+        gate_on_commit_floor,
+    )
+
+    src = (
+        spark.readStream.schema(COMMIT_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_commit_chunks(spark, sf_dir))
+    )
+    gated = gate_on_commit_floor(
+        src, tick_ms=_GATE_TICK_MS, delay=f"{_GATE_DELAY_MS} milliseconds"
+    )
+    released = _run_to_table(gated, "append").filter(F.col("tx_id") != _HB_TX)
+    seq = with_global_seq(
+        released.select("tx_id", "commit_ts", "lsn_min", "n_events"),
+        F.expr("commit_ts div 3600000"),
+        ["commit_ts", "lsn_min", "tx_id"],
+        out_col="apply_seq",
+    )
+    return seq.select(
+        "apply_seq", "tx_id", "commit_ts", "lsn_min", "n_events"
+    ).orderBy("apply_seq")
+
+
+def _stream_apply_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.playground_queries import (
+        _bus_sql,
+    )
+
+    return (
+        "WITH "
+        + OPS_SQL
+        + ","
+        + _bus_sql(0)
+        + """
+, txg AS (
+  SELECT tx_id, min(commit_ts) AS commit_ts, CAST(min(lsn) AS BIGINT) AS lsn_min,
+         count(*) AS n_events
+  FROM bus GROUP BY tx_id
+)
+SELECT row_number() OVER (ORDER BY commit_ts, lsn_min, tx_id) AS apply_seq,
+       tx_id, commit_ts, lsn_min, n_events
+FROM txg
+ORDER BY apply_seq
+"""
+    )
+
+
 QUERIES = {
     "stream_log_capture": stream_log_capture,
     "stream_hourly_stats": stream_hourly_stats,
     "stream_polling_capture": stream_polling_capture,
     "stream_trigger_capture": stream_trigger_capture,
     "stream_upsert_sink": stream_upsert_sink,
+    "stream_apply_on_commit": stream_apply_on_commit,
 }
 
 ORACLE = {
@@ -403,4 +537,5 @@ ORACLE = {
     "stream_polling_capture": _stream_poll_sql(),
     "stream_trigger_capture": _stream_trigger_sql(),
     "stream_upsert_sink": _stream_upsert_sql(),
+    "stream_apply_on_commit": _stream_apply_sql(),
 }

@@ -94,8 +94,9 @@ def test_q11_threshold_is_broadcast_not_reagg(spark, sf_dir):
 
 
 def test_q20_part_prefilter_broadcasts(spark, sf_dir):
-    """The selective cold-part prefilter must broadcast into the lineitem
-    join with the shipdate range pushed to the scan."""
+    """The selective cold-part prefilter broadcasts at test SF via the size
+    threshold (no hard hint — it scales with SF, so the choice belongs to
+    AQE) with the shipdate range pushed to the scan."""
     plan = R.q20_promo_suppliers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
