@@ -1554,3 +1554,143 @@ LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
 GROUP BY b.query_id
 ORDER BY b.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup + benchmark-contamination screening
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 16  # non-overlapping token window for boilerplate chunk dedup
+CONTAM_NGRAM = 8  # overlapping word n-gram for contamination screening
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 plays the held-out benchmark set
+
+
+def _ngram_fold(th: "F.Column", start, length):
+    """Rolling fingerprint of a token-hash slice (31-fold mod the token
+    prime) — the same arithmetic DuckDB replays with list_reduce."""
+    return F.aggregate(
+        F.slice(th, start, length),
+        F.lit(0).cast("long"),
+        lambda a, h: (a * 31 + h) % T.TOKEN_HASH_PRIME,
+    )
+
+
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: fingerprint non-overlapping
+    ``CHUNK_TOKENS``-token windows and surface every chunk that repeats
+    across (or within) documents — the boilerplate-removal pass that
+    operates below document granularity.
+
+    Scale: fingerprints are per-row Arrow-kernel math (no shuffle; the
+    Catalyst twin `_ngram_fold` is cross-checked in tests); the only
+    shuffle is the groupBy on the chunk hash, and the HAVING-style filter
+    keeps the output to actual repeats."""
+    chunks = _docs_t(spark, sf_dir).select(
+        "doc_id", K.chunk_hashes_kernel(F.col("norm")).alias("chs")
+    )
+    ex = chunks.select("doc_id", F.explode("chs").alias("chunk_hash"))
+    return (
+        ex.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_hash")
+    )
+
+
+def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: overlapping ``CONTAM_NGRAM``-token
+    fingerprints of every corpus document are joined against the distinct
+    n-gram set of a held-out benchmark slice (``doc_id % BENCH_MOD == 0``);
+    a document is flagged when ≥ 5% of its n-grams appear in the benchmark
+    — the decontamination gate an eval-safe training corpus needs.
+
+    Scale: the join is on the n-gram hash (bucketed, never doc×doc pairs);
+    the benchmark side is deduplicated before the join and the 5% flag is
+    exact integer arithmetic. Fingerprinting runs in the Arrow kernel
+    (Catalyst twin cross-checked in tests)."""
+    ng = _docs_t(spark, sf_dir).select(
+        "doc_id", K.contam_ngram_hashes_kernel(F.col("norm")).alias("ngs")
+    )
+    ex = ng.select("doc_id", F.explode("ngs").alias("ngh"))
+    bench = ex.filter(F.col("doc_id") % BENCH_MOD == 0).select("ngh").distinct()
+    corpus = ex.filter(F.col("doc_id") % BENCH_MOD != 0)
+    hits = corpus.join(bench, "ngh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    totals = ng.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.size("ngs").cast("long").alias("n_ngrams")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_hits", F.lit(0).cast("long")).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_hits") * 20 >= F.col("n_ngrams")) & (F.col("n_ngrams") > 0),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["docs_chunk_dedup"] = docs_chunk_dedup
+QUERIES["docs_contamination_check"] = docs_contamination_check
+
+_NG_FOLD_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, {start}, {stop})), "
+    f"(a, h) -> (a*31 + h) % {T.TOKEN_HASH_PRIME})"
+)
+
+ORACLE["docs_chunk_dedup"] = f"""
+WITH {DOCS_T_SQL.strip().rstrip()},
+thd AS (SELECT doc_id, {TOKEN_HASHES_SQL} AS th FROM docs_t),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(th) // {CHUNK_TOKENS}),
+                i -> {_NG_FOLD_SQL.format(start=f"i*{CHUNK_TOKENS}+1", stop=f"i*{CHUNK_TOKENS}+{CHUNK_TOKENS}")}))
+           AS chunk_hash
+  FROM thd
+)
+SELECT chunk_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM chunks
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) > 1
+ORDER BY chunk_hash
+"""
+
+ORACLE["docs_contamination_check"] = f"""
+WITH {DOCS_T_SQL.strip().rstrip()},
+thd AS (SELECT doc_id, {TOKEN_HASHES_SQL} AS th FROM docs_t),
+ng AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(th) - {CONTAM_NGRAM - 1}),
+                i -> {_NG_FOLD_SQL.format(start="i+1", stop=f"i+{CONTAM_NGRAM}")}))
+           AS ngs
+  FROM thd
+),
+ex AS (SELECT doc_id, unnest(ngs) AS ngh FROM ng),
+bench AS (SELECT DISTINCT ngh FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} <> 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM corpus JOIN bench USING (ngh) GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(len(ngs) AS BIGINT) AS n_ngrams
+  FROM ng WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT t.doc_id, t.n_ngrams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (COALESCE(h.n_hits, 0) * 20 >= t.n_ngrams AND t.n_ngrams > 0) AS contaminated
+FROM totals t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -96,3 +96,33 @@ def simhash_kernel(norm: pd.Series) -> pd.Series:
         return out
 
     return norm.map(sh)
+
+
+def _ngram_fold(th: list[int], i: int, n: int, mod: int = TOKEN_HASH_PRIME) -> int:
+    acc = 0
+    for h in th[i : i + n]:
+        acc = (acc * 31 + h) % mod
+    return acc
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def chunk_hashes_kernel(norm: pd.Series) -> pd.Series:
+    """Fingerprints of non-overlapping 16-token chunks (boilerplate dedup);
+    Catalyst twin: the `_ngram_fold` slices in ``pipeline_queries``."""
+
+    def f(s: str) -> list[int]:
+        th = _token_hashes(s)
+        return [_ngram_fold(th, i * 16, 16) for i in range(len(th) // 16)]
+
+    return norm.map(f)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def contam_ngram_hashes_kernel(norm: pd.Series) -> pd.Series:
+    """Distinct overlapping 8-gram fingerprints (contamination screening)."""
+
+    def f(s: str) -> list[int]:
+        th = _token_hashes(s)
+        return list(dict.fromkeys(_ngram_fold(th, i, 8) for i in range(len(th) - 7)))
+
+    return norm.map(f)

@@ -163,3 +163,55 @@ def test_kmeans_cells_partition_corpus(spark, sf_dir):
     assert sum(r["n_vecs"] for r in rows) == n_vecs
     assert all(0 <= r["cluster_id"] < K_IVF for r in rows)
     assert all(r["mean_dist2"] >= 0 for r in rows)
+
+
+def test_ngram_chunk_kernels_match_catalyst(spark, sf_dir):
+    """The chunk/contamination fingerprint kernels equal the Catalyst
+    `_ngram_fold` slices value-for-value (the oracle contract)."""
+    from lets_talk_cdc_change_feed_playground_spark.functions import text_kernels as K
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        CHUNK_TOKENS,
+        CONTAM_NGRAM,
+        _ngram_fold,
+    )
+
+    d = PQ._docs_t(spark, sf_dir).limit(50).withColumn(
+        "th", T.token_hashes(F.col("toks"))
+    ).cache()
+    k = F.floor(F.size("th") / CHUNK_TOKENS).cast("long")
+    cat = d.select(
+        "doc_id",
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), k - 1),
+                lambda i: _ngram_fold(
+                    F.col("th"), (i * CHUNK_TOKENS + 1).cast("int"), CHUNK_TOKENS
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("chs"),
+    ).collect()
+    ker = d.select("doc_id", K.chunk_hashes_kernel(F.col("norm")).alias("chs")).collect()
+    assert {r["doc_id"]: list(r["chs"]) for r in cat} == {
+        r["doc_id"]: list(r["chs"]) for r in ker
+    }
+
+    n = F.size("th")
+    cat = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                n >= CONTAM_NGRAM,
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), (n - CONTAM_NGRAM).cast("long")),
+                    lambda i: _ngram_fold(F.col("th"), (i + 1).cast("int"), CONTAM_NGRAM),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("ngs"),
+    ).collect()
+    ker = d.select(
+        "doc_id", K.contam_ngram_hashes_kernel(F.col("norm")).alias("ngs")
+    ).collect()
+    assert {r["doc_id"]: list(r["ngs"]) for r in cat} == {
+        r["doc_id"]: list(r["ngs"]) for r in ker
+    }
