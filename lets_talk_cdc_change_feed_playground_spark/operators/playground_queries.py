@@ -215,8 +215,49 @@ def cdc_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 observability — per-partition late-data accounting under a
+    continuous watermark: the watermark after each arrival is the running
+    max ``commit_ts`` in (delivery_ts, lsn) arrival order (the tightest —
+    per-event — watermark; a micro-batch watermark is never stricter), and
+    an event is late when its commit time is already behind it.
+
+    ``n_late_strict`` counts lateness under zero allowed delay;
+    ``n_late_tick`` under one delivery tick of slack — the two numbers
+    bracket how much drift tolerance the A3 floor needs.
+
+    Scale: the running max is the two-phase bucketed prefix pattern (the
+    only unpartitioned window runs over one row per hour bucket)."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_prefix_aggs,
+    )
+
+    bus = pg.bus_feed(spark, sf_dir, drop_p=0.0)
+    ev = with_prefix_aggs(
+        bus,
+        F.expr("delivery_ts div 3600000"),
+        ["delivery_ts", "lsn"],
+        maxes={"wm": "commit_ts"},
+    )
+    return (
+        ev.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("commit_ts") < F.col("wm")).cast("int")).alias(
+                "n_late_strict"
+            ),
+            F.sum(
+                (F.col("commit_ts") < F.col("wm") - pg.TICK_MS).cast("int")
+            ).alias("n_late_tick"),
+            F.max(F.col("wm") - F.col("commit_ts")).alias("max_lateness_ms"),
+        )
+        .orderBy("partition")
+    )
+
+
 QUERIES = {
     "cdc_txn_assembly": cdc_txn_assembly,
+    "cdc_late_events": cdc_late_events,
     "cdc_bus_partitions": cdc_bus_partitions,
     "cdc_bus_drops": cdc_bus_drops,
     "cdc_apply_on_commit": cdc_apply_on_commit,
@@ -229,7 +270,24 @@ QUERIES = {
 
 _PCT = int(pg.DROP_P * 100)
 
+_LATE_SQL = f"""
+SELECT "partition",
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN commit_ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late_strict,
+       CAST(sum(CASE WHEN commit_ts < wm - {pg.TICK_MS} THEN 1 ELSE 0 END) AS BIGINT) AS n_late_tick,
+       max(wm - commit_ts) AS max_lateness_ms
+FROM (
+  SELECT bus.*,
+         max(commit_ts) OVER (ORDER BY delivery_ts, lsn
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+  FROM bus
+)
+GROUP BY "partition"
+ORDER BY "partition"
+"""
+
 ORACLE = {
+    "cdc_late_events": _with(_bus_sql(0)) + _LATE_SQL,
     "cdc_txn_assembly": _with(_bus_sql(_PCT))
     + """
 SELECT tx_id,
