@@ -295,3 +295,58 @@ def scenario_to_json(scenario: Scenario) -> dict:
 def save_scenario(scenario: Scenario, path: str) -> None:
     with open(path, "w") as f:
         json.dump(scenario_to_json(scenario), f, indent=2)
+
+
+def ops_to_sql(ops: DataFrame, pk_col: str = "id") -> DataFrame:
+    """S5 — SQL workload driver equivalent: render each op as the INSERT /
+    UPDATE / DELETE statement the reference's workload driver would issue
+    against the source database (``scenarios/01-canonical-reference/source/
+    generator.mjs`` emits exactly these three shapes). Output is one row per
+    op ``(seq, t, table, stmt)`` in replay order — pipe it to any JDBC
+    source to drive a real database with the scenario.
+
+    All string building is JVM-side column logic (no UDF); values are
+    single-quote-escaped. Upserts render as ``INSERT ... ON CONFLICT DO
+    UPDATE`` only when the caller asks the reference's Postgres dialect —
+    here the plain three-verb form keeps parity with the driver script.
+    """
+    esc = lambda c: F.regexp_replace(c, "'", "''")  # noqa: E731
+    kv = F.map_entries(F.col("after"))
+    cols = F.array_join(F.transform(kv, lambda e: e["key"]), ", ")
+    vals = F.array_join(
+        F.transform(kv, lambda e: F.concat(F.lit("'"), esc(e["value"]), F.lit("'"))),
+        ", ",
+    )
+    sets = F.array_join(
+        F.transform(
+            kv,
+            lambda e: F.concat(
+                e["key"], F.lit(" = '"), esc(e["value"]), F.lit("'")
+            ),
+        ),
+        ", ",
+    )
+    where = F.concat(F.lit(pk_col + " = '"), esc(F.col("pk")), F.lit("'"))
+    stmt = (
+        F.when(
+            F.col("op") == "insert",
+            F.concat(
+                F.lit("INSERT INTO "), F.col("table"), F.lit(" ("), cols,
+                F.lit(") VALUES ("), vals, F.lit(");"),
+            ),
+        )
+        .when(
+            F.col("op") == "update",
+            F.concat(
+                F.lit("UPDATE "), F.col("table"), F.lit(" SET "), sets,
+                F.lit(" WHERE "), where, F.lit(";"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("DELETE FROM "), F.col("table"), F.lit(" WHERE "), where,
+                F.lit(";"),
+            )
+        )
+    )
+    return ops.select("seq", "t", "table", stmt.alias("stmt")).orderBy("t", "seq")

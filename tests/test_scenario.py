@@ -144,3 +144,22 @@ def test_states_equal_coercive(spark):
     )
     got = df.select(SE.states_equal_coercive(F.col("a"), F.col("b")).alias("eq"), "want").collect()
     assert all(r["eq"] == r["want"] for r in got)
+
+
+def test_ops_to_sql_statements(spark, crud):
+    stmts = {r["seq"]: r["stmt"] for r in SC.ops_to_sql(crud.ops_df(spark)).collect()}
+    ins = stmts[0]
+    assert ins.startswith("INSERT INTO users (") and ins.endswith(");")
+    assert "'Grace'" in ins
+    upd = stmts[3]
+    assert upd.startswith("UPDATE users SET ") and "WHERE id = 'u2';" in upd
+    assert "tier = 'gold'" in upd
+    dels = [s for s in stmts.values() if s.startswith("DELETE FROM ")]
+    assert any("WHERE id = 'u2';" in s for s in dels)
+    # quote escaping survives round-trip
+    df = spark.createDataFrame(
+        [(0, 1, "t1", "k'1", "insert", {"name": "O'Hara"}, None, None, None)],
+        SC.OPS_SCHEMA,
+    )
+    s = SC.ops_to_sql(df).first()["stmt"]
+    assert "O''Hara" in s
