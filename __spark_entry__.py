@@ -23,9 +23,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: shipping-priority top-k join/agg on sf0.001."""
+    """Flagship query: the pipeline verdict — all three capture lanes diffed
+    against the source ops (missing/extra/ordering/lag + pass per lane), the
+    reference's headline comparison."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return registry.queries()["q3_shipping_priority"](spark, SMOKE_SF_DIR)
+    return registry.queries()["cdc_verdict"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

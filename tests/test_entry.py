@@ -7,14 +7,15 @@ import __spark_entry__ as entry_mod
 
 def test_entry_runs(spark):
     df = entry_mod.entry(spark)
-    rows = df.collect()
-    assert df.columns == ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]
-    # sf0.001 has data in the filtered range: the top-k must be non-empty and
-    # genuinely sorted by revenue.
-    assert 0 < len(rows) <= 10
-    revs = [r["revenue"] for r in rows]
-    assert revs == sorted(revs, reverse=True)
-    assert revs[0] > 0
+    rows = {r["method"]: r for r in df.collect()}
+    assert df.columns == [
+        "method", "missing", "extra", "ordering_issues", "max_lag_ms", "pass",
+    ]
+    # one verdict per lane; lossless lanes pass, polling is lossy
+    assert set(rows) == {"log", "polling", "trigger"}
+    assert rows["log"]["pass"] and rows["trigger"]["pass"]
+    assert rows["log"]["missing"] == rows["log"]["extra"] == 0
+    assert not rows["polling"]["pass"] and rows["polling"]["missing"] > 0
 
 
 def test_queries_and_oracle_aligned():
