@@ -1560,8 +1560,11 @@ ORDER BY b.query_id
 # Chunk-level dedup + benchmark-contamination screening
 # ---------------------------------------------------------------------------
 
-CHUNK_TOKENS = 16  # non-overlapping token window for boilerplate chunk dedup
-CONTAM_NGRAM = 8  # overlapping word n-gram for contamination screening
+from lets_talk_cdc_change_feed_playground_spark.functions.text_kernels import (  # noqa: E402
+    CHUNK_TOKENS,
+    CONTAM_NGRAM,
+)
+
 BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 plays the held-out benchmark set
 
 
@@ -1596,7 +1599,7 @@ def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.min("doc_id").alias("first_doc_id"),
         )
-        .filter(F.col("n_docs") > 1)
+        .filter(F.col("n_occurrences") > 1)
         .orderBy("chunk_hash")
     )
 
@@ -1663,7 +1666,7 @@ SELECT chunk_hash,
        min(doc_id) AS first_doc_id
 FROM chunks
 GROUP BY chunk_hash
-HAVING count(DISTINCT doc_id) > 1
+HAVING count(*) > 1
 ORDER BY chunk_hash
 """
 

@@ -98,6 +98,10 @@ def simhash_kernel(norm: pd.Series) -> pd.Series:
     return norm.map(sh)
 
 
+CHUNK_TOKENS = 16  # non-overlapping token window for boilerplate chunk dedup
+CONTAM_NGRAM = 8  # overlapping word n-gram for contamination screening
+
+
 def _ngram_fold(th: list[int], i: int, n: int, mod: int = TOKEN_HASH_PRIME) -> int:
     acc = 0
     for h in th[i : i + n]:
@@ -112,7 +116,8 @@ def chunk_hashes_kernel(norm: pd.Series) -> pd.Series:
 
     def f(s: str) -> list[int]:
         th = _token_hashes(s)
-        return [_ngram_fold(th, i * 16, 16) for i in range(len(th) // 16)]
+        n = CHUNK_TOKENS
+        return [_ngram_fold(th, i * n, n) for i in range(len(th) // n)]
 
     return norm.map(f)
 
@@ -123,6 +128,9 @@ def contam_ngram_hashes_kernel(norm: pd.Series) -> pd.Series:
 
     def f(s: str) -> list[int]:
         th = _token_hashes(s)
-        return list(dict.fromkeys(_ngram_fold(th, i, 8) for i in range(len(th) - 7)))
+        n = CONTAM_NGRAM
+        return list(
+            dict.fromkeys(_ngram_fold(th, i, n) for i in range(len(th) - n + 1))
+        )
 
     return norm.map(f)

@@ -57,6 +57,42 @@ def _with_after(ops: DataFrame, payload: tuple[str, ...]) -> DataFrame:
     return ops.select("seq", "t", "pk", "op", *cols)
 
 
+def _empty_map() -> Column:
+    return F.expr("map()").cast("map<string,string>")
+
+
+def _null_map() -> Column:
+    return F.expr("CAST(NULL AS MAP<STRING,STRING>)")
+
+
+def _merged_state(payload_col: str, keep_on_delete: bool):
+    """Per-event post-image of the engine's row store when the payload is an
+    open-schema MAP of *patches* (scenario ops): insert REPLACES the row,
+    update MERGES the patch (``{...cur.data, ...op.after}``), delete removes
+    the row (``keep_on_delete=False``, LogEngine) or keeps its data under a
+    soft-delete flag (``True``, TriggerEngine/PollingEngine).
+
+    Folds the key's event prefix per row — O(k²) work per key, intended for
+    scenario/fixture replay where feeds are tiny patches. High-volume feeds
+    (the driver tables, Debezium topics) carry full row images, where the
+    plain column path is exact and linear.
+    """
+    wpk = W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, 0)
+    prefix = F.collect_list(F.struct(F.col("op"), F.col(payload_col).alias("d"))).over(
+        wpk
+    )
+
+    def step(acc, e):
+        on_delete = F.coalesce(acc, _empty_map()) if keep_on_delete else _null_map()
+        return (
+            F.when(e["op"] == "delete", on_delete)
+            .when(e["op"] == "insert", e["d"])
+            .otherwise(F.map_concat(F.coalesce(acc, _empty_map()), F.coalesce(e["d"], _empty_map())))
+        )
+
+    return F.aggregate(prefix, _null_map(), step)
+
+
 def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> DataFrame:
     """C1 over the driver-testdata ops feed (materialized once per session)."""
     from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
@@ -69,7 +105,10 @@ def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> D
 
 
 def log_capture_ops(
-    ops: DataFrame, fetch_ms: int = FETCH_MS, payload: tuple[str, ...] = PAYLOAD
+    ops: DataFrame,
+    fetch_ms: int = FETCH_MS,
+    payload: tuple[str, ...] = PAYLOAD,
+    merge_payload: bool = False,
 ) -> DataFrame:
     """C1 — WAL-tail capture: ordered, lossless, with before images.
 
@@ -79,19 +118,38 @@ def log_capture_ops(
 
     ``payload`` names the row-image columns: the driver-table trio by default,
     or e.g. ``("data",)`` with a ``MAP<STRING,STRING>`` column for
-    open-schema scenario ops (the fixture-replay path).
+    open-schema scenario ops. When those map payloads are *patches* (partial
+    updates), pass ``merge_payload=True`` to emit the engine's merged row
+    images — insert replaces, update merges, delete clears
+    (``LogEngine.applySourceOp``) — instead of the raw patches.
     """
     wpk = W.partitionBy("pk").orderBy("t", "seq")
-    df = _with_after(ops, payload)
-    df = df.select(
-        "*",
-        *[
-            F.when(F.col("op") == "insert", F.lit(None))
-            .otherwise(F.lag(f"after_{c}").over(wpk))
-            .alias(f"before_{c}")
-            for c in payload
-        ],
-    )
+    if merge_payload:
+        (c,) = payload
+        st = ops.select(
+            "seq", "t", "pk", "op", _merged_state(c, keep_on_delete=False).alias("__st")
+        )
+        df = st.select(
+            "seq",
+            "t",
+            "pk",
+            "op",
+            F.col("__st").alias(f"after_{c}"),
+            F.when(F.col("op") == "insert", _null_map())
+            .otherwise(F.lag("__st").over(wpk))
+            .alias(f"before_{c}"),
+        )
+    else:
+        df = _with_after(ops, payload)
+        df = df.select(
+            "*",
+            *[
+                F.when(F.col("op") == "insert", F.lit(None))
+                .otherwise(F.lag(f"after_{c}").over(wpk))
+                .alias(f"before_{c}")
+                for c in payload
+            ],
+        )
     df = with_global_seq(df, F.expr(f"t div {fetch_ms}"), ["t", "seq"], "lsn")
     return df.select(
         "lsn",
@@ -122,11 +180,98 @@ def polling_capture(
     )
 
 
+def _polling_capture_merge(
+    ops: DataFrame, poll_ms: int, include_soft_deletes: bool, c: str
+) -> DataFrame:
+    """C2 with MAP patch payloads — the PollingEngine row store as a per-key
+    fold (``PollingEngine.ts:23-52`` exactly): insert replaces and revives
+    (version back to 1), update is a NO-OP on missing/deleted rows else a
+    merge, delete is a NO-OP on missing rows else a soft-delete flag that
+    keeps the data. Only ops that changed the store (``updated_at_ms`` moved)
+    surface; each poll window then emits the key's latest changed state."""
+    wupto = W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, 0)
+    prefix = F.collect_list(
+        F.struct(F.col("op"), F.col(c).alias("d"), F.col("t"), F.col("seq"))
+    ).over(wupto)
+    init = F.struct(
+        F.lit(False).alias("exists"),
+        F.lit(False).alias("deleted"),
+        F.lit(0).cast("long").alias("version"),
+        _null_map().alias("data"),
+        F.lit(-1).cast("long").alias("upd_t"),
+        F.lit(-1).cast("long").alias("upd_seq"),
+    )
+
+    def step(acc, e):
+        inserted = F.struct(
+            F.lit(True).alias("exists"),
+            F.lit(False).alias("deleted"),
+            F.lit(1).cast("long").alias("version"),
+            e["d"].alias("data"),
+            e["t"].alias("upd_t"),
+            e["seq"].alias("upd_seq"),
+        )
+        updated = F.struct(
+            F.lit(True).alias("exists"),
+            F.lit(False).alias("deleted"),
+            (acc["version"] + 1).alias("version"),
+            F.map_concat(
+                F.coalesce(acc["data"], _empty_map()), F.coalesce(e["d"], _empty_map())
+            ).alias("data"),
+            e["t"].alias("upd_t"),
+            e["seq"].alias("upd_seq"),
+        )
+        softdel = F.struct(
+            F.lit(True).alias("exists"),
+            F.lit(True).alias("deleted"),
+            acc["version"].alias("version"),
+            acc["data"].alias("data"),
+            e["t"].alias("upd_t"),
+            e["seq"].alias("upd_seq"),
+        )
+        return (
+            F.when(e["op"] == "insert", inserted)
+            .when(
+                e["op"] == "update",
+                F.when(~acc["exists"] | acc["deleted"], acc).otherwise(updated),
+            )
+            .otherwise(F.when(~acc["exists"], acc).otherwise(softdel))
+        )
+
+    st = ops.select("seq", "t", "pk", F.aggregate(prefix, init, step).alias("__st"))
+    eff = st.filter(F.col("__st.upd_seq") == F.col("seq")).select(
+        "pk",
+        "t",
+        "seq",
+        F.expr(f"t div {poll_ms}").alias("poll_id"),
+        F.col("__st.deleted").alias("deleted"),
+        F.col("__st.version").alias("version"),
+        F.col("__st.data").alias("data"),
+    )
+    wpoll = W.partitionBy("pk", "poll_id").orderBy(F.desc("t"), F.desc("seq"))
+    latest = eff.withColumn("__rn", F.row_number().over(wpoll)).filter(F.col("__rn") == 1)
+    if not include_soft_deletes:
+        latest = latest.filter(~F.col("deleted"))
+    return latest.select(
+        ((F.col("poll_id") + 1) * poll_ms).alias("poll_ts_ms"),
+        F.when(F.col("deleted"), F.lit("d"))
+        .when(F.col("version") > 1, F.lit("u"))
+        .otherwise(F.lit("c"))
+        .alias("op"),
+        "pk",
+        F.when(~F.col("deleted"), F.col("data")).alias(f"after_{c}"),
+        F.col("t").alias("ts_ms"),
+        F.concat(F.lit("tx-"), F.col("t")).alias("tx_id"),
+        F.lit("polling").alias("method"),
+    )
+
+
 def polling_capture_ops(
     ops: DataFrame,
     poll_ms: int = POLL_MS,
     include_soft_deletes: bool = False,
     payload: tuple[str, ...] = PAYLOAD,
+    merge_payload: bool = False,
 ) -> DataFrame:
     """C2 — query-based capture: per-poll last-write-wins over a soft-delete store.
 
@@ -137,7 +282,15 @@ def polling_capture_ops(
     at its last effective op: ``d`` if soft-deleted (dropped entirely unless
     ``include_soft_deletes``), else ``u`` when version > 1, ``c`` for fresh
     inserts. Version counts applied insert/updates only.
+
+    ``merge_payload=True`` (single MAP patch payload) switches to the exact
+    PollingEngine row-store fold, which additionally honours
+    insert-after-delete revival and delete-on-missing no-ops — cases the
+    driver feed never produces but scenario fixtures can.
     """
+    if merge_payload:
+        (c,) = payload
+        return _polling_capture_merge(ops, poll_ms, include_soft_deletes, c)
     wall = W.partitionBy("pk")
     wordered = W.partitionBy("pk").orderBy("t", "seq")
 
@@ -209,6 +362,7 @@ def trigger_capture_ops(
     extract_ms: int = EXTRACT_MS,
     overhead_ms: int = OVERHEAD_MS,
     payload: tuple[str, ...] = PAYLOAD,
+    merge_payload: bool = False,
 ) -> DataFrame:
     """C3 — audit-table capture: synchronous append with write-path overhead.
 
@@ -218,22 +372,45 @@ def trigger_capture_ops(
     ``TriggerEngine.ts:62-100``). ``audit_seq`` stands in for the reference's
     random ``audit_id`` (``TriggerEngine.ts:148`` — randomness would break the
     deterministic replay contract).
+
+    With ``merge_payload=True`` (single MAP payload of patches) the images
+    are the trigger row store's merged states: insert replaces, update
+    merges and revives, delete keeps data under the flag, and a delete on a
+    never-seen key audits an empty ``{}`` before image
+    (``TriggerEngine.ts:87-105``).
     """
-    wprev = (
-        W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, -1)
-    )
-    df = _with_after(ops, payload)
-    df = df.select(
-        "*",
-        *[
-            F.when(F.col("op") == "insert", F.lit(None))
-            .otherwise(
-                F.last(F.when(F.col("op") != "delete", F.col(f"after_{c}")), ignorenulls=True).over(wprev)
-            )
-            .alias(f"before_{c}")
-            for c in payload
-        ],
-    )
+    wpk = W.partitionBy("pk").orderBy("t", "seq")
+    if merge_payload:
+        (c,) = payload
+        st = ops.select(
+            "seq", "t", "pk", "op", _merged_state(c, keep_on_delete=True).alias("__st")
+        )
+        prev = F.lag("__st").over(wpk)
+        df = st.select(
+            "seq",
+            "t",
+            "pk",
+            "op",
+            F.when(F.col("op") != "delete", F.col("__st")).alias(f"after_{c}"),
+            F.when(F.col("op") == "insert", _null_map())
+            .when(F.col("op") == "delete", F.coalesce(prev, _empty_map()))
+            .otherwise(prev)
+            .alias(f"before_{c}"),
+        )
+    else:
+        wprev = wpk.rowsBetween(W.unboundedPreceding, -1)
+        df = _with_after(ops, payload)
+        df = df.select(
+            "*",
+            *[
+                F.when(F.col("op") == "insert", F.lit(None))
+                .otherwise(
+                    F.last(F.when(F.col("op") != "delete", F.col(f"after_{c}")), ignorenulls=True).over(wprev)
+                )
+                .alias(f"before_{c}")
+                for c in payload
+            ],
+        )
     df = with_global_seq(df, F.expr(f"t div {extract_ms}"), ["t", "seq"], "audit_seq")
     return df.select(
         "audit_seq",

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lets_talk_cdc_change_feed_playground_spark.operators import capture, diffs
-from lets_talk_cdc_change_feed_playground_spark.operators import schema_evolution as SE
 from lets_talk_cdc_change_feed_playground_spark.sources import scenario as SC
 
 DEFAULT_FETCH_MS = 25
@@ -62,15 +61,21 @@ def scenario_feed(spark: SparkSession, path: str, snapshot_t: int = 0) -> DataFr
 
 def _lane_verdict(expected: DataFrame, actual: DataFrame) -> dict[str, Any]:
     d = diffs.lane_diff(expected, actual).cache()
-    missing = d.filter(F.col("status") == "missing").count()
-    extra = d.filter(F.col("status") == "extra").count()
-    inv = diffs.ordering_inversions(d).first()["ordering_issues"]
-    max_lag = d.agg(F.coalesce(F.max("lag_ms"), F.lit(0))).first()[0]
+    try:
+        agg = d.agg(
+            F.sum((F.col("status") == "missing").cast("int")).alias("missing"),
+            F.sum((F.col("status") == "extra").cast("int")).alias("extra"),
+            F.coalesce(F.max("lag_ms"), F.lit(0)).alias("max_lag"),
+        ).first()
+        inv = int(diffs.ordering_inversions(d).first()["ordering_issues"])
+    finally:
+        d.unpersist()
+    missing, extra = int(agg["missing"] or 0), int(agg["extra"] or 0)
     return {
         "missing": missing,
         "extra": extra,
-        "ordering_issues": int(inv),
-        "max_lag_ms": int(max_lag),
+        "ordering_issues": inv,
+        "max_lag_ms": int(agg["max_lag"]),
         "pass": missing == 0 and extra == 0 and inv == 0,
     }
 
@@ -85,17 +90,30 @@ def replay_scenario(
     include_soft_deletes: bool = True,
 ) -> dict[str, Any]:
     """Replay one scenario through all three engines; return the summary the
-    reference's comparator panel shows (per-lane verdicts + final state)."""
+    reference's comparator panel shows (per-lane verdicts + final state).
+
+    Scenario ops carry *patch* payloads, so the engines run in
+    ``merge_payload`` mode and emit the reference's merged row images."""
+    from lets_talk_cdc_change_feed_playground_spark.registry import _REQUIRED_CONF
+
+    for k, v in _REQUIRED_CONF.items():
+        spark.conf.set(k, v)
     feed = scenario_feed(spark, path).cache()
     n_ops = feed.count()
     n_deletes = feed.filter(F.col("op") == "delete").count()
 
-    log = capture.log_capture_ops(feed, fetch_ms, payload=("data",)).cache()
+    log = capture.log_capture_ops(
+        feed, fetch_ms, payload=("data",), merge_payload=True
+    ).cache()
     trig = capture.trigger_capture_ops(
-        feed, extract_ms, overhead_ms, payload=("data",)
+        feed, extract_ms, overhead_ms, payload=("data",), merge_payload=True
     ).cache()
     poll = capture.polling_capture_ops(
-        feed, poll_ms, include_soft_deletes=include_soft_deletes, payload=("data",)
+        feed,
+        poll_ms,
+        include_soft_deletes=include_soft_deletes,
+        payload=("data",),
+        merge_payload=True,
     ).cache()
 
     expected = diffs.expected_entries(feed).cache()
@@ -116,19 +134,22 @@ def replay_scenario(
         lanes[name]["events"] = lane_df.count()
         lanes[name]["deletes"] = lane_df.filter(F.col("op") == "d").count()
 
-    # A2: fold the log lane back into the final table state
-    fold_events = log.select(
-        F.lit("t").alias("table"),
-        "pk",
-        F.col("lsn").alias("seq"),
-        F.col("ts_ms").alias("t"),
-        F.when(F.col("op") == "d", "delete").otherwise("insert").alias("op"),
-        F.col("after_data").alias("after"),
+    # A2: the WAL's merged images make replay a last-image-wins reduction
+    # (the LogEngine row store state — deleted keys carry a NULL last image)
+    from pyspark.sql import Window as W
+
+    wlast = W.partitionBy("pk").orderBy(F.desc("lsn"))
+    state = (
+        log.withColumn("__rn", F.row_number().over(wlast))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "d"))
+        .select("pk", F.col("after_data").alias("data"))
     )
-    state = SE.replay_fold(fold_events)
     final_state = {
         r["pk"]: dict(r["data"]) for r in state.orderBy("pk").collect()
     }
+
+    for df in (feed, log, trig, poll, expected):
+        df.unpersist()
 
     return {
         "scenario": path,

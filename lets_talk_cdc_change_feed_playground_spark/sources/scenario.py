@@ -311,19 +311,16 @@ def ops_to_sql(ops: DataFrame, pk_col: str = "id") -> DataFrame:
     here the plain three-verb form keeps parity with the driver script.
     """
     esc = lambda c: F.regexp_replace(c, "'", "''")  # noqa: E731
-    kv = F.map_entries(F.col("after"))
-    cols = F.array_join(F.transform(kv, lambda e: e["key"]), ", ")
-    vals = F.array_join(
-        F.transform(kv, lambda e: F.concat(F.lit("'"), esc(e["value"]), F.lit("'"))),
-        ", ",
+    # null map values render as SQL NULL (quoted-concat of a null would
+    # otherwise drop the element from one list but not the other)
+    lit = lambda e: F.coalesce(  # noqa: E731
+        F.concat(F.lit("'"), esc(e["value"]), F.lit("'")), F.lit("NULL")
     )
+    kv = F.sort_array(F.map_entries(F.col("after")))  # key-ordered, deterministic
+    cols = F.array_join(F.transform(kv, lambda e: e["key"]), ", ")
+    vals = F.array_join(F.transform(kv, lit), ", ")
     sets = F.array_join(
-        F.transform(
-            kv,
-            lambda e: F.concat(
-                e["key"], F.lit(" = '"), esc(e["value"]), F.lit("'")
-            ),
-        ),
+        F.transform(kv, lambda e: F.concat(e["key"], F.lit(" = "), lit(e))),
         ", ",
     )
     where = F.concat(F.lit(pk_col + " = '"), esc(F.col("pk")), F.lit("'"))

@@ -1,0 +1,79 @@
+"""merge_payload mode: engine row-store semantics for MAP patch payloads.
+
+Pins the reference's per-engine image rules on the cases that differ
+between engines (``sim/engines/{Log,Trigger,Polling}Engine.ts``): insert
+replaces, update merges, LogEngine's delete clears while TriggerEngine
+keeps data and revives on update, PollingEngine no-ops updates on
+deleted/missing rows and deletes on missing rows, and re-insert revives
+with version 1 (emits 'c' again).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lets_talk_cdc_change_feed_playground_spark.operators import capture
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    return spark.createDataFrame(
+        [
+            (0, 100, "k1", "insert", {"a": "1", "b": "2"}),
+            (1, 200, "k1", "update", {"b": "3"}),
+            (2, 300, "k1", "delete", None),
+            (3, 400, "k1", "update", {"c": "4"}),
+            (4, 500, "k1", "insert", {"z": "9"}),
+            (5, 600, "k2", "delete", None),
+        ],
+        "seq long, t long, pk string, op string, data map<string,string>",
+    )
+
+
+def test_log_merge_images(spark, feed):
+    rows = {
+        r["lsn"]: r
+        for r in capture.log_capture_ops(
+            feed, 25, payload=("data",), merge_payload=True
+        ).collect()
+    }
+    assert dict(rows[2]["before_data"]) == {"a": "1", "b": "2"}
+    assert dict(rows[2]["after_data"]) == {"a": "1", "b": "3"}
+    # delete clears; update-on-missing creates from the patch (cur undefined)
+    assert dict(rows[3]["before_data"]) == {"a": "1", "b": "3"}
+    assert rows[3]["after_data"] is None
+    assert rows[4]["before_data"] is None
+    assert dict(rows[4]["after_data"]) == {"c": "4"}
+    # insert REPLACES (z only, no a/b/c); delete-on-missing has null before
+    assert dict(rows[5]["after_data"]) == {"z": "9"}
+    assert rows[6]["before_data"] is None
+
+
+def test_trigger_merge_images(spark, feed):
+    rows = {
+        r["audit_seq"]: r
+        for r in capture.trigger_capture_ops(
+            feed, 150, 6, payload=("data",), merge_payload=True
+        ).collect()
+    }
+    # deleted rows keep data; the next update revives and merges into it
+    assert dict(rows[4]["before_data"]) == {"a": "1", "b": "3"}
+    assert dict(rows[4]["after_data"]) == {"a": "1", "b": "3", "c": "4"}
+    # delete on a never-seen key audits an empty before image
+    assert dict(rows[6]["before_data"]) == {}
+
+
+def test_polling_merge_no_ops(spark, feed):
+    polled = capture.polling_capture_ops(
+        feed, 200, include_soft_deletes=True, payload=("data",), merge_payload=True
+    ).collect()
+    by_window = {(r["pk"], r["poll_ts_ms"]): r for r in polled}
+    # k2's delete-on-missing emits nothing; k1's post-delete update is a no-op
+    assert all(r["pk"] == "k1" for r in polled)
+    assert len(polled) == 3
+    # re-insert revives with version 1 → 'c' again, replaced image
+    last = by_window[("k1", 600)]
+    assert last["op"] == "c" and dict(last["after_data"]) == {"z": "9"}
+    # the delete window emits 'd' with a null image
+    assert by_window[("k1", 400)]["op"] == "d"
+    assert by_window[("k1", 400)]["after_data"] is None

@@ -13,10 +13,10 @@ and checked against the reference's cross-engine invariants
 - polling never invents events (≤ 1 per key/poll window, never more than
   effective ops) and never emits more deletes than the source;
 - log/trigger delete capture is exact;
-- replaying the log lane's after-images reproduces the final source state
-  computed by an independent driver-side fold (the ``applyEvent`` semantics
-  of ``src/domain/storage.ts:137-164``: merge on insert/update, remove on
-  delete, ordered by logical time).
+- replaying the log lane's merged after-images reproduces the final source
+  state computed by an independent driver-side simulation of the LogEngine
+  row store (``sim/engines/LogEngine.ts:33-99``: insert replaces, update
+  merges, delete removes, ordered by logical time).
 
 The fixtures are scenario *definitions* (≤ 4 KB of JSON); the suite skips
 cleanly when the reference checkout is not present.
@@ -31,7 +31,7 @@ import pytest
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from lets_talk_cdc_change_feed_playground_spark.operators import capture, schema_evolution as SE
+from lets_talk_cdc_change_feed_playground_spark.operators import capture
 from lets_talk_cdc_change_feed_playground_spark.sources import scenario as SC
 
 REF_FIXTURES = "/root/reference/harness/fixtures"
@@ -72,16 +72,23 @@ def replayed(request, spark):
 
 
 def _python_fold(rows):
-    """Independent final-state oracle: storage.ts applyEvent semantics."""
+    """Independent final-state oracle: the LogEngine row store
+    (``LogEngine.ts:33-99`` — insert REPLACES, update merges, delete
+    removes; update on a missing row creates it from the patch)."""
     state: dict[str, dict] = {}
     for r in rows:  # already (t, seq)-ordered
         key = f"{r['table']}|{r['pk']}"
         if r["op"] == "delete":
             state.pop(key, None)
+        elif r["op"] == "insert":
+            state[key] = dict(r["after"] or {})
         else:
-            merged = dict(state.get(key, {}))
-            merged.update(r["after"] or {})
-            state[key] = merged
+            if key in state:
+                merged = dict(state[key])
+                merged.update(r["after"] or {})
+                state[key] = merged
+            else:
+                state[key] = dict(r["after"] or {})
     return state
 
 
@@ -90,9 +97,9 @@ def test_log_and_trigger_lanes_complete(replayed):
     n_ops = len(rows)
     n_del = sum(1 for r in rows if r["op"] == "delete")
 
-    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",)).cache()
+    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",), merge_payload=True).cache()
     trig = capture.trigger_capture_ops(
-        feed, EXTRACT_MS, OVERHEAD_MS, payload=("data",)
+        feed, EXTRACT_MS, OVERHEAD_MS, payload=("data",), merge_payload=True
     ).cache()
 
     assert log.count() == n_ops
@@ -121,7 +128,7 @@ def test_polling_never_invents(replayed):
     n_del = sum(1 for r in rows if r["op"] == "delete")
 
     poll = capture.polling_capture_ops(
-        feed, POLL_MS, include_soft_deletes=True, payload=("data",)
+        feed, POLL_MS, include_soft_deletes=True, payload=("data",), merge_payload=True
     ).cache()
 
     assert poll.count() <= n_ops
@@ -138,20 +145,15 @@ def test_log_replay_matches_reference_fold(replayed):
     rows, feed = replayed
     expected = _python_fold(rows)
 
-    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",))
-    # WAL record → ops shape for the A2 merge fold (partial updates merge)
-    events = log.select(
-        F.lit("t").alias("table"),
-        "pk",
-        F.col("lsn").alias("seq"),
-        F.col("ts_ms").alias("t"),
-        F.when(F.col("op") == "d", "delete").otherwise("insert").alias("op"),
-        F.col("after_data").alias("after"),
+    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",), merge_payload=True)
+    # merged WAL images make replay a last-image-wins reduction
+    wlast = W.partitionBy("pk").orderBy(F.desc("lsn"))
+    state = (
+        log.withColumn("rn", F.row_number().over(wlast))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("pk", "after_data")
     )
-    got = {
-        r["pk"]: dict(r["data"])
-        for r in SE.replay_fold(events).collect()
-    }
+    got = {r["pk"]: dict(r["after_data"]) for r in state.collect()}
     assert got == expected
 
 
@@ -182,7 +184,7 @@ def test_fixture_harness_verdict(replayed):
 
     rows, feed = replayed
     exp = diffs.expected_entries(feed)
-    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",))
+    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",), merge_payload=True)
     act = diffs.actual_entries(log, "ts_ms", ["ts_ms", "lsn"])
     d = diffs.lane_diff(exp, act).cache()
     assert d.filter(F.col("status") != "matched").count() == 0

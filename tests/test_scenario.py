@@ -163,3 +163,16 @@ def test_ops_to_sql_statements(spark, crud):
     )
     s = SC.ops_to_sql(df).first()["stmt"]
     assert "O''Hara" in s
+
+
+def test_ops_to_sql_null_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 1, "t1", "k1", "insert", {"id": "k1", "nick": None}, None, None, None),
+            (1, 2, "t1", "k1", "update", {"nick": None}, None, None, None),
+        ],
+        SC.OPS_SCHEMA,
+    )
+    stmts = [r["stmt"] for r in SC.ops_to_sql(df).collect()]
+    assert stmts[0] == "INSERT INTO t1 (id, nick) VALUES ('k1', NULL);"
+    assert stmts[1] == "UPDATE t1 SET nick = NULL WHERE id = 'k1';"

@@ -144,12 +144,12 @@ def test_reference_seed_invariants(spark, seed):
     n_ops = len(ops)
     n_del = sum(1 for o in ops if o["op"] == "delete")
 
-    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",)).cache()
+    log = capture.log_capture_ops(feed, FETCH_MS, payload=("data",), merge_payload=True).cache()
     trig = capture.trigger_capture_ops(
-        feed, EXTRACT_MS, OVERHEAD_MS, payload=("data",)
+        feed, EXTRACT_MS, OVERHEAD_MS, payload=("data",), merge_payload=True
     ).cache()
     poll = capture.polling_capture_ops(
-        feed, POLL_MS, include_soft_deletes=True, payload=("data",)
+        feed, POLL_MS, include_soft_deletes=True, payload=("data",), merge_payload=True
     ).cache()
 
     # lossless lanes diff clean against the source ops
