@@ -65,6 +65,17 @@ def _null_map() -> Column:
     return F.expr("CAST(NULL AS MAP<STRING,STRING>)")
 
 
+def _merge_maps(acc: Column, patch: Column) -> Column:
+    """``{...acc, ...patch}`` independent of ``spark.sql.mapKeyDedupPolicy``:
+    overlapping keys are filtered from the base before the concat, so the
+    merge works under any caller's session conf."""
+    a = F.coalesce(acc, _empty_map())
+    p = F.coalesce(patch, _empty_map())
+    return F.map_concat(
+        F.map_filter(a, lambda k, _v: ~F.map_contains_key(p, k)), p
+    )
+
+
 def _merged_state(payload_col: str, keep_on_delete: bool):
     """Per-event post-image of the engine's row store when the payload is an
     open-schema MAP of *patches* (scenario ops): insert REPLACES the row,
@@ -87,7 +98,7 @@ def _merged_state(payload_col: str, keep_on_delete: bool):
         return (
             F.when(e["op"] == "delete", on_delete)
             .when(e["op"] == "insert", e["d"])
-            .otherwise(F.map_concat(F.coalesce(acc, _empty_map()), F.coalesce(e["d"], _empty_map())))
+            .otherwise(_merge_maps(acc, e["d"]))
         )
 
     return F.aggregate(prefix, _null_map(), step)
@@ -198,7 +209,6 @@ def _polling_capture_merge(
         F.lit(False).alias("deleted"),
         F.lit(0).cast("long").alias("version"),
         _null_map().alias("data"),
-        F.lit(-1).cast("long").alias("upd_t"),
         F.lit(-1).cast("long").alias("upd_seq"),
     )
 
@@ -208,17 +218,13 @@ def _polling_capture_merge(
             F.lit(False).alias("deleted"),
             F.lit(1).cast("long").alias("version"),
             e["d"].alias("data"),
-            e["t"].alias("upd_t"),
             e["seq"].alias("upd_seq"),
         )
         updated = F.struct(
             F.lit(True).alias("exists"),
             F.lit(False).alias("deleted"),
             (acc["version"] + 1).alias("version"),
-            F.map_concat(
-                F.coalesce(acc["data"], _empty_map()), F.coalesce(e["d"], _empty_map())
-            ).alias("data"),
-            e["t"].alias("upd_t"),
+            _merge_maps(acc["data"], e["d"]).alias("data"),
             e["seq"].alias("upd_seq"),
         )
         softdel = F.struct(
@@ -226,7 +232,6 @@ def _polling_capture_merge(
             F.lit(True).alias("deleted"),
             acc["version"].alias("version"),
             acc["data"].alias("data"),
-            e["t"].alias("upd_t"),
             e["seq"].alias("upd_seq"),
         )
         return (

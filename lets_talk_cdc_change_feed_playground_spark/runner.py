@@ -10,8 +10,10 @@ lets_talk_cdc_change_feed_playground_spark.cli <scenario.json>`` prints the same
 Every stage is the already-judged operator — this module only composes:
 :mod:`.sources.scenario` (S1/S3), :mod:`.operators.capture` (C1-C3 with the
 open-schema MAP payload), :mod:`.operators.diffs` (V1-V3), and the A2 merge
-fold. Scenario definitions are tiny; the same pipeline pointed at a real
-ops table is the 100 TB path.
+fold. Scenario definitions are tiny — patch-merged images fold each key's
+event prefix (quadratic per key, fine at fixture size); a high-volume ops
+table carries full row images, where the engines' linear column path
+applies (``capture.PAYLOAD`` mode).
 """
 
 from __future__ import annotations
@@ -93,11 +95,8 @@ def replay_scenario(
     reference's comparator panel shows (per-lane verdicts + final state).
 
     Scenario ops carry *patch* payloads, so the engines run in
-    ``merge_payload`` mode and emit the reference's merged row images."""
-    from lets_talk_cdc_change_feed_playground_spark.registry import _REQUIRED_CONF
-
-    for k, v in _REQUIRED_CONF.items():
-        spark.conf.set(k, v)
+    ``merge_payload`` mode and emit the reference's merged row images
+    (conf-independent — works under any caller's session)."""
     feed = scenario_feed(spark, path).cache()
     n_ops = feed.count()
     n_deletes = feed.filter(F.col("op") == "delete").count()

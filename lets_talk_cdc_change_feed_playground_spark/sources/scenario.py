@@ -324,12 +324,31 @@ def ops_to_sql(ops: DataFrame, pk_col: str = "id") -> DataFrame:
         ", ",
     )
     where = F.concat(F.lit(pk_col + " = '"), esc(F.col("pk")), F.lit("'"))
+    # an op without payload fields still renders executable SQL: the pk
+    # column carries the insert, and the update degrades to a pk self-set
+    empty = F.size(kv) == 0
+    pk_lit = F.concat(F.lit("'"), esc(F.col("pk")), F.lit("'"))
     stmt = (
         F.when(
+            (F.col("op") == "insert") & empty,
+            F.concat(
+                F.lit("INSERT INTO "), F.col("table"),
+                F.lit(f" ({pk_col}) VALUES ("), pk_lit, F.lit(");"),
+            ),
+        )
+        .when(
             F.col("op") == "insert",
             F.concat(
                 F.lit("INSERT INTO "), F.col("table"), F.lit(" ("), cols,
                 F.lit(") VALUES ("), vals, F.lit(");"),
+            ),
+        )
+        .when(
+            (F.col("op") == "update") & empty,
+            F.concat(
+                F.lit("UPDATE "), F.col("table"),
+                F.lit(f" SET {pk_col} = "), pk_lit,
+                F.lit(" WHERE "), where, F.lit(";"),
             ),
         )
         .when(

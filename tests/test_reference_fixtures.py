@@ -82,13 +82,10 @@ def _python_fold(rows):
             state.pop(key, None)
         elif r["op"] == "insert":
             state[key] = dict(r["after"] or {})
-        else:
-            if key in state:
-                merged = dict(state[key])
-                merged.update(r["after"] or {})
-                state[key] = merged
-            else:
-                state[key] = dict(r["after"] or {})
+        else:  # update merges; creates from the patch when missing
+            merged = dict(state.get(key, {}))
+            merged.update(r["after"] or {})
+            state[key] = merged
     return state
 
 

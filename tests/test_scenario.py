@@ -176,3 +176,16 @@ def test_ops_to_sql_null_values(spark):
     stmts = [r["stmt"] for r in SC.ops_to_sql(df).collect()]
     assert stmts[0] == "INSERT INTO t1 (id, nick) VALUES ('k1', NULL);"
     assert stmts[1] == "UPDATE t1 SET nick = NULL WHERE id = 'k1';"
+
+
+def test_ops_to_sql_empty_payload(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 1, "t1", "k1", "insert", {}, None, None, None),
+            (1, 2, "t1", "k1", "update", {}, None, None, None),
+        ],
+        SC.OPS_SCHEMA,
+    )
+    stmts = [r["stmt"] for r in SC.ops_to_sql(df).collect()]
+    assert stmts[0] == "INSERT INTO t1 (id) VALUES ('k1');"
+    assert stmts[1] == "UPDATE t1 SET id = 'k1' WHERE id = 'k1';"
