@@ -57,23 +57,11 @@ def _with_after(ops: DataFrame, payload: tuple[str, ...]) -> DataFrame:
     return ops.select("seq", "t", "pk", "op", *cols)
 
 
-def _empty_map() -> Column:
-    return F.expr("map()").cast("map<string,string>")
-
-
-def _null_map() -> Column:
-    return F.expr("CAST(NULL AS MAP<STRING,STRING>)")
-
-
-def _merge_maps(acc: Column, patch: Column) -> Column:
-    """``{...acc, ...patch}`` independent of ``spark.sql.mapKeyDedupPolicy``:
-    overlapping keys are filtered from the base before the concat, so the
-    merge works under any caller's session conf."""
-    a = F.coalesce(acc, _empty_map())
-    p = F.coalesce(patch, _empty_map())
-    return F.map_concat(
-        F.map_filter(a, lambda k, _v: ~F.map_contains_key(p, k)), p
-    )
+from lets_talk_cdc_change_feed_playground_spark.functions.maps import (  # noqa: E402
+    empty_map as _empty_map,
+    merge_maps as _merge_maps,
+    null_map as _null_map,
+)
 
 
 def _merged_state(payload_col: str, keep_on_delete: bool):
@@ -209,7 +197,8 @@ def _polling_capture_merge(
         F.lit(False).alias("deleted"),
         F.lit(0).cast("long").alias("version"),
         _null_map().alias("data"),
-        F.lit(-1).cast("long").alias("upd_seq"),
+        # NULL sentinel: a no-op prefix never equals a real seq (not even -1)
+        F.lit(None).cast("long").alias("upd_seq"),
     )
 
     def step(acc, e):

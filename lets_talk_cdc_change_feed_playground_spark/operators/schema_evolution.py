@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from lets_talk_cdc_change_feed_playground_spark.functions.maps import merge_maps as _merge_maps
+
 #: storage.ts:35-43 — value-shape based column type inference.
 _TYPE_BOOL = r"^(true|false)$"
 _TYPE_NUM = r"^-?[0-9]+(\.[0-9]+)?$"
@@ -118,8 +120,9 @@ def replay_fold(ops: DataFrame, drop_columns: tuple[str, ...] = ()) -> DataFrame
     """A1/A2 over MAP payloads with *partial* updates: ordered merge fold per
     key. ``drop_columns`` implements the A10 schema-drift projection toggle.
 
-    Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in session conf)
-    so ``map_concat`` is the JS object-spread merge."""
+    The merge is the conf-independent object spread
+    (:func:`..functions.maps.merge_maps`) — correct under any caller's
+    ``mapKeyDedupPolicy``."""
     events = ops.select(
         "table", "pk", F.struct("t", "seq", "op", "after").alias("e")
     )
@@ -139,12 +142,7 @@ def replay_fold(ops: DataFrame, drop_columns: tuple[str, ...] = ()) -> DataFrame
             F.lit(None).cast("map<string,string>"),
             lambda acc, e: (
                 F.when(e["op"] == "delete", F.lit(None).cast("map<string,string>"))
-                .otherwise(
-                    F.map_concat(
-                        F.coalesce(acc, F.create_map().cast("map<string,string>")),
-                        _project(e["after"], drop_columns),
-                    )
-                )
+                .otherwise(_merge_maps(acc, _project(e["after"], drop_columns)))
             ),
         ).alias("data"),
         F.max(F.struct("e.t", "e.seq")).alias("last"),

@@ -77,3 +77,32 @@ def test_polling_merge_no_ops(spark, feed):
     # the delete window emits 'd' with a null image
     assert by_window[("k1", 400)]["op"] == "d"
     assert by_window[("k1", 400)]["after_data"] is None
+
+
+def test_merges_work_under_exception_dedup_policy(spark, feed):
+    """The conf-independence contract: the merge lanes and the replay fold
+    must produce identical results when the session's mapKeyDedupPolicy is
+    EXCEPTION (Spark's default for bare sessions)."""
+    from pyspark.sql import functions as F
+
+    from lets_talk_cdc_change_feed_playground_spark.operators import schema_evolution as SE
+
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        log = capture.log_capture_ops(
+            feed, 25, payload=("data",), merge_payload=True
+        ).collect()
+        assert len(log) == 6
+        row2 = next(r for r in log if r["lsn"] == 2)
+        assert dict(row2["after_data"]) == {"a": "1", "b": "3"}
+        ops = feed.select(
+            F.lit("t").alias("table"), "pk", "seq", "t", "op",
+            F.col("data").alias("after"),
+        )
+        folded = {r["pk"]: dict(r["data"]) for r in SE.replay_fold(ops).collect()}
+        # sink-side fold (storage.applyEvent): insert MERGES into existing,
+        # so k1 keeps the post-delete update's field alongside the re-insert
+        assert folded["k1"] == {"c": "4", "z": "9"}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
