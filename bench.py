@@ -35,7 +35,7 @@ from lets_talk_cdc_change_feed_playground_spark import get_spark  # noqa: E402
 
 
 def _sf_from_dir(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     return float(m.group(1)) if m else -1.0
 
 

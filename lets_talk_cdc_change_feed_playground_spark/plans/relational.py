@@ -1749,7 +1749,8 @@ def parts_coorder_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     hot = freq.filter(F.col("n_orders") >= 5).select("l_partkey")
-    lih = li.join(F.broadcast(hot), "l_partkey")
+    # hot grows with SF — AQE decides the join strategy (r1 lesson)
+    lih = li.join(hot, "l_partkey")
     a = lih.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = lih.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     pairs = (

@@ -45,10 +45,11 @@ def parse_debezium(df: DataFrame, topic_prefix: str = "dbserver1.public.") -> Da
         F.col("key").cast("string").alias("pk"),
         F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("env"),
     )
+    import re as _re
+
     return (
         parsed.select(
-            F.regexp_replace("topic", f"^{topic_prefix.replace('.', chr(92) + '.')}", "")
-            .alias("tbl"),
+            F.regexp_replace("topic", f"^{_re.escape(topic_prefix)}", "").alias("tbl"),
             "pk",
             F.col("env.payload.op").alias("op"),
             F.col("env.payload.before").alias("before"),

@@ -156,8 +156,8 @@ def _ops_from_events(events: list[Any]) -> list[dict]:
             {
                 "t": payload.get("ts_ms"),
                 "op": code,
-                "table": payload.get("source", {}).get("table") or ev.get("table"),
-                "pk": ev.get("key") or payload.get("key"),
+                "table": (payload.get("source") or {}).get("table") or ev.get("table"),
+                "pk": ev.get("key") if ev.get("key") is not None else payload.get("key"),
                 "after": payload.get("after"),
             }
         )
@@ -182,9 +182,7 @@ def load_scenario(path: str) -> Scenario:
         code = _normalise_op(op.get("op"))
         if code is None:
             continue
-        pk = _derive_pk(op, schema) if code != "delete" else (
-            _derive_pk(op, schema)
-        )
+        pk = _derive_pk(op, schema)
         if pk is None:
             continue  # normaliser drops ops without a derivable pk
         t = op.get("t")
@@ -200,8 +198,8 @@ def load_scenario(path: str) -> Scenario:
                 "op": code,
                 "after": _as_map(op.get("after")) if code != "delete" else None,
                 "tx_id": _scalar(txn.get("id")) if txn else None,
-                "tx_index": int(txn["index"]) if "index" in txn else None,
-                "tx_total": int(txn["total"]) if "total" in txn else None,
+                "tx_index": int(txn["index"]) if txn.get("index") is not None else None,
+                "tx_total": int(txn["total"]) if txn.get("total") is not None else None,
             }
         )
 

@@ -39,6 +39,8 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -47,10 +49,19 @@ def canon_cell(v):
     return str(v)
 
 
+def _sort_key_cell(c: str) -> str:
+    # float-jitter-stable sort key: rounding to 6 significant digits keeps
+    # near-equal Spark/DuckDB rows aligned when each side sorts itself
+    try:
+        return format(float(c), ".6g")
+    except (ValueError, TypeError):
+        return c
+
+
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
-    out.sort()
+    out.sort(key=lambda row: tuple(_sort_key_cell(c) for c in row))
     return [cols[i] for i in order], out
 
 
@@ -100,6 +111,8 @@ def main() -> int:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            # second execution only reads dtypes (fetchall consumed the
+            # cursor; pandas conversion would also retype cells)
             d_dtypes = dict(con.execute(oracles[name]).df().dtypes.astype(str))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
