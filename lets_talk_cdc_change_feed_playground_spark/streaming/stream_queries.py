@@ -522,6 +522,107 @@ ORDER BY apply_seq
     )
 
 
+def _docs_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage ``documents`` as 3 doc_id-range chunk files (hash precomputed
+    JVM-side) — the arrival order of an ingestion stream."""
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, "docs")
+    if key in _staged:
+        return _staged[key]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("content_hash"),
+    )
+    cuts = d.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    out = tempfile.mkdtemp(prefix="sg_docs_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = d
+        if lo is not None:
+            chunk = chunk.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("doc_id") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    _staged[key] = flat
+    return flat
+
+
+def stream_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time exact dedup as a streaming job — the keyed-state
+    first-seen filter a 100 TB training-data pipeline runs at intake:
+    content hashes arrive across micro-batches; per-hash state admits only
+    the first batch that presents the hash (keeper = its lowest doc_id) and
+    suppresses every later duplicate, across batch boundaries.
+
+    Deterministic because the chunks are doc_id ranges replayed in order, so
+    the first batch holding a hash also holds its global minimum doc_id; the
+    oracle is the batch ``GROUP BY`` min."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    in_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("content_hash", StringType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("content_hash", StringType()),
+            StructField("keeper_doc_id", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def first_seen(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            return iter(())
+        keeper = None
+        for pdf in pdf_iter:
+            lo = int(pdf["doc_id"].min())
+            keeper = lo if keeper is None else min(keeper, lo)
+        state.update((1,))
+        return iter(
+            [pd.DataFrame({"content_hash": [key[0]], "keeper_doc_id": [keeper]})]
+        )
+
+    src = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_chunks(spark, sf_dir))
+    )
+    deduped = src.groupBy("content_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    res = _run_to_table(deduped, "append")
+    return res.orderBy("content_hash")
+
+
+def _stream_docs_dedup_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        NORM_SQL,
+    )
+
+    return f"""
+SELECT content_hash, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM (SELECT doc_id, md5({NORM_SQL}) AS content_hash FROM documents)
+GROUP BY content_hash
+ORDER BY content_hash
+"""
+
+
 QUERIES = {
     "stream_log_capture": stream_log_capture,
     "stream_hourly_stats": stream_hourly_stats,
@@ -529,9 +630,11 @@ QUERIES = {
     "stream_trigger_capture": stream_trigger_capture,
     "stream_upsert_sink": stream_upsert_sink,
     "stream_apply_on_commit": stream_apply_on_commit,
+    "stream_docs_dedup": stream_docs_dedup,
 }
 
 ORACLE = {
+    "stream_docs_dedup": _stream_docs_dedup_sql(),
     "stream_log_capture": STREAM_LOG_SQL,
     "stream_hourly_stats": STREAM_HOURLY_SQL,
     "stream_polling_capture": _stream_poll_sql(),
