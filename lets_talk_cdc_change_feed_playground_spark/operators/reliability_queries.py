@@ -1,0 +1,414 @@
+"""Judged CDC reliability / operability queries.
+
+The reference's failure scenarios (``scenarios/01-canonical-reference/failures/*``,
+``harness/verifier/verify.mjs``) exercise the operational side of a CDC
+pipeline — loss, staleness, snapshot orchestration, poison messages, and
+store compaction.  This module turns each of those concerns into a judged
+batch query over the same derived feeds the capture/playground queries use:
+
+- ``cdc_wal_compaction``   — Kafka-style log compaction of the C1 WAL
+  (latest record per key; tombstones expire after a retention window) —
+  what a 100 TB change-log store runs continuously to bound its size.
+- ``cdc_offset_gaps``      — consumer-side loss detection: contiguous runs
+  of missing offsets per bus partition (the consumer's view of B5 drops),
+  the gaps-and-islands dual of ``cdc_bus_drops``'s producer-side counts.
+- ``cdc_dlq_routing``      — dead-letter routing: deterministic fault
+  injection (keyed on ``hash31(pk:seq)``, no RNG) followed by validation
+  rules; each poisoned event is routed with its first failing reason, like
+  the sink consumer's error path (``consumer.mjs``'s try/catch per event).
+- ``cdc_heartbeat_liveness`` — connector-staleness detection per capture
+  lane: emission-tick gaps vs a liveness threshold (the harness verifier's
+  10 s cadence check, ``verify.mjs:30``).
+- ``cdc_snapshot_chunking`` — incremental-snapshot planning: split the
+  source key space into bounded pk-range chunks (the Debezium
+  incremental-snapshot watermarking strategy) so the S3 snapshot phase
+  can run chunk-parallel on 1000 executors.
+
+Scale notes: every query is one shuffle on its natural key (pk, partition,
+method) plus tiny broadcast frames; sequences/prefixes use the two-phase
+bucketed pattern from :mod:`..functions.sequence` — no data-sized
+unpartitioned windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_global_seq
+from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg
+from lets_talk_cdc_change_feed_playground_spark.operators.capture import log_capture
+from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import (
+    AUDIT_SQL,
+    LANES_SQL,
+    POLL_STATE_SQL,
+    WAL_SQL,
+    _with,
+)
+from lets_talk_cdc_change_feed_playground_spark.operators.metrics import normalize_lanes
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    OPS_SQL,
+    hash31,
+    hash31_sql,
+    ops_feed,
+)
+from lets_talk_cdc_change_feed_playground_spark.operators.playground_queries import (
+    _bus_sql,
+)
+
+#: Log-compaction tombstone retention (Kafka ``delete.retention.ms`` role):
+#: a key whose latest record is a delete keeps its tombstone only while the
+#: log head is within this window, then the key vanishes entirely.
+RETENTION_MS = 7 * 24 * 3_600_000
+
+#: Liveness: a lane is stale when no emission tick fires for this long.
+STALE_GAP_MS = 6 * 3_600_000
+
+#: Snapshot chunk size (rows per incremental-snapshot chunk).
+CHUNK_ROWS = 32
+
+
+# ---------------------------------------------------------------------------
+# WAL compaction
+# ---------------------------------------------------------------------------
+
+
+def cdc_wal_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact the C1 WAL: one surviving record per key (the key's latest by
+    ``(ts_ms, lsn)``), dropping tombstones older than ``RETENTION_MS`` behind
+    the log head.  ``n_superseded`` counts the records compaction reclaimed —
+    the space a real log store frees.
+
+    Plan shape: one shuffle on ``pk`` (window + count), then a broadcast of
+    the single-row log-head aggregate; compaction of a 100 TB topic is the
+    same per-key reduction executed partition-parallel."""
+    wal = log_capture(spark, sf_dir)
+    wpk = W.partitionBy("pk")
+    latest = (
+        wal.withColumn(
+            "__rn",
+            F.row_number().over(wpk.orderBy(F.desc("ts_ms"), F.desc("lsn"))),
+        )
+        .withColumn("n_superseded", F.count(F.lit(1)).over(wpk) - 1)
+        .filter(F.col("__rn") == 1)
+    )
+    head = wal.agg(F.max("ts_ms").alias("head_ts_ms"))
+    return (
+        latest.crossJoin(F.broadcast(head))
+        .withColumn("is_tombstone", F.col("op") == "d")
+        .filter(
+            ~F.col("is_tombstone")
+            | (F.col("head_ts_ms") - F.col("ts_ms") <= F.lit(RETENTION_MS))
+        )
+        .select(
+            "pk",
+            "lsn",
+            "op",
+            "after_event_type",
+            "after_value",
+            "after_props",
+            "ts_ms",
+            "n_superseded",
+            "is_tombstone",
+        )
+        .orderBy("pk")
+    )
+
+
+_WAL_COMPACTION_SQL = (
+    _with(WAL_SQL)
+    + f"""
+, latest AS (
+  SELECT * FROM (
+    SELECT *,
+           row_number() OVER (PARTITION BY pk ORDER BY ts_ms DESC, lsn DESC) AS rn,
+           count(*) OVER (PARTITION BY pk) - 1 AS n_superseded
+    FROM wal)
+  WHERE rn = 1
+)
+SELECT pk, lsn, op, after_event_type, after_value, after_props, ts_ms,
+       CAST(n_superseded AS BIGINT) AS n_superseded,
+       op = 'd' AS is_tombstone
+FROM latest, (SELECT max(ts_ms) AS head_ts_ms FROM wal) h
+WHERE op <> 'd' OR h.head_ts_ms - ts_ms <= {RETENTION_MS}
+ORDER BY pk
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Offset-gap detection
+# ---------------------------------------------------------------------------
+
+_GAP_BUCKET = 512
+
+
+def cdc_offset_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side loss detection: contiguous runs of missing offsets per
+    bus partition, reconstructed from the *delivered* stream alone (the
+    5%-drop bus feed).  Offsets are dense per partition at publish time
+    (B1), so every hole the consumer observes is a dropped event.
+
+    The previous-offset lookup is two-phase — a partitioned ``lag`` within
+    ``offset div {B}`` buckets plus a broadcast join of per-bucket maxima —
+    so no bus partition's stream ever funnels through one task (real Kafka
+    topics hold millions of offsets per partition)."""
+    delivered = (
+        pg.bus_feed(spark, sf_dir)
+        .filter(~F.col("dropped"))
+        .select("partition", "offset")
+        .withColumn("__bucket", F.expr(f"offset div {_GAP_BUCKET}"))
+    )
+    # per-bucket maxima -> previous bucket's max (tiny frame, broadcast back)
+    bmax = delivered.groupBy("partition", "__bucket").agg(
+        F.max("offset").alias("__bmax")
+    )
+    wb = W.partitionBy("partition").orderBy("__bucket")
+    prev_bucket = bmax.select(
+        "partition",
+        "__bucket",
+        F.lag("__bmax").over(wb).alias("__prev_bucket_max"),
+    )
+    win = W.partitionBy("partition", "__bucket").orderBy("offset")
+    gaps = (
+        delivered.join(F.broadcast(prev_bucket), ["partition", "__bucket"])
+        .withColumn(
+            "__prev",
+            F.coalesce(
+                F.lag("offset").over(win),
+                F.col("__prev_bucket_max"),
+                F.lit(-1),
+            ),
+        )
+        .filter(F.col("offset") - F.col("__prev") > 1)
+        .select(
+            "partition",
+            (F.col("__prev") + 1).alias("gap_start"),
+            (F.col("offset") - 1).alias("gap_end"),
+            (F.col("offset") - F.col("__prev") - 1).alias("gap_len"),
+        )
+    )
+    return gaps.orderBy("partition", "gap_start")
+
+
+_OFFSET_GAPS_SQL = (
+    _with(_bus_sql(int(pg.DROP_P * 100)))
+    + """
+, delivered AS (SELECT "partition", "offset" FROM bus WHERE NOT dropped),
+prevs AS (
+  SELECT "partition", "offset",
+         COALESCE(lag("offset") OVER (PARTITION BY "partition" ORDER BY "offset"), -1) AS prev
+  FROM delivered
+)
+SELECT "partition", prev + 1 AS gap_start, "offset" - 1 AS gap_end,
+       "offset" - prev - 1 AS gap_len
+FROM prevs
+WHERE "offset" - prev > 1
+ORDER BY "partition", gap_start
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter routing
+# ---------------------------------------------------------------------------
+
+
+def cdc_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-message routing: deterministically corrupt ~7.5% of the ops
+    feed (``hash31(pk || ':' || seq) % 40`` selects the victim and the fault
+    class — reproducible, no RNG, like every fault injection in the
+    reference), then validate and route failures to the dead-letter queue
+    with their first failing reason.
+
+    Fault classes: negated timestamp, nulled event_type, negative value.
+    Validation order (first match wins): ``bad_timestamp`` →
+    ``missing_event_type`` → ``negative_value``.  Pure per-row column logic —
+    no shuffle at all before the output sort."""
+    ops = ops_feed(spark, sf_dir)
+    m = hash31(F.concat(F.col("pk"), F.lit(":"), F.col("seq").cast("string"))) % 40
+    poisoned = ops.select(
+        "seq",
+        "pk",
+        "op",
+        F.when(m == 0, -F.col("t")).otherwise(F.col("t")).alias("t"),
+        F.when(m == 1, F.lit(None)).otherwise(F.col("event_type")).alias("event_type"),
+        F.when(m == 2, -(F.col("value") + 1)).otherwise(F.col("value")).alias("value"),
+    )
+    reason = (
+        F.when(F.col("t") < 0, F.lit("bad_timestamp"))
+        .when(F.col("event_type").isNull(), F.lit("missing_event_type"))
+        .when(F.col("value") < 0, F.lit("negative_value"))
+    )
+    return (
+        poisoned.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select("seq", "pk", "op", "t", "event_type", "value", "reason")
+        .orderBy("seq")
+    )
+
+
+_DLQ_SQL = (
+    "WITH "
+    + OPS_SQL
+    + f"""
+, poisoned AS (
+  SELECT seq, pk, op,
+         CASE WHEN m = 0 THEN -t ELSE t END AS t,
+         CASE WHEN m = 1 THEN NULL ELSE event_type END AS event_type,
+         CASE WHEN m = 2 THEN -(value + 1) ELSE value END AS value
+  FROM (SELECT src.*, ({hash31_sql("pk || ':' || CAST(seq AS VARCHAR)")}) % 40 AS m
+        FROM src)
+)
+SELECT seq, pk, op, t, event_type, value,
+       CASE WHEN t < 0 THEN 'bad_timestamp'
+            WHEN event_type IS NULL THEN 'missing_event_type'
+            WHEN value < 0 THEN 'negative_value' END AS reason
+FROM poisoned
+WHERE t < 0 OR event_type IS NULL OR value < 0
+ORDER BY seq
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Heartbeat / liveness
+# ---------------------------------------------------------------------------
+
+
+def cdc_heartbeat_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connector staleness per capture lane: collapse each lane's events to
+    its distinct emission ticks (bounded by horizon/interval, so the
+    per-lane ordered window below runs over a tiny frame), then measure
+    inter-tick gaps against ``STALE_GAP_MS`` and the lane's silence at the
+    end of the horizon.  A real deployment alerts on exactly these numbers
+    (the harness verifier's cadence check)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import _lanes
+
+    lanes = _lanes(spark, sf_dir)
+    ticks = lanes.groupBy("method", "emitted_at_ms").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    horizon = lanes.agg(F.max("emitted_at_ms").alias("horizon_ms"))
+    wlane = W.partitionBy("method").orderBy("emitted_at_ms")
+    gaps = ticks.withColumn(
+        "gap_ms",
+        F.col("emitted_at_ms") - F.lag("emitted_at_ms").over(wlane),
+    )
+    return (
+        gaps.groupBy("method")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max("gap_ms").alias("max_gap_ms"),
+            F.sum((F.col("gap_ms") > STALE_GAP_MS).cast("long")).alias("n_stale_gaps"),
+            F.max("emitted_at_ms").alias("last_emit_ms"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .withColumn("end_silence_ms", F.col("horizon_ms") - F.col("last_emit_ms"))
+        .withColumn("stale_at_end", F.col("end_silence_ms") > STALE_GAP_MS)
+        .select(
+            "method",
+            "n_events",
+            "n_ticks",
+            "max_gap_ms",
+            "n_stale_gaps",
+            "last_emit_ms",
+            "end_silence_ms",
+            "stale_at_end",
+        )
+        .orderBy("method")
+    )
+
+
+_LIVENESS_SQL = (
+    _with(WAL_SQL, POLL_STATE_SQL, AUDIT_SQL, LANES_SQL)
+    + f"""
+, ticks AS (
+  SELECT method, emitted_at_ms, count(*) AS n_events
+  FROM lanes GROUP BY method, emitted_at_ms
+),
+gaps AS (
+  SELECT *, emitted_at_ms - lag(emitted_at_ms)
+              OVER (PARTITION BY method ORDER BY emitted_at_ms) AS gap_ms
+  FROM ticks
+)
+SELECT method,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       max(gap_ms) AS max_gap_ms,
+       CAST(COALESCE(sum(CASE WHEN gap_ms > {STALE_GAP_MS} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stale_gaps,
+       max(emitted_at_ms) AS last_emit_ms,
+       h.horizon_ms - max(emitted_at_ms) AS end_silence_ms,
+       h.horizon_ms - max(emitted_at_ms) > {STALE_GAP_MS} AS stale_at_end
+FROM gaps, (SELECT max(emitted_at_ms) AS horizon_ms FROM lanes) h
+GROUP BY method, h.horizon_ms
+ORDER BY method
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental-snapshot chunk planning
+# ---------------------------------------------------------------------------
+
+
+def cdc_snapshot_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan the S3 snapshot phase as bounded pk-range chunks (the Debezium
+    incremental-snapshot watermark strategy): order the source key space,
+    cut it every ``CHUNK_ROWS`` keys, and emit each chunk's inclusive pk
+    bounds + row count.  Executors then snapshot chunks independently with
+    ``WHERE pk BETWEEN low AND high`` range scans.
+
+    The dense key index comes from the two-phase bucketed sequence (buckets
+    of the numeric key), so planning a billion-key table stays distributed;
+    the plan output itself is one row per chunk."""
+    keys = (
+        ops_feed(spark, sf_dir)
+        .select(F.col("pk").cast("long").alias("pk_num"))
+        .distinct()
+    )
+    idx = with_global_seq(
+        keys, F.expr("pk_num div 256"), ["pk_num"], out_col="idx"
+    )
+    return (
+        idx.withColumn("chunk_id", ((F.col("idx") - 1) / CHUNK_ROWS).cast("long"))
+        .groupBy("chunk_id")
+        .agg(
+            F.min("pk_num").alias("low_pk"),
+            F.max("pk_num").alias("high_pk"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+_SNAPSHOT_CHUNK_SQL = (
+    "WITH "
+    + OPS_SQL
+    + f"""
+, keys AS (SELECT DISTINCT CAST(pk AS BIGINT) AS pk_num FROM src),
+idx AS (SELECT pk_num, row_number() OVER (ORDER BY pk_num) AS idx FROM keys)
+SELECT (idx - 1) // {CHUNK_ROWS} AS chunk_id,
+       min(pk_num) AS low_pk, max(pk_num) AS high_pk,
+       count(*) AS n_rows
+FROM idx GROUP BY 1 ORDER BY chunk_id
+"""
+)
+
+
+QUERIES = {
+    "cdc_wal_compaction": cdc_wal_compaction,
+    "cdc_offset_gaps": cdc_offset_gaps,
+    "cdc_dlq_routing": cdc_dlq_routing,
+    "cdc_heartbeat_liveness": cdc_heartbeat_liveness,
+    "cdc_snapshot_chunking": cdc_snapshot_chunking,
+}
+
+ORACLE = {
+    "cdc_wal_compaction": _WAL_COMPACTION_SQL,
+    "cdc_offset_gaps": _OFFSET_GAPS_SQL,
+    "cdc_dlq_routing": _DLQ_SQL,
+    "cdc_heartbeat_liveness": _LIVENESS_SQL,
+    "cdc_snapshot_chunking": _SNAPSHOT_CHUNK_SQL,
+}

@@ -30,6 +30,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod_name in (
         "lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries",
         "lets_talk_cdc_change_feed_playground_spark.operators.playground_queries",
+        "lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.multimodal",
         "lets_talk_cdc_change_feed_playground_spark.streaming.stream_queries",

@@ -1,0 +1,117 @@
+"""Invariants for the CDC reliability/operability queries.
+
+These check internal consistency properties the oracle hash can't express
+directly: compaction conserves records, every detected offset gap is exactly
+a run of dropped events, DLQ routing matches the deterministic injection,
+liveness gaps respect the tick intervals, and snapshot chunks tile the key
+space without overlap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg
+from lets_talk_cdc_change_feed_playground_spark.operators.capture import log_capture
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import ops_feed
+from lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries import (
+    CHUNK_ROWS,
+    RETENTION_MS,
+    cdc_dlq_routing,
+    cdc_heartbeat_liveness,
+    cdc_offset_gaps,
+    cdc_snapshot_chunking,
+    cdc_wal_compaction,
+)
+
+
+def test_wal_compaction_conserves_keys(spark, sf_dir):
+    wal = log_capture(spark, sf_dir)
+    compacted = cdc_wal_compaction(spark, sf_dir)
+    rows = compacted.collect()
+    # at most one record per key, and n_superseded accounts for every other
+    # WAL record of the surviving keys
+    assert len({r.pk for r in rows}) == len(rows)
+    head = wal.agg(F.max("ts_ms")).first()[0]
+    latest = (
+        wal.groupBy("pk")
+        .agg(F.max(F.struct("ts_ms", "lsn", "op")).alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    expected_keys = {
+        r.pk
+        for r in latest
+        if r.s.op != "d" or head - r.s.ts_ms <= RETENTION_MS
+    }
+    assert {r.pk for r in rows} == expected_keys
+    per_key = {r.pk: r.n for r in latest}
+    for r in rows:
+        assert r.n_superseded == per_key[r.pk] - 1
+        assert r.is_tombstone == (r.op == "d")
+
+
+def test_offset_gaps_are_exactly_the_drops(spark, sf_dir):
+    bus = pg.bus_feed(spark, sf_dir)
+    gaps = cdc_offset_gaps(spark, sf_dir).collect()
+    dropped = {
+        (r["partition"], r["offset"])
+        for r in bus.filter(F.col("dropped")).select("partition", "offset").collect()
+    }
+    covered = {
+        (r["partition"], o)
+        for r in gaps
+        for o in range(r.gap_start, r.gap_end + 1)
+    }
+    # every offset inside a gap was dropped
+    assert covered <= dropped
+    # every dropped offset below its partition's last delivery is detected
+    last_delivered = {
+        r["partition"]: r["m"]
+        for r in bus.filter(~F.col("dropped"))
+        .groupBy("partition")
+        .agg(F.max("offset").alias("m"))
+        .collect()
+    }
+    detectable = {
+        (p, o) for (p, o) in dropped if o < last_delivered.get(p, -1)
+    }
+    assert covered == detectable
+
+
+def test_dlq_routing_matches_injection(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31
+
+    ops = ops_feed(spark, sf_dir)
+    m = hash31(F.concat(F.col("pk"), F.lit(":"), F.col("seq").cast("string"))) % 40
+    injected = ops.select("seq", m.alias("m")).filter(F.col("m") < 3).collect()
+    dlq = {r.seq: r.reason for r in cdc_dlq_routing(spark, sf_dir).collect()}
+    expected_reason = {0: "bad_timestamp", 1: "missing_event_type", 2: "negative_value"}
+    assert dlq == {r.seq: expected_reason[r.m] for r in injected}
+
+
+def test_heartbeat_liveness_shape(spark, sf_dir):
+    rows = {r.method: r for r in cdc_heartbeat_liveness(spark, sf_dir).collect()}
+    assert set(rows) == {"log", "polling", "trigger"}
+    for r in rows.values():
+        assert r.n_ticks >= 1
+        assert r.n_events >= r.n_ticks
+        assert r.end_silence_ms >= 0
+        if r.max_gap_ms is not None:
+            assert r.max_gap_ms > 0
+    # the log lane emits at least as many distinct ticks as the rarer polling
+    assert rows["log"].n_ticks >= rows["polling"].n_ticks
+
+
+def test_snapshot_chunks_tile_key_space(spark, sf_dir):
+    chunks = cdc_snapshot_chunking(spark, sf_dir).collect()
+    n_keys = ops_feed(spark, sf_dir).select("pk").distinct().count()
+    assert sum(r.n_rows for r in chunks) == n_keys
+    # bounded, ordered, non-overlapping pk ranges
+    prev_high = None
+    for r in sorted(chunks, key=lambda r: r.chunk_id):
+        assert r.n_rows <= CHUNK_ROWS
+        assert r.low_pk <= r.high_pk
+        if prev_high is not None:
+            assert r.low_pk > prev_high
+        prev_high = r.high_pk
