@@ -1,0 +1,319 @@
+"""Judged training-data curation queries: shuffle/shard, pack, mix, SemDeDup.
+
+The last mile of a 100 TB pretraining pipeline, after cleaning and dedup
+(:mod:`.pipeline_queries`): give every kept document a stable pseudo-random
+order, shard it for parallel readers, pack the token stream into fixed-length
+training sequences, decide per-domain sampling, and run the
+cluster-then-dedup-within-cluster semantic pass.  All arithmetic is
+integer/deterministic (the reference's 31-multiplier hash, never ``rand()``),
+so every query has an exact DuckDB twin.
+
+- ``docs_shard_assignment`` — deterministic corpus shuffle + sharding: each
+  doc gets a hash-derived shuffle key and a shard (``hash % N_SHARDS``), and
+  a dense within-shard position (two-phase sequence, one shuffle on shard).
+- ``docs_pack_sequences``  — concat-and-chunk sequence packing: the shuffled
+  token stream is cut into ``SEQ_LEN``-token training sequences; each doc
+  reports its start offset and the sequence range it spans.  The global
+  prefix sum uses the bucketed two-phase pattern — no single-task window.
+- ``docs_domain_mix``      — per-(lang, source) token accounting → mixing
+  shares in basis points (exact integer division) and epochs needed to fill
+  a token budget, the numbers a data-mixing config is built from.
+- ``emb_semantic_dedup``   — SemDeDup-shaped near-dup removal: vectors are
+  assigned to coarse cells (the IVF quantizer's broadcast-argmax
+  assignment), pairwise cosine runs only *within* a cell, and each
+  duplicate points at its lowest-id leader.  Cells bound the pair blow-up
+  the way LSH buckets do in :func:`.pipeline_queries.emb_cosine_dedup` —
+  never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
+from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+    DOCS_T_SQL,
+    K_IVF,
+    _docs_t,
+)
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+    with_global_seq,
+    with_prefix_aggs,
+)
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    hash31,
+    hash31_sql,
+)
+from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+N_SHARDS = 8
+SEQ_LEN = 2048  # tokens per packed training sequence
+MIX_BUDGET = 1_000_000  # token budget the mixing epochs are computed against
+SEM_COS_MIN = 0.97  # within-cell semantic-duplicate cosine threshold
+
+_H_BUCKET = 64  # hash31 range (9973) // 64 -> ~156 prefix buckets
+
+
+def _shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs + token counts + the two shuffle hashes (order key and shard)."""
+    d = _docs_t(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        hash31(F.concat(F.lit("o:"), F.col("doc_id").cast("string"))).alias("h"),
+        (hash31(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))) % N_SHARDS).alias(
+            "shard"
+        ),
+    )
+
+
+_SHUFFLE_SQL = f"""
+shuf AS (
+  SELECT doc_id, lang, source, len(toks) AS n_tokens,
+         ({hash31_sql("'o:' || CAST(doc_id AS VARCHAR)")}) AS h,
+         ({hash31_sql("'s:' || CAST(doc_id AS VARCHAR)")}) % {N_SHARDS} AS shard
+  FROM docs_t
+)
+"""
+
+
+def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + shard layout: pseudo-random order from
+    the doc-id hash, shard by an independent hash, dense position within the
+    shard.  One shuffle on ``shard``; positions use the two-phase sequence so
+    a shard with billions of docs never funnels through one task."""
+    s = _shuffled(spark, sf_dir)
+    pos = with_global_seq(
+        s,
+        F.expr(f"h div {_H_BUCKET}"),
+        ["h", "doc_id"],
+        out_col="pos",
+        start=0,
+        partition_cols=("shard",),
+    )
+    return pos.select("doc_id", "shard", "pos", "n_tokens").orderBy("shard", "pos")
+
+
+_SHARD_SQL = (
+    "WITH "
+    + DOCS_T_SQL
+    + ","
+    + _SHUFFLE_SQL
+    + """
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos,
+       CAST(n_tokens AS INT) AS n_tokens
+FROM shuf
+ORDER BY shard, pos
+"""
+)
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: lay the shuffled docs end to end into one
+    token stream and cut it every ``SEQ_LEN`` tokens.  Each doc reports its
+    stream offset and the first/last training sequence it lands in (a doc
+    crossing a cut is split across sequences — the standard pretraining
+    packing).  The running token total is a bucketed two-phase prefix sum."""
+    s = _shuffled(spark, sf_dir)
+    c = with_prefix_aggs(
+        s,
+        F.expr(f"h div {_H_BUCKET}"),
+        ["h", "doc_id"],
+        sums={"cum_tokens": "n_tokens"},
+    )
+    return (
+        c.withColumn("start_tok", F.col("cum_tokens") - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            F.expr(f"start_tok div {SEQ_LEN}").alias("start_seq"),
+            F.expr(f"(cum_tokens - 1) div {SEQ_LEN}").alias("end_seq"),
+            (
+                F.expr(f"(cum_tokens - 1) div {SEQ_LEN}")
+                - F.expr(f"start_tok div {SEQ_LEN}")
+                + 1
+            ).alias("n_seqs_spanned"),
+        )
+        .orderBy("start_tok")
+    )
+
+
+_PACK_SQL = (
+    "WITH "
+    + DOCS_T_SQL
+    + ","
+    + _SHUFFLE_SQL
+    + f"""
+, c AS (
+  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM shuf
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS start_tok,
+       CAST((cum_tokens - n_tokens) // {SEQ_LEN} AS BIGINT) AS start_seq,
+       CAST((cum_tokens - 1) // {SEQ_LEN} AS BIGINT) AS end_seq,
+       CAST((cum_tokens - 1) // {SEQ_LEN} - (cum_tokens - n_tokens) // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs_spanned
+FROM c
+ORDER BY start_tok
+"""
+)
+
+
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing accounting: per (lang, source) stratum — docs, tokens,
+    share of the corpus in basis points (exact integer division, so both
+    engines agree to the digit), epochs of the stratum needed to fill
+    ``MIX_BUDGET`` tokens, and a low-resource flag (< 5% share) marking
+    strata a mixing config would upsample.  Two tiny aggregations."""
+    s = _shuffled(spark, sf_dir)
+    per = s.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(10000 * n_tokens) div total_tokens").alias("share_bp"),
+            F.expr(f"({MIX_BUDGET} + n_tokens - 1) div n_tokens").alias(
+                "epochs_for_budget"
+            ),
+            (F.expr("(10000 * n_tokens) div total_tokens") < 500).alias("low_resource"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_MIX_SQL = (
+    "WITH "
+    + DOCS_T_SQL
+    + ","
+    + _SHUFFLE_SQL
+    + f"""
+, per AS (
+  SELECT lang, source, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+  FROM shuf GROUP BY lang, source
+)
+SELECT lang, source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((10000 * n_tokens) // t.total_tokens AS BIGINT) AS share_bp,
+       CAST(({MIX_BUDGET} + n_tokens - 1) // n_tokens AS BIGINT) AS epochs_for_budget,
+       (10000 * n_tokens) // t.total_tokens < 500 AS low_resource
+FROM per, (SELECT sum(n_tokens) AS total_tokens FROM per) t
+ORDER BY lang, source
+"""
+)
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: broadcast the ``K_IVF`` coarse centroids (deterministic
+    seeding — the lowest vec_ids, as in :func:`.pipeline_queries.emb_ivf_topk`),
+    assign every vector to its best cell map-side, then compare pairs only
+    within a cell; cosine ≥ ``SEM_COS_MIN`` marks the higher id a duplicate
+    of its lowest-id leader.  The cells play the cluster role of the
+    SemDeDup recipe: candidate pairs grow per-cell, not corpus²."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.withColumn("nrm", T.l2_norm(F.col("v")))
+    cents = n.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = n.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", T.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    assign = (
+        scored.withColumn("crn", F.row_number().over(wv))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vid_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell"
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vid_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
+    )
+    cos = T.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .filter(cos >= SEM_COS_MIN)
+        .groupBy(F.col("vid_b").alias("vec_id"))
+        .agg(F.min("vid_a").alias("keeper"))
+    )
+    return (
+        e.select("vec_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("keeper", "vec_id").alias("keeper_vec_id"),
+            F.col("keeper").isNotNull().alias("is_semantic_duplicate"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> p[1]*p[2])), (a, x) -> a + x)"
+)
+
+_SEMDEDUP_SQL = f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a, x) -> a + x)) AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {K_IVF}),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+         {_DOT.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) AS ccos
+  FROM n CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crn
+    FROM scored
+  ) WHERE crn = 1
+),
+dup AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS keeper
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) >= {SEM_COS_MIN}
+  GROUP BY b.vec_id
+)
+SELECT e.vec_id,
+       COALESCE(d.keeper, e.vec_id) AS keeper_vec_id,
+       d.keeper IS NOT NULL AS is_semantic_duplicate
+FROM (SELECT vec_id FROM embeddings) e
+LEFT JOIN dup d ON d.vec_id = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+QUERIES = {
+    "docs_shard_assignment": docs_shard_assignment,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_domain_mix": docs_domain_mix,
+    "emb_semantic_dedup": emb_semantic_dedup,
+}
+
+ORACLE = {
+    "docs_shard_assignment": _SHARD_SQL,
+    "docs_pack_sequences": _PACK_SQL,
+    "docs_domain_mix": _MIX_SQL,
+    "emb_semantic_dedup": _SEMDEDUP_SQL,
+}

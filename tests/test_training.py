@@ -1,0 +1,61 @@
+"""Invariants for the training-data curation queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import _docs_t
+from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+    MIX_BUDGET,
+    N_SHARDS,
+    docs_domain_mix,
+    docs_pack_sequences,
+    docs_shard_assignment,
+    emb_semantic_dedup,
+)
+
+
+def test_shard_positions_dense_and_complete(spark, sf_dir):
+    rows = docs_shard_assignment(spark, sf_dir).collect()
+    n_docs = _docs_t(spark, sf_dir).count()
+    assert len(rows) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_pack_sequences_tile_the_token_stream(spark, sf_dir):
+    rows = sorted(docs_pack_sequences(spark, sf_dir).collect(), key=lambda r: r.start_tok)
+    expect_start = 0
+    for r in rows:
+        # docs tile the stream contiguously in shuffle order
+        assert r.start_tok == expect_start
+        assert r.n_tokens >= 1
+        assert r.start_seq <= r.end_seq
+        assert r.n_seqs_spanned == r.end_seq - r.start_seq + 1
+        expect_start = r.start_tok + r.n_tokens
+    total = sum(r.n_tokens for r in rows)
+    assert expect_start == total
+
+
+def test_domain_mix_accounting(spark, sf_dir):
+    rows = docs_domain_mix(spark, sf_dir).collect()
+    assert sum(r.share_bp for r in rows) <= 10000  # floor division loses remainders
+    for r in rows:
+        assert r.epochs_for_budget * r.n_tokens >= MIX_BUDGET
+        assert (r.epochs_for_budget - 1) * r.n_tokens < MIX_BUDGET
+        assert r.low_resource == (r.share_bp < 500)
+
+
+def test_semantic_dedup_leaders(spark, sf_dir):
+    rows = emb_semantic_dedup(spark, sf_dir).collect()
+    for r in rows:
+        assert r.keeper_vec_id <= r.vec_id
+        assert r.is_semantic_duplicate == (r.keeper_vec_id != r.vec_id)
+    # self-consistency with the brute-force rule inside one cell: duplicates
+    # must be strictly fewer than the corpus (centroid seeds keep themselves)
+    dup = [r for r in rows if r.is_semantic_duplicate]
+    assert len(dup) < len(rows)
