@@ -623,7 +623,109 @@ ORDER BY content_hash
 """
 
 
+_BP_CHUNKS = 5
+
+
+def _equal_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the ops feed as ``_BP_CHUNKS`` *equal-row-count* parquet files
+    (the per-trigger intake quantum), mtime-spaced so the file source's
+    modification-time ordering replays them one per micro-batch."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_global_seq,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bp")
+    if key in _staged:
+        return _staged[key]
+    ops = with_global_seq(
+        ops_feed(spark, sf_dir), F.expr("t div 3600000"), ["t", "seq"], out_col="rn"
+    )
+    n = ops.count()
+    cap = (n + _BP_CHUNKS - 1) // _BP_CHUNKS
+    out = tempfile.mkdtemp(prefix="sg_bp_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    base = 1_700_000_000
+    for i in range(_BP_CHUNKS):
+        chunk = ops.filter(
+            (F.col("rn") > i * cap) & (F.col("rn") <= (i + 1) * cap)
+        ).drop("rn")
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        os.rename(os.path.join(cdir, part), dst)
+        os.utime(dst, (base + i, base + i))
+    _staged[key] = flat
+    return flat
+
+
+def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backpressure as a judged streaming job: intake is paced to one chunk
+    file per micro-batch (``maxFilesPerTrigger`` — the file-source analogue
+    of Kafka's ``maxOffsetsPerTrigger`` / the reference's ``maxApplyPerTick``
+    cap, ``src/changefeed/model.ts:249``), and ``foreachBatch`` audits what
+    each trigger actually consumed.  The output is the drain timeline — per
+    batch: consumed rows, the cap, cumulative progress, remaining backlog,
+    and whether the trigger respected the cap.  The oracle derives the same
+    timeline arithmetically from the total row count; the streaming run must
+    land on it exactly for the hash to match."""
+    path = _equal_chunks(spark, sf_dir)
+    counts: list[tuple[int, int]] = []
+
+    def audit(batch_df: DataFrame, batch_id: int) -> None:
+        counts.append((batch_id, batch_df.count()))
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = src.writeStream.outputMode("append").foreachBatch(audit).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    nonzero = [c for _, c in sorted(counts) if c > 0]
+    total = sum(nonzero)
+    cap = (total + _BP_CHUNKS - 1) // _BP_CHUNKS
+    rows, cum = [], 0
+    for i, c in enumerate(nonzero):
+        cum += c
+        rows.append((i, c, cap, cum, total - cum, c <= cap))
+    return spark.createDataFrame(
+        rows,
+        "batch_seq long, consumed long, cap long, cum_consumed long, "
+        "backlog_after long, within_cap boolean",
+    ).orderBy("batch_seq")
+
+
+def _stream_backpressure_sql() -> str:
+    return (
+        "WITH "
+        + OPS_SQL
+        + f"""
+, tot AS (
+  SELECT count(*) AS n,
+         CAST((count(*) + {_BP_CHUNKS - 1}) // {_BP_CHUNKS} AS BIGINT) AS cap
+  FROM src
+)
+SELECT CAST(i AS BIGINT) AS batch_seq,
+       CAST(least(cap, n - i*cap) AS BIGINT) AS consumed,
+       cap,
+       CAST(least((i+1)*cap, n) AS BIGINT) AS cum_consumed,
+       CAST(n - least((i+1)*cap, n) AS BIGINT) AS backlog_after,
+       TRUE AS within_cap
+FROM tot, generate_series(0, {_BP_CHUNKS - 1}) g(i)
+WHERE n - i*cap > 0
+ORDER BY batch_seq
+"""
+    )
+
+
 QUERIES = {
+    "stream_backpressure": stream_backpressure,
     "stream_log_capture": stream_log_capture,
     "stream_hourly_stats": stream_hourly_stats,
     "stream_polling_capture": stream_polling_capture,
@@ -634,6 +736,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_backpressure": _stream_backpressure_sql(),
     "stream_docs_dedup": _stream_docs_dedup_sql(),
     "stream_log_capture": STREAM_LOG_SQL,
     "stream_hourly_stats": STREAM_HOURLY_SQL,
