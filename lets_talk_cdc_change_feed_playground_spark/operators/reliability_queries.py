@@ -397,7 +397,119 @@ FROM idx GROUP BY 1 ORDER BY chunk_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Retention expiry (segment GC vs slowest consumer)
+# ---------------------------------------------------------------------------
+
+SEG_OFFSETS = 256  # offsets per log segment
+_RATE_PER_TICK = 8  # the A6 consumer's sustained rate (events/tick/partition)
+
+
+def cdc_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-segment retention vs consumer progress — the "slow consumer blocks
+    truncation" lesson as a judged query.  Two consumer groups track the
+    5%-drop bus: the dedup consumer (A8) keeps up with delivery, the
+    rate-limited consumer (A6) may still be draining when the horizon (last
+    delivery tick) closes.  A group's committed offset per partition is the
+    last offset before its first still-unconsumed delivered event; the safe
+    truncation point is the minimum across groups, and only segments of
+    ``SEG_OFFSETS`` offsets entirely below it may be reclaimed.
+
+    Per partition: each group's committed offset, the safe offset, segment
+    counts reclaimable/retained, and which group is holding retention back.
+    Everything is per-partition aggregation over frames the session already
+    stages — no new shuffle shapes."""
+    bus = pg.bus_feed(spark, sf_dir)
+    delivered = bus.filter(~F.col("dropped")).select(
+        "partition", "offset", "lsn", "delivery_ts"
+    )
+    horizon = bus.agg(F.max("delivery_ts").alias("horizon"))
+    rate = (
+        pg.rate_limited_consume(bus, per_tick=_RATE_PER_TICK)
+        .select("lsn", "consume_tick")
+        .join(delivered, "lsn")
+        .crossJoin(F.broadcast(horizon))
+    )
+    per_part = (
+        rate.groupBy("partition")
+        .agg(
+            F.max("offset").alias("max_off"),
+            F.min(
+                F.when(F.col("consume_tick") > F.col("horizon"), F.col("offset"))
+            ).alias("first_unconsumed"),
+        )
+        .select(
+            "partition",
+            F.col("max_off").alias("committed_dedup"),
+            F.coalesce(F.col("first_unconsumed") - 1, F.col("max_off")).alias(
+                "committed_rate"
+            ),
+        )
+    )
+    return per_part.select(
+        "partition",
+        "committed_dedup",
+        "committed_rate",
+        F.least("committed_dedup", "committed_rate").alias("safe_offset"),
+        F.expr(f"(committed_dedup + {SEG_OFFSETS}) div {SEG_OFFSETS}").alias(
+            "n_segments"
+        ),
+        F.expr(
+            f"(least(committed_dedup, committed_rate) + 1) div {SEG_OFFSETS}"
+        ).alias("n_reclaimable"),
+        (
+            F.expr(f"(committed_dedup + {SEG_OFFSETS}) div {SEG_OFFSETS}")
+            - F.expr(
+                f"(least(committed_dedup, committed_rate) + 1) div {SEG_OFFSETS}"
+            )
+        ).alias("n_retained"),
+        F.when(F.col("committed_rate") < F.col("committed_dedup"), F.lit("rate"))
+        .otherwise(F.lit("none"))
+        .alias("blocked_by"),
+    ).orderBy("partition")
+
+
+_RETENTION_SQL = (
+    _with(_bus_sql(int(pg.DROP_P * 100)))
+    + f"""
+, delivered AS (SELECT * FROM bus WHERE NOT dropped),
+d AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY "partition" ORDER BY delivery_ts, lsn) - 1 AS i,
+         (delivery_ts // {pg.TICK_MS}) * {_RATE_PER_TICK}
+           - (row_number() OVER (PARTITION BY "partition" ORDER BY delivery_ts, lsn) - 1) AS key
+  FROM delivered
+),
+r AS (
+  SELECT *,
+         ((max(key) OVER (PARTITION BY "partition" ORDER BY delivery_ts, lsn
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + i)
+          // {_RATE_PER_TICK}) * {pg.TICK_MS} AS consume_tick
+  FROM d
+),
+pp AS (
+  SELECT "partition",
+         max("offset") AS committed_dedup,
+         COALESCE(min(CASE WHEN consume_tick > h.horizon THEN "offset" END) - 1,
+                  max("offset")) AS committed_rate
+  FROM r, (SELECT max(delivery_ts) AS horizon FROM bus) h
+  GROUP BY "partition"
+)
+SELECT "partition", committed_dedup, committed_rate,
+       least(committed_dedup, committed_rate) AS safe_offset,
+       (committed_dedup + {SEG_OFFSETS}) // {SEG_OFFSETS} AS n_segments,
+       (least(committed_dedup, committed_rate) + 1) // {SEG_OFFSETS} AS n_reclaimable,
+       (committed_dedup + {SEG_OFFSETS}) // {SEG_OFFSETS}
+         - (least(committed_dedup, committed_rate) + 1) // {SEG_OFFSETS} AS n_retained,
+       CASE WHEN committed_rate < committed_dedup THEN 'rate' ELSE 'none' END AS blocked_by
+FROM pp
+ORDER BY "partition"
+"""
+)
+
+
 QUERIES = {
+    "cdc_retention_expiry": cdc_retention_expiry,
     "cdc_wal_compaction": cdc_wal_compaction,
     "cdc_offset_gaps": cdc_offset_gaps,
     "cdc_dlq_routing": cdc_dlq_routing,
@@ -406,6 +518,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_retention_expiry": _RETENTION_SQL,
     "cdc_wal_compaction": _WAL_COMPACTION_SQL,
     "cdc_offset_gaps": _OFFSET_GAPS_SQL,
     "cdc_dlq_routing": _DLQ_SQL,

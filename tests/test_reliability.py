@@ -103,6 +103,23 @@ def test_heartbeat_liveness_shape(spark, sf_dir):
     assert rows["log"].n_ticks >= rows["polling"].n_ticks
 
 
+def test_retention_expiry_bounds(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries import (
+        cdc_retention_expiry,
+    )
+
+    rows = cdc_retention_expiry(spark, sf_dir).collect()
+    assert len(rows) == pg.PARTITIONS
+    for r in rows:
+        assert r.safe_offset == min(r.committed_dedup, r.committed_rate)
+        assert r.committed_rate <= r.committed_dedup
+        assert 0 <= r.n_reclaimable <= r.n_segments
+        assert r.n_retained == r.n_segments - r.n_reclaimable
+        assert r.blocked_by == (
+            "rate" if r.committed_rate < r.committed_dedup else "none"
+        )
+
+
 def test_snapshot_chunks_tile_key_space(spark, sf_dir):
     chunks = cdc_snapshot_chunking(spark, sf_dir).collect()
     n_keys = ops_feed(spark, sf_dir).select("pk").distinct().count()
