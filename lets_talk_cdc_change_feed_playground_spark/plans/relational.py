@@ -1915,7 +1915,58 @@ ORDER BY cold_qty DESC, s_name
 """
 
 
+# --------------------------------------------------------------------------
+# GROUPING SETS — a set list that is neither rollup nor cube ((type, dow),
+# (dow), (type)): one Expand + one aggregation, the multi-grain report shape.
+# The day-of-week is pure epoch arithmetic (epoch day + 4 mod 7, Mon=0) so
+# both engines derive it identically; NULL group markers disambiguate grain
+# because neither column is nullable in the data.
+# --------------------------------------------------------------------------
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr(
+            "((unix_micros(cast(ts as timestamp)) div 1000) div 86400000 + 4) % 7"
+        ).alias("dow"),
+        "value",
+    )
+    grain = (
+        F.when(F.col("dow").isNull(), F.lit("by_type"))
+        .when(F.col("event_type").isNull(), F.lit("by_dow"))
+        .otherwise(F.lit("by_type_dow"))
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "dow"], ["dow"], ["event_type"]], "event_type", "dow"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(grain.alias("grain"), "event_type", "dow", "n", "sum_value")
+        .orderBy("grain", "event_type", "dow")
+    )
+
+
+EVENTS_GROUPING_SETS_SQL = """
+SELECT CASE WHEN dow IS NULL THEN 'by_type'
+            WHEN event_type IS NULL THEN 'by_dow'
+            ELSE 'by_type_dow' END AS grain,
+       event_type, dow, n, sum_value
+FROM (
+  SELECT event_type,
+         (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+         count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
+  FROM events
+  GROUP BY GROUPING SETS ((event_type, (epoch_ms(ts) // 86400000 + 4) % 7),
+                          ((epoch_ms(ts) // 86400000 + 4) % 7),
+                          (event_type))
+)
+ORDER BY grain, event_type, dow
+"""
+
+
 QUERIES = {
+    "events_grouping_sets": events_grouping_sets,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1964,6 +2015,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,

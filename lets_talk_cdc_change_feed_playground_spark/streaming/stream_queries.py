@@ -623,6 +623,95 @@ ORDER BY content_hash
 """
 
 
+def _txn_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the drop-free bus as 3 *arrival-ordered* chunk files shaped for
+    the A5 assembler (tx metadata + payload).  Splitting on ``delivery_ts``
+    means drift-late transactions straddle micro-batch boundaries — the
+    assembler's keyed buffer must carry them across batches."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg
+
+    key = (spark.sparkContext.applicationId, sf_dir, "txn")
+    if key in _staged:
+        return _staged[key]
+    bus = pg.bus_feed(spark, sf_dir, drop_p=0.0)
+    ev = bus.select(
+        "tx_id",
+        F.col("tx_idx").cast("int").alias("tx_index"),
+        F.col("tx_total").cast("int").alias("tx_total"),
+        F.col("commit_ts").alias("t"),
+        "pk",
+        "op",
+        F.col("event_type").alias("payload"),
+        "delivery_ts",
+        "lsn",
+    )
+    cuts = ev.approxQuantile("delivery_ts", [1 / 3, 2 / 3], 0.001)
+    out = tempfile.mkdtemp(prefix="sg_txn_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("delivery_ts") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("delivery_ts") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.drop("delivery_ts", "lsn").coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    _staged[key] = flat
+    return flat
+
+
+def stream_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 as a judged streaming job: the drop-free bus replays in *arrival*
+    order (drift-late transactions cross micro-batch boundaries) through the
+    keyed-state assembler (:func:`..streaming.txn.assemble_transactions`) —
+    a transaction's events surface only once its buffer is complete, in
+    index order, never torn.  With no drops every transaction eventually
+    completes, so the released set is chunking-independent and the oracle is
+    the per-transaction SQL grouping of the same bus feed."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.txn import (
+        TXN_EVENT_SCHEMA,
+        assemble_transactions,
+    )
+
+    src = (
+        spark.readStream.schema(TXN_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_txn_chunks(spark, sf_dir))
+    )
+    assembled = _run_to_table(assemble_transactions(src), "append")
+    return assembled.select(
+        "tx_id", "tx_index", "tx_total", "t", "pk", "op", "payload", "n_events"
+    ).orderBy("tx_id", "tx_index")
+
+
+def _stream_txn_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.playground_queries import (
+        _bus_sql,
+    )
+
+    return (
+        "WITH "
+        + OPS_SQL
+        + ","
+        + _bus_sql(0)
+        + """
+SELECT tx_id,
+       CAST(tx_idx AS INT) AS tx_index,
+       CAST(tx_total AS INT) AS tx_total,
+       commit_ts AS t, pk, op,
+       event_type AS payload,
+       CAST(tx_total AS INT) AS n_events
+FROM bus
+ORDER BY tx_id, tx_index
+"""
+    )
+
+
 _BP_CHUNKS = 5
 
 
@@ -725,6 +814,7 @@ ORDER BY batch_seq
 
 
 QUERIES = {
+    "stream_txn_assembly": stream_txn_assembly,
     "stream_backpressure": stream_backpressure,
     "stream_log_capture": stream_log_capture,
     "stream_hourly_stats": stream_hourly_stats,
@@ -736,6 +826,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_txn_assembly": _stream_txn_sql(),
     "stream_backpressure": _stream_backpressure_sql(),
     "stream_docs_dedup": _stream_docs_dedup_sql(),
     "stream_log_capture": STREAM_LOG_SQL,
