@@ -304,7 +304,149 @@ ORDER BY e.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_DIM = 16  # dims per subspace (embeddings are 64-d)
+PQ_K = 8  # codebook entries per subspace
+
+
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the codebook compression behind large-scale ANN
+    indexes (64 floats → ``PQ_M`` byte codes here): split each vector into
+    ``PQ_M`` subvectors, train one ``PQ_K``-entry codebook per subspace with
+    a deterministic Lloyd round (seeds = the lowest vec_ids' subvectors,
+    decimal-mean updates rounded to 9 dp so both engines rebuild identical
+    codebooks), then code every subvector by nearest centroid and report the
+    per-vector reconstruction error.
+
+    The whole flow runs on an exploded ``(vec_id, subspace)`` frame, so all
+    subspaces train/assign in the same two shuffles; codebooks stay
+    driver-sized (``M·K`` rows broadcast) while the corpus scales."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_DIM + 1, PQ_DIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    assign = None
+    for _ in range(2):  # assign -> mean -> reassign (one Lloyd update)
+        scored = subs.join(F.broadcast(cents), "m").select(
+            "vec_id",
+            "m",
+            "sv",
+            F.struct(
+                dist2(F.col("sv"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
+            ).alias("sc"),
+        )
+        assign = (
+            scored.groupBy("vec_id", "m")
+            .agg(F.min("sc").alias("best"), F.first("sv").alias("sv"))
+            .select(
+                "vec_id", "m", "sv",
+                F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"),
+            )
+        )
+        cents = (
+            assign.select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "cid", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("cval")
+            )
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+        )
+    codes = [
+        F.max(F.when(F.col("m") == m, F.col("cid"))).alias(f"code_{m}")
+        for m in range(PQ_M)
+    ]
+    return (
+        assign.groupBy("vec_id")
+        .agg(
+            *codes,
+            F.round(
+                F.sqrt(F.sum(F.col("d2").cast("decimal(38,12)")).cast("double")), 6
+            ).alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_PQ_D2 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip(sv, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (a, x) -> a + x)"
+)
+
+_PQ_SQL = f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, m, v[m*{PQ_DIM}+1 : (m+1)*{PQ_DIM}] AS sv
+  FROM vecs, generate_series(0, {PQ_M - 1}) g(m)
+),
+c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < {PQ_K}),
+s1 AS (SELECT subs.vec_id, subs.m, subs.sv, c0.cid, {_PQ_D2} AS d2
+       FROM subs JOIN c0 ON subs.m = c0.m),
+a1 AS (
+  SELECT vec_id, m, sv, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM s1
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT m, cid, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS cval
+  FROM (SELECT m, cid, unnest(sv) AS val, generate_subscripts(sv, 1) AS pos FROM a1)
+  GROUP BY m, cid, pos
+),
+c1 AS (SELECT m, cid, array_agg(cval ORDER BY pos) AS cv FROM m1 GROUP BY m, cid),
+s2 AS (SELECT subs.vec_id, subs.m, subs.sv, c1.cid, {_PQ_D2} AS d2
+       FROM subs JOIN c1 ON subs.m = c1.m),
+a2 AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM s2
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       {", ".join(f"max(CASE WHEN m = {m} THEN cid END) AS code_{m}" for m in range(PQ_M))},
+       round(sqrt(CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS recon_err
+FROM a2 GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "emb_pq_quantize": emb_pq_quantize,
     "docs_shard_assignment": docs_shard_assignment,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_domain_mix": docs_domain_mix,
@@ -312,6 +454,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "emb_pq_quantize": _PQ_SQL,
     "docs_shard_assignment": _SHARD_SQL,
     "docs_pack_sequences": _PACK_SQL,
     "docs_domain_mix": _MIX_SQL,

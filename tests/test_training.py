@@ -50,6 +50,25 @@ def test_domain_mix_accounting(spark, sf_dir):
         assert r.low_resource == (r.share_bp < 500)
 
 
+def test_pq_codes_and_error(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        PQ_K,
+        PQ_M,
+        emb_pq_quantize,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    rows = emb_pq_quantize(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    for r in rows:
+        for m in range(PQ_M):
+            assert 0 <= r[f"code_{m}"] < PQ_K
+        assert r.recon_err >= 0.0
+    # quantization must lose information for most non-seed vectors
+    assert sum(1 for r in rows if r.recon_err > 0) > n // 2
+
+
 def test_semantic_dedup_leaders(spark, sf_dir):
     rows = emb_semantic_dedup(spark, sf_dir).collect()
     for r in rows:
