@@ -508,7 +508,97 @@ ORDER BY "partition"
 )
 
 
+# ---------------------------------------------------------------------------
+# Consumer-group rebalance
+# ---------------------------------------------------------------------------
+
+REB_PARTITIONS = 12
+REB_OLD_CONSUMERS = 3
+REB_NEW_CONSUMERS = 4
+
+
+def cdc_consumer_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group rebalancing when the group scales from
+    ``REB_OLD_CONSUMERS`` to ``REB_NEW_CONSUMERS`` — the three assignment
+    strategies a Kafka-style consumer group chooses between, computed over a
+    ``REB_PARTITIONS``-way key split of the ops feed with real per-partition
+    load:
+
+    - *round-robin*: ``partition % n`` before and after (fair but moves many
+      partitions);
+    - *range*: contiguous blocks of the sorted partition list;
+    - *sticky*: keep the old owner unless the partition must move — each old
+      consumer cedes its highest-numbered surplus partition(s) to the new
+      member, the minimal-movement rule.
+
+    Output per partition: its event load, old/new owner under each strategy,
+    and whether each strategy moved it (state that must be re-fetched after
+    the rebalance — the cost sticky minimizes).  One aggregation on the
+    partition key; the strategy math is pure column arithmetic."""
+    ops = ops_feed(spark, sf_dir)
+    per = (
+        ops.withColumn("p", hash31("pk") % REB_PARTITIONS)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    rr_old = F.col("p") % REB_OLD_CONSUMERS
+    rr_new = F.col("p") % REB_NEW_CONSUMERS
+    rng_old = F.floor(F.col("p") * REB_OLD_CONSUMERS / REB_PARTITIONS).cast("long")
+    rng_new = F.floor(F.col("p") * REB_NEW_CONSUMERS / REB_PARTITIONS).cast("long")
+    wold = W.partitionBy(rr_old)
+    sticky_new = F.when(
+        F.col("p") == F.max("p").over(wold), F.lit(REB_NEW_CONSUMERS - 1)
+    ).otherwise(rr_old)
+    return (
+        per.select(
+            "p",
+            "n_events",
+            rr_old.alias("rr_old"),
+            rr_new.alias("rr_new"),
+            rng_old.alias("range_old"),
+            rng_new.alias("range_new"),
+            sticky_new.alias("sticky_new"),
+        )
+        .select(
+            "*",
+            (F.col("rr_old") != F.col("rr_new")).alias("moved_rr"),
+            (F.col("range_old") != F.col("range_new")).alias("moved_range"),
+            (F.col("rr_old") != F.col("sticky_new")).alias("moved_sticky"),
+        )
+        .orderBy("p")
+    )
+
+
+_REBALANCE_SQL = (
+    "WITH "
+    + OPS_SQL
+    + f"""
+, per AS (
+  SELECT ({hash31_sql("pk")}) % {REB_PARTITIONS} AS p, count(*) AS n_events
+  FROM src GROUP BY 1
+),
+s AS (
+  SELECT p, n_events,
+         p % {REB_OLD_CONSUMERS} AS rr_old,
+         p % {REB_NEW_CONSUMERS} AS rr_new,
+         CAST(floor(p * {REB_OLD_CONSUMERS} / {REB_PARTITIONS}) AS BIGINT) AS range_old,
+         CAST(floor(p * {REB_NEW_CONSUMERS} / {REB_PARTITIONS}) AS BIGINT) AS range_new,
+         CASE WHEN p = max(p) OVER (PARTITION BY p % {REB_OLD_CONSUMERS})
+              THEN {REB_NEW_CONSUMERS - 1} ELSE p % {REB_OLD_CONSUMERS} END AS sticky_new
+  FROM per
+)
+SELECT *,
+       rr_old <> rr_new AS moved_rr,
+       range_old <> range_new AS moved_range,
+       rr_old <> sticky_new AS moved_sticky
+FROM s
+ORDER BY p
+"""
+)
+
+
 QUERIES = {
+    "cdc_consumer_rebalance": cdc_consumer_rebalance,
     "cdc_retention_expiry": cdc_retention_expiry,
     "cdc_wal_compaction": cdc_wal_compaction,
     "cdc_offset_gaps": cdc_offset_gaps,
@@ -518,6 +608,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_consumer_rebalance": _REBALANCE_SQL,
     "cdc_retention_expiry": _RETENTION_SQL,
     "cdc_wal_compaction": _WAL_COMPACTION_SQL,
     "cdc_offset_gaps": _OFFSET_GAPS_SQL,

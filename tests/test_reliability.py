@@ -120,6 +120,31 @@ def test_retention_expiry_bounds(spark, sf_dir):
         )
 
 
+def test_rebalance_strategies(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries import (
+        REB_NEW_CONSUMERS,
+        REB_OLD_CONSUMERS,
+        REB_PARTITIONS,
+        cdc_consumer_rebalance,
+    )
+
+    rows = cdc_consumer_rebalance(spark, sf_dir).collect()
+    assert len(rows) == REB_PARTITIONS
+    # every strategy's new assignment is balanced (floor/ceil of P/N)
+    for col in ("rr_new", "range_new", "sticky_new"):
+        sizes = {}
+        for r in rows:
+            sizes[r[col]] = sizes.get(r[col], 0) + 1
+        assert set(sizes) == set(range(REB_NEW_CONSUMERS))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    # sticky moves exactly the surplus (one per old consumer), never more
+    # than round-robin does
+    n_sticky = sum(r.moved_sticky for r in rows)
+    n_rr = sum(r.moved_rr for r in rows)
+    assert n_sticky == REB_OLD_CONSUMERS
+    assert n_sticky <= n_rr
+
+
 def test_snapshot_chunks_tile_key_space(spark, sf_dir):
     chunks = cdc_snapshot_chunking(spark, sf_dir).collect()
     n_keys = ops_feed(spark, sf_dir).select("pk").distinct().count()
