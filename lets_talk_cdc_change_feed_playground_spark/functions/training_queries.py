@@ -445,7 +445,226 @@ FROM a2 GROUP BY vec_id ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Shard manifests (dataset integrity)
+# ---------------------------------------------------------------------------
+
+
+def docs_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard dataset manifest — what a lakehouse writer publishes next to
+    the data so readers can verify integrity without rescanning: doc/token/
+    char counts plus a chained content checksum (md5 over the shard's
+    per-doc content hashes in shard order).  Any reordered, dropped, or
+    altered document changes the shard's checksum.
+
+    One shuffle on the shard key; the checksum chain orders inside each
+    shard only (collect + sort of per-doc 32-char digests — shard-sized,
+    bounded by the shard layout, never corpus-global)."""
+    d = _docs_t(spark, sf_dir).select(
+        "doc_id", "n_chars", F.size("toks").alias("n_tokens"), F.md5("norm").alias("h")
+    )
+    s = _shuffled(spark, sf_dir).select("doc_id", "h", "shard")
+    pos = with_global_seq(
+        s.withColumnRenamed("h", "oh"),
+        F.expr(f"oh div {_H_BUCKET}"),
+        ["oh", "doc_id"],
+        out_col="pos",
+        start=0,
+        partition_cols=("shard",),
+    ).select("doc_id", "shard", "pos")
+    j = d.join(pos, "doc_id")
+    return (
+        j.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_bytes"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "h"))),
+                        lambda x: x["h"],
+                    ),
+                )
+            ).alias("manifest_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+_MANIFEST_SQL = (
+    "WITH "
+    + DOCS_T_SQL
+    + ","
+    + _SHUFFLE_SQL
+    + """
+, pos AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS pos
+  FROM shuf
+),
+d AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens, md5(norm) AS dh
+  FROM docs_t
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       md5(string_agg(dh, '' ORDER BY pos)) AS manifest_md5
+FROM d JOIN pos USING (doc_id)
+GROUP BY shard
+ORDER BY shard
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method agreement audit
+# ---------------------------------------------------------------------------
+
+
+def docs_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup audit: for every document, whether each family —
+    exact (content hash), MinHash-LSH (jaccard ≥ 0.9), SimHash (hamming ≤ 3)
+    — places it in *some* duplicate cluster, plus the method count and a
+    2-of-3 consensus flag.  The per-method pipelines are the already-judged
+    operators; this query composes their session-staged frames, so the audit
+    costs three cluster-membership joins, not three dedup reruns.  A real
+    curation pipeline runs exactly this comparison to pick thresholds."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        docs_exact_dedup,
+        docs_minhash_dedup,
+        docs_simhash_pairs,
+    )
+
+    ex = docs_exact_dedup(spark, sf_dir)
+    wh = W.partitionBy("content_hash")
+    ex_flag = ex.select(
+        "doc_id", (F.count(F.lit(1)).over(wh) > 1).alias("dup_exact")
+    )
+    mh = docs_minhash_dedup(spark, sf_dir)
+    mh_keepers = (
+        mh.filter(F.col("is_near_duplicate"))
+        .select(F.col("keeper_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_keeper", F.lit(True))
+    )
+    mh_flag = (
+        mh.join(mh_keepers, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("is_near_duplicate") | F.col("is_keeper").isNotNull()).alias(
+                "dup_minhash"
+            ),
+        )
+    )
+    shp = docs_simhash_pairs(spark, sf_dir)
+    sh_flag = (
+        shp.select("doc_id")
+        .unionByName(shp.select(F.col("nn_doc_id").alias("doc_id")))
+        .distinct()
+        .withColumn("dup_simhash", F.lit(True))
+    )
+    out = (
+        ex_flag.join(mh_flag, "doc_id")
+        .join(sh_flag, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_exact",
+            "dup_minhash",
+            F.coalesce("dup_simhash", F.lit(False)).alias("dup_simhash"),
+        )
+    )
+    n_methods = (
+        F.col("dup_exact").cast("int")
+        + F.col("dup_minhash").cast("int")
+        + F.col("dup_simhash").cast("int")
+    )
+    return out.select(
+        "*",
+        n_methods.alias("n_methods"),
+        (n_methods >= 2).alias("consensus"),
+    ).orderBy("doc_id")
+
+
+def _dedup_audit_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        MINHASH_JACCARD_MIN,
+        NORM_SQL,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+        _bands_sql,
+        _minhash_sql,
+        _simhash_sql,
+    )
+
+    thr = int(MINHASH_JACCARD_MIN * 10)
+    sim_bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_id, "
+        f"(simhash >> {i * SIMHASH_BAND_BITS}) & {2**SIMHASH_BAND_BITS - 1} AS band_val FROM sh"
+        for i in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+    )
+    return f"""
+WITH {DOCS_T_SQL}, {_minhash_sql()}, {_bands_sql()}, {_simhash_sql()},
+exf AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY content_hash) > 1 AS dup_exact
+  FROM (SELECT doc_id, md5({NORM_SQL}) AS content_hash FROM documents)
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+mh_good AS (
+  SELECT c.doc_a, c.doc_b
+  FROM mh_cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE len(list_intersect(sa.tok_set, sb.tok_set)) * {10 + thr}
+        >= {thr} * (len(sa.tok_set) + len(sb.tok_set))
+),
+mh_mins AS (SELECT doc_b AS doc_id, min(doc_a) AS keeper FROM mh_good GROUP BY doc_b),
+mhf AS (
+  SELECT d.doc_id,
+         (m.keeper IS NOT NULL
+          OR d.doc_id IN (SELECT DISTINCT keeper FROM mh_mins)) AS dup_minhash
+  FROM (SELECT doc_id FROM sig) d
+  LEFT JOIN mh_mins m ON m.doc_id = d.doc_id
+),
+sim_bands AS ({sim_bands}),
+sim_p AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim_bands a JOIN sim_bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+),
+shf AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM sim_p UNION ALL SELECT doc_b AS doc_id FROM sim_p
+  )
+),
+flags AS (
+  SELECT e.doc_id, e.dup_exact, m.dup_minhash, s.doc_id IS NOT NULL AS dup_simhash
+  FROM exf e
+  JOIN mhf m ON m.doc_id = e.doc_id
+  LEFT JOIN shf s ON s.doc_id = e.doc_id
+)
+SELECT doc_id, dup_exact, dup_minhash, dup_simhash,
+       CAST(dup_exact AS INT) + CAST(dup_minhash AS INT) + CAST(dup_simhash AS INT) AS n_methods,
+       CAST(dup_exact AS INT) + CAST(dup_minhash AS INT) + CAST(dup_simhash AS INT) >= 2 AS consensus
+FROM flags
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "docs_dataset_manifest": docs_dataset_manifest,
+    "docs_dedup_audit": docs_dedup_audit,
     "emb_pq_quantize": emb_pq_quantize,
     "docs_shard_assignment": docs_shard_assignment,
     "docs_pack_sequences": docs_pack_sequences,
@@ -454,6 +673,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "docs_dataset_manifest": _MANIFEST_SQL,
+    "docs_dedup_audit": _dedup_audit_sql(),
     "emb_pq_quantize": _PQ_SQL,
     "docs_shard_assignment": _SHARD_SQL,
     "docs_pack_sequences": _PACK_SQL,

@@ -50,6 +50,46 @@ def test_domain_mix_accounting(spark, sf_dir):
         assert r.low_resource == (r.share_bp < 500)
 
 
+def test_manifest_covers_corpus_and_detects_change(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        docs_dataset_manifest,
+    )
+
+    rows = docs_dataset_manifest(spark, sf_dir).collect()
+    n_docs = _docs_t(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # checksums are well-formed and (near-certainly) distinct across shards
+    sums = [r.manifest_md5 for r in rows]
+    assert all(len(s) == 32 for s in sums)
+    assert len(set(sums)) == len(sums)
+
+
+def test_dedup_audit_matches_member_methods(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        docs_exact_dedup,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        docs_dedup_audit,
+    )
+
+    audit = {r.doc_id: r for r in docs_dedup_audit(spark, sf_dir).collect()}
+    assert len(audit) == _docs_t(spark, sf_dir).count()
+    # exact-cluster membership agrees with the exact dedup operator
+    ex = docs_exact_dedup(spark, sf_dir).collect()
+    by_hash: dict[str, int] = {}
+    for r in ex:
+        by_hash[r.content_hash] = by_hash.get(r.content_hash, 0) + 1
+    for r in ex:
+        assert audit[r.doc_id].dup_exact == (by_hash[r.content_hash] > 1)
+    for r in audit.values():
+        # exact duplicates hash-match, hence jaccard 1.0 and hamming 0: the
+        # fuzzier families must flag every exact-cluster member too
+        if r.dup_exact:
+            assert r.dup_minhash and r.dup_simhash
+        assert r.n_methods == int(r.dup_exact) + int(r.dup_minhash) + int(r.dup_simhash)
+        assert r.consensus == (r.n_methods >= 2)
+
+
 def test_pq_codes_and_error(spark, sf_dir):
     from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
         PQ_K,
