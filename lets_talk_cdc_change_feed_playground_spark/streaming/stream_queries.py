@@ -675,7 +675,7 @@ def stream_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-transaction SQL grouping of the same bus feed."""
     from lets_talk_cdc_change_feed_playground_spark.streaming.txn import (
         TXN_EVENT_SCHEMA,
-        assemble_transactions,
+        assemble_transactions_bucketed,
     )
 
     src = (
@@ -683,7 +683,7 @@ def stream_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_txn_chunks(spark, sf_dir))
     )
-    assembled = _run_to_table(assemble_transactions(src), "append")
+    assembled = _run_to_table(assemble_transactions_bucketed(src), "append")
     return assembled.select(
         "tx_id", "tx_index", "tx_total", "t", "pk", "op", "payload", "n_events"
     ).orderBy("tx_id", "tx_index")

@@ -458,3 +458,66 @@ def test_judged_stream_queries_match_batch(spark, sf_dir):
     )
     assert hourly.count() == want.count()
     assert hourly.exceptAll(want).count() == 0
+
+
+def test_bucketed_assembler_equals_per_key(spark, tmp_path):
+    """The bucket-keyed A5 variant releases exactly the per-key operator's
+    set — including a txn that straddles micro-batches — and never emits a
+    partial transaction."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.txn import (
+        TXN_EVENT_SCHEMA,
+        assemble_transactions,
+        assemble_transactions_bucketed,
+    )
+
+    src_dir = str(tmp_path / "bkt_src")
+    chunks = [
+        [
+            ("TX-A", 0, 2, 100_000, "p1", "insert", "a0"),
+            ("TX-A", 1, 2, 100_000, "p2", "insert", "a1"),
+            ("TX-B", 0, 3, 300_000, "p3", "insert", "b0"),
+        ],
+        [
+            ("TX-B", 1, 3, 300_000, "p4", "insert", "b1"),
+            ("TX-C", 0, 1, 200_000, "p1", "update", "c0"),
+        ],
+        [
+            ("TX-B", 2, 3, 300_000, "p5", "delete", "b2"),
+            ("TX-D", 0, 2, 400_000, "p6", "insert", "d0"),  # stays partial
+        ],
+    ]
+    flat = os.path.join(src_dir, "flat")
+    os.makedirs(flat)
+    for i, rows in enumerate(chunks):
+        d = os.path.join(src_dir, f"c{i}")
+        spark.createDataFrame(rows, TXN_EVENT_SCHEMA).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.rename(os.path.join(d, part), os.path.join(flat, f"{i:02d}.parquet"))
+
+    results = []
+    for op in (assemble_transactions, assemble_transactions_bucketed):
+        src = (
+            spark.readStream.schema(TXN_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+        out = str(tmp_path / f"out_{op.__name__}")
+        ck = str(tmp_path / f"ck_{op.__name__}")
+        q = (
+            op(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = sorted(
+            tuple(r) for r in spark.read.parquet(out).collect()
+        )
+        results.append(rows)
+
+    assert results[0] == results[1]
+    released = {r[0] for r in results[0]}
+    assert released == {"TX-A", "TX-B", "TX-C"}  # D incomplete, withheld
