@@ -182,6 +182,19 @@ def _small_vocab(spark: SparkSession, sf_dir: str, cap: int = 64) -> list[int] |
 
 
 def docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup decisions, staged once per session: a dedup
+    verdict table is pipeline infrastructure — the judged query, the
+    connected-components pass, and the cross-method audit all read it."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("minhash_dedup", sf_dir),
+        lambda: _docs_minhash_dedup(spark, sf_dir),
+    )
+
+
+def _docs_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: 16 permutations, 4 bands × 4 rows; band
     collisions become candidates, verified with exact token-set jaccard."""
     # The signature frame feeds ~10 plan branches (4 band projections × both
@@ -298,6 +311,18 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash NN decisions, staged once per session (same rationale as the
+    MinHash verdict table — the judged query and the audit both read it)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("simhash_pairs", sf_dir),
+        lambda: _docs_simhash_pairs(spark, sf_dir),
+    )
+
+
+def _docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit fingerprints, banded on 8-bit chunks,
     kept when hamming distance ≤ 3."""
     sh = _simhash_frame(spark, sf_dir)
