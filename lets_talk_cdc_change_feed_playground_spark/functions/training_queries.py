@@ -662,7 +662,174 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # truncated prefix dimensionality (full = 64)
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimensionality truncation, judged by what it costs:
+    retrieval with only the first ``MRL_DIM`` of 64 dimensions (the cheap
+    prefix a matryoshka-trained embedder exposes) vs full-dimension exact
+    top-k.  Per query: the overlap of the two top-10 sets and recall@10 —
+    the number that decides whether the 4× cheaper index is good enough.
+
+    Both rankings are the broadcast-queries + map-side scoring + per-query
+    top-k shape of :func:`.pipeline_queries.emb_topk_similarity`; the
+    truncated pass reads the same vectors sliced, so one corpus scan serves
+    both sides."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        TOPK,
+        TOPK_QUERIES,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def topk_of(frame, vcol):
+        n = frame.withColumn("nrm", T.l2_norm(F.col(vcol)))
+        q = n.filter(F.col("vec_id") < TOPK_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vcol).alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        pairs = n.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        cos = T.dot(F.col(vcol), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+        return (
+            pairs.select("query_id", "vec_id", cos.alias("c"))
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
+            ))
+            .filter(F.col("rn") <= TOPK)
+            .select("query_id", "vec_id")
+        )
+
+    full = topk_of(e, "v")
+    trunc = topk_of(e.select("vec_id", F.slice("v", 1, MRL_DIM).alias("v")), "v")
+    return (
+        full.join(trunc, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(full.select("query_id").distinct(), "query_id", "right")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / F.lit(float(TOPK))).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _mrl_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        TOPK,
+        TOPK_QUERIES,
+    )
+
+    def rank_cte(name: str, vexpr: str) -> str:
+        return f"""
+{name}_n AS (
+  SELECT vec_id, {vexpr} AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform({vexpr}, x -> x*x)), (a, x) -> a + x)) AS nrm
+  FROM vecs
+),
+{name}_q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM {name}_n WHERE vec_id < {TOPK_QUERIES}),
+{name} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT.format(a="q.qv", b="c.v")} / (q.qn * c.nrm) DESC, c.vec_id) AS rn
+    FROM {name}_q q JOIN {name}_n c ON c.vec_id <> q.query_id
+  ) WHERE rn <= {TOPK}
+)"""
+
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{rank_cte("fullr", "v")},
+{rank_cte("truncr", f"v[1:{MRL_DIM}]")}
+SELECT f.query_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(o.n_overlap, 0) / {float(TOPK)} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM fullr) f
+LEFT JOIN (
+  SELECT query_id, count(*) AS n_overlap
+  FROM fullr JOIN truncr USING (query_id, vec_id)
+  GROUP BY query_id
+) o ON o.query_id = f.query_id
+ORDER BY f.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary fit
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 64
+
+
+def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary fitting, step one: the corpus-wide top-``K``
+    tokens by frequency with their cumulative coverage — the table a
+    frequency-based vocab (or BPE seed alphabet) is cut from.  Explode →
+    count is one shuffle with map-side combine; the global top-K is a
+    distributed TakeOrdered, and the cumulative share runs over K rows
+    only.  Coverage is exact integer basis points."""
+    d = _docs_t(spark, sf_dir)
+    counts = (
+        d.select(F.explode("toks").alias("token"))
+        .filter(F.length("token") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    top = (
+        counts.orderBy(F.desc("n"), "token")
+        .limit(VOCAB_K)
+        .crossJoin(F.broadcast(total))
+    )
+    w = W.orderBy(F.desc("n"), "token")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "n",
+        F.expr("(10000 * n) div total_tokens").alias("share_bp"),
+        F.expr(
+            "sum(n) over (order by n desc, token rows between unbounded preceding and current row)"
+        ).alias("cum_n"),
+    ).orderBy("rank")
+
+
+_VOCAB_SQL = (
+    "WITH "
+    + DOCS_T_SQL
+    + f"""
+, counts AS (
+  SELECT t.token, count(*) AS n
+  FROM docs_t, UNNEST(toks) AS t(token)
+  WHERE length(t.token) >= 1
+  GROUP BY t.token
+),
+top AS (SELECT * FROM counts ORDER BY n DESC, token LIMIT {VOCAB_K})
+SELECT row_number() OVER (ORDER BY n DESC, token) AS rank,
+       token, n,
+       CAST((10000 * n) // t.total_tokens AS BIGINT) AS share_bp,
+       CAST(sum(n) OVER (ORDER BY n DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM top, (SELECT sum(n) AS total_tokens FROM counts) t
+ORDER BY rank
+"""
+)
+
+
 QUERIES = {
+    "emb_matryoshka_recall": emb_matryoshka_recall,
+    "docs_vocab_topk": docs_vocab_topk,
     "docs_dataset_manifest": docs_dataset_manifest,
     "docs_dedup_audit": docs_dedup_audit,
     "emb_pq_quantize": emb_pq_quantize,
@@ -673,6 +840,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "emb_matryoshka_recall": _mrl_sql(),
+    "docs_vocab_topk": _VOCAB_SQL,
     "docs_dataset_manifest": _MANIFEST_SQL,
     "docs_dedup_audit": _dedup_audit_sql(),
     "emb_pq_quantize": _PQ_SQL,

@@ -109,6 +109,38 @@ def test_pq_codes_and_error(spark, sf_dir):
     assert sum(1 for r in rows if r.recon_err > 0) > n // 2
 
 
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        TOPK,
+        TOPK_QUERIES,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        emb_matryoshka_recall,
+    )
+
+    rows = emb_matryoshka_recall(spark, sf_dir).collect()
+    assert len(rows) == TOPK_QUERIES
+    for r in rows:
+        assert 0 <= r.n_overlap <= TOPK
+        assert abs(r.recall_at_k - r.n_overlap / TOPK) < 1e-12
+
+
+def test_vocab_topk_ordered_and_covering(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        docs_vocab_topk,
+    )
+
+    rows = docs_vocab_topk(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r.rank)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    cum = 0
+    for r in rows:
+        cum += r.n
+        assert r.cum_n == cum
+        assert r.share_bp <= 10000
+
+
 def test_semantic_dedup_leaders(spark, sf_dir):
     rows = emb_semantic_dedup(spark, sf_dir).collect()
     for r in rows:
