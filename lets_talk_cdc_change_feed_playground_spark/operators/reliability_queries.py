@@ -597,7 +597,167 @@ ORDER BY p
 )
 
 
+# ---------------------------------------------------------------------------
+# DBLog-style watermarked incremental snapshot
+# ---------------------------------------------------------------------------
+
+#: Snapshot starts this long after the first WAL record (mid-stream, so real
+#: change traffic interleaves with every chunk window).
+DBLOG_START_MS = 7 * 24 * 3_600_000
+#: One chunk window opens per hour of logical time …
+DBLOG_CHUNK_MS = 3_600_000
+#: … and the chunk select completes (high watermark) 30 min in.
+DBLOG_READ_MS = 1_800_000
+#: Keys per snapshot chunk.
+DBLOG_CHUNK_KEYS = 32
+
+
+def cdc_dblog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-based incremental snapshot à la DBLog (Andreadis et al.,
+    "DBLog: A Watermark Based Change-Data-Capture Framework", 2020 — the
+    algorithm behind Debezium's incremental snapshots): the snapshot runs in
+    bounded pk-range chunks *concurrently* with the WAL tail.  Each chunk k
+    writes a low watermark ``lw``, selects its rows, and writes a high
+    watermark ``hw``; any key of the chunk that also appears in the WAL
+    between ``lw`` and ``hw`` is dropped from the chunk buffer (the change
+    event is fresher), the rest are emitted as snapshot upserts at ``hw``.
+
+    The query simulates that interleaving on the derived ops feed — chunk k's
+    window is anchored ``DBLOG_START_MS + k*DBLOG_CHUNK_MS`` after the first
+    WAL record — and proves per chunk that the merged output (snapshot
+    upserts + WAL events) converges to the source's final state
+    (``harness/verifier/index.js:59-76`` last-op-wins semantics).
+
+    Scale: one shuffle keys→chunks (dense index via the two-phase bucketed
+    sequence), one shuffle of ops on pk for the per-key fold, then a per-chunk
+    rollup; no data-sized unpartitioned window, no driver collect — exactly
+    how the real thing runs chunk-parallel on 1000 executors.
+    """
+    ops = ops_feed(spark, sf_dir)
+
+    keys = ops.select(F.col("pk").cast("long").alias("pk_num")).distinct()
+    idx = with_global_seq(keys, F.expr("pk_num div 256"), ["pk_num"], out_col="idx")
+    chunks = idx.select(
+        "pk_num",
+        ((F.col("idx") - 1) / DBLOG_CHUNK_KEYS).cast("long").alias("chunk_id"),
+    )
+
+    t0 = ops.agg(F.min("t").alias("__t0"))
+    o = (
+        ops.withColumn("pk_num", F.col("pk").cast("long"))
+        .join(chunks, "pk_num")
+        .crossJoin(F.broadcast(t0))
+        .withColumn(
+            "lw",
+            F.col("__t0") + DBLOG_START_MS + F.col("chunk_id") * DBLOG_CHUNK_MS,
+        )
+        .withColumn("hw", F.col("lw") + DBLOG_READ_MS)
+    )
+
+    img = F.struct("op", "event_type", "value")
+    le_hw = F.col("t") <= F.col("hw")
+    per_key = o.groupBy("pk_num", "chunk_id", "lw", "hw").agg(
+        F.max_by(img, F.col("seq")).alias("fin"),
+        F.max_by(F.when(le_hw, img), F.when(le_hw, F.col("seq"))).alias("snap"),
+        F.sum(
+            F.when((F.col("t") > F.col("lw")) & le_hw, 1).otherwise(0)
+        ).alias("in_window"),
+        F.sum(F.when(F.col("t") > F.col("hw"), 1).otherwise(0)).alias("after_hw"),
+    )
+
+    snap_alive = F.col("snap").isNotNull() & (F.col("snap.op") != "delete")
+    superseded = F.col("in_window") > 0
+    emitted = snap_alive & ~superseded
+    # merged sink row after replaying snapshot upserts + the WAL in order
+    merged = F.when(
+        (F.col("after_hw") > 0) | superseded, F.col("fin")
+    ).otherwise(F.col("snap"))
+    src_alive = F.col("fin.op") != "delete"
+    merged_alive = merged.isNotNull() & (merged["op"] != "delete")
+    converged = (merged_alive == src_alive) & (
+        ~src_alive | merged.eqNullSafe(F.col("fin"))
+    )
+
+    return (
+        per_key.select(
+            "chunk_id",
+            "lw",
+            "hw",
+            "pk_num",
+            snap_alive.alias("snap_alive"),
+            superseded.alias("superseded"),
+            emitted.alias("emitted"),
+            (F.col("after_hw") > 0).alias("has_tail"),
+            converged.alias("converged"),
+        )
+        .groupBy("chunk_id", F.col("lw").alias("lw_ms"), F.col("hw").alias("hw_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("pk_num").alias("low_pk"),
+            F.max("pk_num").alias("high_pk"),
+            F.sum(F.col("snap_alive").cast("long")).alias("snapshot_alive"),
+            F.sum(F.col("superseded").cast("long")).alias("superseded_keys"),
+            F.sum(F.col("emitted").cast("long")).alias("emitted_rows"),
+            F.sum(F.col("has_tail").cast("long")).alias("tail_keys"),
+            F.sum(F.col("converged").cast("long")).alias("converged_keys"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+_DBLOG_SQL = (
+    "WITH "
+    + OPS_SQL
+    + f"""
+, keys AS (SELECT DISTINCT CAST(pk AS BIGINT) AS pk_num FROM src),
+idx AS (SELECT pk_num, row_number() OVER (ORDER BY pk_num) AS idx FROM keys),
+chunks AS (SELECT pk_num, (idx - 1) // {DBLOG_CHUNK_KEYS} AS chunk_id FROM idx),
+t0 AS (SELECT min(t) AS t0 FROM src),
+o AS (
+  SELECT src.*, c.chunk_id,
+         t0.t0 + {DBLOG_START_MS} + c.chunk_id * {DBLOG_CHUNK_MS} AS lw,
+         t0.t0 + {DBLOG_START_MS} + c.chunk_id * {DBLOG_CHUNK_MS} + {DBLOG_READ_MS} AS hw
+  FROM src JOIN chunks c ON CAST(src.pk AS BIGINT) = c.pk_num CROSS JOIN t0
+),
+per_key AS (
+  SELECT CAST(pk AS BIGINT) AS pk_num, chunk_id, lw, hw,
+         arg_max(op, seq) AS fin_op,
+         arg_max(op, CASE WHEN t <= hw THEN seq END) AS snap_op,
+         count(CASE WHEN t <= hw THEN 1 END) AS n_le_hw,
+         count(CASE WHEN t > lw AND t <= hw THEN 1 END) AS in_window,
+         count(CASE WHEN t > hw THEN 1 END) AS after_hw
+  FROM o GROUP BY 1, 2, 3, 4
+),
+flags AS (
+  SELECT chunk_id, lw AS lw_ms, hw AS hw_ms, pk_num,
+         (n_le_hw > 0 AND snap_op <> 'delete') AS snap_alive,
+         (in_window > 0) AS superseded,
+         (n_le_hw > 0 AND snap_op <> 'delete' AND in_window = 0) AS emitted,
+         (after_hw > 0) AS has_tail,
+         -- merged replay == fin in every branch (snap ≡ fin when no tail);
+         -- spelled out so the convergence obligation is explicit
+         (CASE WHEN after_hw > 0 OR in_window > 0 THEN fin_op ELSE snap_op END
+            IS NOT DISTINCT FROM fin_op
+          OR (n_le_hw = 0 AND fin_op = 'delete')) AS converged
+  FROM per_key
+)
+SELECT chunk_id, lw_ms, hw_ms,
+       count(*) AS n_keys,
+       min(pk_num) AS low_pk, max(pk_num) AS high_pk,
+       CAST(sum(CASE WHEN snap_alive THEN 1 ELSE 0 END) AS BIGINT) AS snapshot_alive,
+       CAST(sum(CASE WHEN superseded THEN 1 ELSE 0 END) AS BIGINT) AS superseded_keys,
+       CAST(sum(CASE WHEN emitted THEN 1 ELSE 0 END) AS BIGINT) AS emitted_rows,
+       CAST(sum(CASE WHEN has_tail THEN 1 ELSE 0 END) AS BIGINT) AS tail_keys,
+       CAST(sum(CASE WHEN converged THEN 1 ELSE 0 END) AS BIGINT) AS converged_keys
+FROM flags
+GROUP BY 1, 2, 3
+ORDER BY chunk_id
+"""
+)
+
+
 QUERIES = {
+    "cdc_dblog_snapshot": cdc_dblog_snapshot,
     "cdc_consumer_rebalance": cdc_consumer_rebalance,
     "cdc_retention_expiry": cdc_retention_expiry,
     "cdc_wal_compaction": cdc_wal_compaction,
@@ -608,6 +768,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_dblog_snapshot": _DBLOG_SQL,
     "cdc_consumer_rebalance": _REBALANCE_SQL,
     "cdc_retention_expiry": _RETENTION_SQL,
     "cdc_wal_compaction": _WAL_COMPACTION_SQL,

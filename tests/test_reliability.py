@@ -157,3 +157,28 @@ def test_snapshot_chunks_tile_key_space(spark, sf_dir):
         if prev_high is not None:
             assert r.low_pk > prev_high
         prev_high = r.high_pk
+
+
+def test_dblog_snapshot_converges(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries import (
+        DBLOG_CHUNK_KEYS,
+        cdc_dblog_snapshot,
+    )
+
+    rows = cdc_dblog_snapshot(spark, sf_dir).collect()
+    n_keys = ops_feed(spark, sf_dir).select("pk").distinct().count()
+    assert sum(r.n_keys for r in rows) == n_keys
+    prev_high = None
+    for r in sorted(rows, key=lambda r: r.chunk_id):
+        # the DBLog proof obligation: every key's merged replay equals the
+        # source's final state
+        assert r.converged_keys == r.n_keys
+        assert r.n_keys <= DBLOG_CHUNK_KEYS
+        # a chunk never emits a snapshot row it observed a concurrent change
+        # for, and never emits more rows than were alive at the high watermark
+        assert r.emitted_rows <= r.snapshot_alive
+        assert r.snapshot_alive - r.emitted_rows <= r.superseded_keys
+        assert r.hw_ms - r.lw_ms == 1_800_000
+        if prev_high is not None:
+            assert r.low_pk > prev_high
+        prev_high = r.high_pk
