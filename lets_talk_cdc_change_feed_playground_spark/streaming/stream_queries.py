@@ -813,7 +813,78 @@ ORDER BY batch_seq
     )
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows as a streaming job: ``session_window`` with
+    a 2 h inactivity gap merges per-key sessions whose state spans the three
+    micro-batches (a session open at a chunk boundary must absorb the next
+    chunk's events).  Complete mode emits the converged session set, which
+    must hash-equal the batch gaps-and-islands segmentation — Spark merges a
+    new event into an open session iff ``t - last_t <= gap`` (window end is
+    inclusive, verified empirically), exactly the batch rule's complement
+    ``new_session = diff > gap`` (``plans/relational.py:events_sessionize``).
+
+    At 100 TB the same query reads a keyed Kafka topic and runs in append
+    mode with a watermark; session state is per-key and merge-on-overlap, so
+    partitioning and state size are unchanged — only the emission schedule
+    (watermark-gated vs final) differs, which is why the judged variant pins
+    the converged set, not the emission timeline."""
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ops_chunks(spark, sf_dir))
+    )
+    agg = (
+        src.withColumn("ts", F.timestamp_millis(F.col("t")))
+        .groupBy(F.session_window("ts", "2 hours").alias("win"), "pk")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+    )
+    res = _run_to_table(agg, "complete")
+    return res.select(
+        "pk",
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "session_value",
+    ).orderBy("pk", "session_start")
+
+
+STREAM_SESSIONIZE_SQL = (
+    "WITH "
+    + OPS_SQL
+    + """
+, g AS (
+  SELECT pk, seq, t, value,
+         CASE WHEN t - lag(t) OVER w > 7200000
+                   OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM src
+  WINDOW w AS (PARTITION BY pk ORDER BY t, seq)
+),
+s AS (
+  SELECT pk, t, value,
+         sum(new_session) OVER (PARTITION BY pk ORDER BY t, seq
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT pk,
+       strftime(to_timestamp(min(t) // 1000), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS session_value
+FROM s
+GROUP BY pk, sid
+ORDER BY pk, session_start
+"""
+)
+
+
 QUERIES = {
+    "stream_sessionize": stream_sessionize,
     "stream_txn_assembly": stream_txn_assembly,
     "stream_backpressure": stream_backpressure,
     "stream_log_capture": stream_log_capture,
@@ -826,6 +897,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_txn_assembly": _stream_txn_sql(),
     "stream_backpressure": _stream_backpressure_sql(),
     "stream_docs_dedup": _stream_docs_dedup_sql(),

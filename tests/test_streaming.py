@@ -521,3 +521,20 @@ def test_bucketed_assembler_equals_per_key(spark, tmp_path):
     assert results[0] == results[1]
     released = {r[0] for r in results[0]}
     assert released == {"TX-A", "TX-B", "TX-C"}  # D incomplete, withheld
+
+
+def test_stream_sessionize_state_spans_batches(spark, sf_dir):
+    """Sessions open at a chunk boundary must absorb the next micro-batch's
+    events: every op lands in exactly one emitted session."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.stream_queries import (
+        stream_sessionize,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import ops_feed
+
+    sessions = stream_sessionize(spark, sf_dir)
+    agg = sessions.agg(
+        F.sum("n_events").alias("n"), F.count(F.lit(1)).alias("s")
+    ).first()
+    n_ops = ops_feed(spark, sf_dir).count()
+    assert agg.n == n_ops
+    assert 0 < agg.s < n_ops
