@@ -1313,7 +1313,93 @@ ORDER BY p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+
+
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations ranked by pointwise mutual information:
+    ``pmi = log P(x,y) / (P(x)·P(y))`` over adjacent token pairs.  The log is
+    monotone, so the query ranks by the raw probability ratio instead —
+    exact-integer counts and a fixed double-division order keep Spark and
+    DuckDB bit-identical (no transcendental in the judged surface).
+
+    Scale: two counting shuffles (bigrams, unigrams) + joins on the token —
+    the unigram table is vocabulary-sized, so AQE broadcasts it when small
+    and falls back to a shuffle join on a web-scale vocabulary; the top-k is
+    a distributed TakeOrdered, never a global window."""
+    toks = _docs_t(spark, sf_dir).select("doc_id", "toks")
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    uni = toks.select(F.explode("toks").alias("tok"))
+
+    bi_counts = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = F.broadcast(
+        bi_counts.agg(F.sum("c_xy").alias("n_bi")).crossJoin(
+            uni_counts.agg(F.sum("c").alias("n_uni"))
+        )
+    )
+
+    ratio = (F.col("c_xy").cast("double") / F.col("n_bi")) / (
+        (F.col("c_x").cast("double") / F.col("n_uni"))
+        * (F.col("c_y").cast("double") / F.col("n_uni"))
+    )
+    return (
+        bi_counts.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(uni_counts.withColumnRenamed("tok", "x"), "x")
+        .withColumnRenamed("c", "c_x")
+        .join(
+            uni_counts.withColumnRenamed("tok", "y").withColumnRenamed("c", "c_y"),
+            "y",
+        )
+        .crossJoin(totals)
+        .select("x", "y", "c_xy", "c_x", "c_y", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "x", "y")
+        .limit(PMI_TOPK)
+    )
+
+
+_PMI_SQL = f"""
+WITH {DOCS_T_SQL},
+bi AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y
+  FROM docs_t, UNNEST(range(1, len(toks))) AS r(i)
+),
+bc AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+uc AS (SELECT unnest(toks) AS tok FROM docs_t),
+ucc AS (SELECT tok, count(*) AS c FROM uc GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(c_xy) FROM bc) AS n_bi,
+         (SELECT sum(c) FROM ucc) AS n_uni
+)
+SELECT bc.x, bc.y, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+       (CAST(bc.c_xy AS DOUBLE) / tot.n_bi)
+         / ((CAST(ux.c AS DOUBLE) / tot.n_uni) * (CAST(uy.c AS DOUBLE) / tot.n_uni))
+         AS pmi_ratio
+FROM bc
+JOIN ucc ux ON bc.x = ux.tok
+JOIN ucc uy ON bc.y = uy.tok
+CROSS JOIN tot
+WHERE bc.c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi_ratio DESC, bc.x, bc.y
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
+    "docs_pmi_collocations": docs_pmi_collocations,
     "docs_bloom_dedup": docs_bloom_dedup,
     "docs_pii_scrub": docs_pii_scrub,
     "docs_stratified_sample": docs_stratified_sample,
@@ -1378,6 +1464,7 @@ ORDER BY doc_id
 """
 
 ORACLE = {
+    "docs_pmi_collocations": _PMI_SQL,
     "docs_bloom_dedup": _bloom_sql(),
     "docs_pii_scrub": _PII_SQL,
     "docs_stratified_sample": _stratified_sql(),

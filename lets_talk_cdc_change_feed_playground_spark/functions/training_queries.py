@@ -35,6 +35,8 @@ from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
 from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
     DOCS_T_SQL,
     K_IVF,
+    TOPK,
+    TOPK_QUERIES,
     _docs_t,
 )
 from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
@@ -313,22 +315,20 @@ PQ_DIM = 16  # dims per subspace (embeddings are 64-d)
 PQ_K = 8  # codebook entries per subspace
 
 
-def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization — the codebook compression behind large-scale ANN
-    indexes (64 floats → ``PQ_M`` byte codes here): split each vector into
-    ``PQ_M`` subvectors, train one ``PQ_K``-entry codebook per subspace with
-    a deterministic Lloyd round (seeds = the lowest vec_ids' subvectors,
-    decimal-mean updates rounded to 9 dp so both engines rebuild identical
-    codebooks), then code every subvector by nearest centroid and report the
-    per-vector reconstruction error.
+def _pq_dist2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
-    The whole flow runs on an exploded ``(vec_id, subspace)`` frame, so all
-    subspaces train/assign in the same two shuffles; codebooks stay
-    driver-sized (``M·K`` rows broadcast) while the corpus scales."""
+
+def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, subspace m, 16-d subvector) exploded frame."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    subs = e.select(
+    return e.select(
         "vec_id",
         F.explode(
             F.array(
@@ -343,52 +343,90 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
-    def dist2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
-    cents = subs.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+def _pq_assign_step(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment per (vec, subspace); ties → lowest cid."""
+    scored = subs.join(F.broadcast(cents), "m").select(
+        "vec_id",
+        "m",
+        "sv",
+        F.struct(
+            _pq_dist2(F.col("sv"), F.col("cv")).alias("d2"),
+            F.col("cid").alias("cid"),
+        ).alias("sc"),
     )
-    assign = None
-    for _ in range(2):  # assign -> mean -> reassign (one Lloyd update)
-        scored = subs.join(F.broadcast(cents), "m").select(
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min("sc").alias("best"), F.first("sv").alias("sv"))
+        .select(
             "vec_id",
             "m",
             "sv",
-            F.struct(
-                dist2(F.col("sv"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")
-            ).alias("sc"),
+            F.col("best.cid").alias("cid"),
+            F.col("best.d2").alias("d2"),
         )
-        assign = (
-            scored.groupBy("vec_id", "m")
-            .agg(F.min("sc").alias("best"), F.first("sv").alias("sv"))
-            .select(
-                "vec_id", "m", "sv",
-                F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"),
-            )
+    )
+
+
+def _pq_update_step(assign: DataFrame) -> DataFrame:
+    """Decimal-mean centroid update (9 dp, order-independent)."""
+    return (
+        assign.select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cid", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("cval")
         )
-        cents = (
-            assign.select("m", "cid", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("m", "cid", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    9,
-                ).alias("cval")
-            )
-            .groupBy("m", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s["cval"],
-                ).alias("cv")
-            )
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
         )
+    )
+
+
+def _pq_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The trained PQ index, materialized once per session: ``(codebook,
+    assign)`` — codebook is the ``M·K``-row centroid table after one Lloyd
+    update (seeds = the lowest vec_ids' subvectors), assign codes every
+    (vec, subspace) against it with the squared residual.  Quantization and
+    ADC search share both frames; staging the codebook first means the
+    training chain runs once, not once per consumer."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    subs = _pq_subs(spark, sf_dir)
+
+    def train_cents() -> DataFrame:
+        c0 = subs.filter(F.col("vec_id") < PQ_K).select(
+            "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        )
+        return _pq_update_step(_pq_assign_step(subs, c0))
+
+    cents = shared_df(spark, ("pq_cents", sf_dir), train_cents)
+    assign = shared_df(
+        spark, ("pq_assign", sf_dir), lambda: _pq_assign_step(subs, cents)
+    )
+    return cents, assign
+
+
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the codebook compression behind large-scale ANN
+    indexes (64 floats → ``PQ_M`` byte codes here): split each vector into
+    ``PQ_M`` subvectors, train one ``PQ_K``-entry codebook per subspace with
+    a deterministic Lloyd round (seeds = the lowest vec_ids' subvectors,
+    decimal-mean updates rounded to 9 dp so both engines rebuild identical
+    codebooks), then code every subvector by nearest centroid and report the
+    per-vector reconstruction error.
+
+    The whole flow runs on an exploded ``(vec_id, subspace)`` frame, so all
+    subspaces train/assign in the same two shuffles; codebooks stay
+    driver-sized (``M·K`` rows broadcast) while the corpus scales."""
+    _, assign = _pq_frames(spark, sf_dir)
     codes = [
         F.max(F.when(F.col("m") == m, F.col("cid"))).alias(f"code_{m}")
         for m in range(PQ_M)
@@ -410,8 +448,8 @@ _PQ_D2 = (
     "list_transform(list_zip(sv, cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (a, x) -> a + x)"
 )
 
-_PQ_SQL = f"""
-WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+_PQ_CORE_SQL = f"""
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 subs AS (
   SELECT vec_id, m, v[m*{PQ_DIM}+1 : (m+1)*{PQ_DIM}] AS sv
   FROM vecs, generate_series(0, {PQ_M - 1}) g(m)
@@ -438,10 +476,90 @@ a2 AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM s2
   ) WHERE rn = 1
 )
+"""
+
+_PQ_SQL = f"""
+WITH {_PQ_CORE_SQL.strip()}
 SELECT vec_id,
        {", ".join(f"max(CASE WHEN m = {m} THEN cid END) AS code_{m}" for m in range(PQ_M))},
        round(sqrt(CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS recon_err
 FROM a2 GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ index — the query
+    side of Jégou et al.'s "Product Quantization for Nearest Neighbor
+    Search": each query builds a tiny ``M·K`` distance table against the
+    codebooks (exact subvector-to-centroid distances), and a corpus vector's
+    approximate distance is just ``M`` table lookups summed — the corpus is
+    never decoded.
+
+    Scale: the distance tables are queries×M×K rows (broadcast); the scan
+    side touches only the byte codes (``assign``), so a 100 TB corpus reads
+    ~1/256th of the raw vector bytes; per-query top-k is a partitioned
+    window, decimal-summed so the lookup accumulation is order-independent."""
+    cents, assign = _pq_frames(spark, sf_dir)
+    qsubs = (
+        _pq_subs(spark, sf_dir)
+        .filter(F.col("vec_id") < TOPK_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qsv"))
+    )
+    dt = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        _pq_dist2(F.col("qsv"), F.col("cv")).alias("qd2"),
+    )
+    scored = (
+        assign.select("vec_id", "m", "cid")
+        .join(F.broadcast(dt), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("qd2").cast("decimal(38,12)")).cast("double")), 6
+            ).alias("adc_dist")
+        )
+        # a vector that shares no (m, cid) row with a query cannot appear —
+        # impossible here: dt covers the full M×K grid, so every coded
+        # vector joins on all M subspaces
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adc_dist"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_PQ_QD2 = _PQ_D2.replace("list_zip(sv, cv)", "list_zip(qsv, cv)")
+
+_ADC_SQL = f"""
+WITH {_PQ_CORE_SQL.strip()},
+qsubs AS (
+  SELECT vec_id AS query_id, m, sv AS qsv FROM subs WHERE vec_id < {TOPK_QUERIES}
+),
+dt AS (
+  SELECT query_id, c1.m, c1.cid, {_PQ_QD2} AS qd2
+  FROM qsubs JOIN c1 ON qsubs.m = c1.m
+),
+sc AS (
+  SELECT dt.query_id, a2.vec_id,
+         round(sqrt(CAST(sum(CAST(qd2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc_dist
+  FROM a2 JOIN dt ON a2.m = dt.m AND a2.cid = dt.cid
+  WHERE a2.vec_id <> dt.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM sc
+) WHERE rank <= {TOPK}
+ORDER BY query_id, rank
 """
 
 
@@ -828,6 +946,7 @@ ORDER BY rank
 
 
 QUERIES = {
+    "emb_pq_adc_topk": emb_pq_adc_topk,
     "emb_matryoshka_recall": emb_matryoshka_recall,
     "docs_vocab_topk": docs_vocab_topk,
     "docs_dataset_manifest": docs_dataset_manifest,
@@ -840,6 +959,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "emb_pq_adc_topk": _ADC_SQL,
     "emb_matryoshka_recall": _mrl_sql(),
     "docs_vocab_topk": _VOCAB_SQL,
     "docs_dataset_manifest": _MANIFEST_SQL,

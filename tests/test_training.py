@@ -150,3 +150,26 @@ def test_semantic_dedup_leaders(spark, sf_dir):
     # must be strictly fewer than the corpus (centroid seeds keep themselves)
     dup = [r for r in rows if r.is_semantic_duplicate]
     assert len(dup) < len(rows)
+
+
+def test_pq_adc_ranks_monotone(spark, sf_dir):
+    """ADC distances must be non-decreasing down each query's ranking, and
+    every (query, rank) slot filled exactly once."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        TOPK,
+        TOPK_QUERIES,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        emb_pq_adc_topk,
+    )
+
+    rows = emb_pq_adc_topk(spark, sf_dir).collect()
+    assert len(rows) == TOPK * TOPK_QUERIES
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, TOPK + 1))
+        assert all(a.adc_dist <= b.adc_dist for a, b in zip(rs, rs[1:]))
+        assert all(r.neighbor_id != q for r in rs)
