@@ -1,0 +1,291 @@
+"""Mergeable-sketch suite: the summaries a 100 TB fleet actually ships.
+
+At cluster scale you rarely move raw rows to answer "how many distinct",
+"what's p95", "who are the heavy hitters" — you compute a small *mergeable
+summary* per shard (per file, per partition, per day), union the summaries,
+and answer from the merged sketch.  The reference's metrics layer keeps
+bounded in-memory summaries for exactly this reason (its 2000-sample lag
+buffer, `src/engine/metrics.ts:42-44`); these queries are the distributed,
+shard-mergeable generalisation.
+
+Every sketch here is **deterministic** (the reference's 31-multiplier string
+hash widened to a 2^31-1 modulus, never ``rand()``) and built from exact
+integer arithmetic, so each query has a value-exact DuckDB oracle twin:
+
+- ``events_kmv_distinct``   — K-Minimum-Values distinct sketch per day-shard
+  + the *merged* global sketch (union of the per-shard K-mins — the global
+  K smallest hashes are each among their shard's K smallest, so merging
+  sketches is lossless).  Estimate = (K-1)·P // kth_min when the sketch is
+  full, the exact seen-hash count when not.
+- ``events_hist_quantiles`` — fixed-bin histogram per event_type; p50/p95/p99
+  read off the cumulative bin counts (ceil-rank rule).  Histograms merge by
+  adding bin counts; the cumulative window runs over ≤ ~50 bin rows per
+  type, never per event row.
+- ``lineitem_heavy_hitters`` — SpaceSaving-style mergeable top-k: each shard
+  keeps its local top-``SS_KEEP`` part keys plus its largest *dropped* count
+  (the error bound).  Merging sums the kept counts (a lower bound) and adds
+  each absent shard's dropped-max to form the upper bound — the classic
+  mergeable-summaries guarantee (Agarwal et al., PODS'12).
+
+Scale shape: one shuffle on (shard, key) for the per-shard summaries; the
+merge operates on sketch rows only (K·shards, bins·types, KEEP·shards), all
+broadcastable at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31
+from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events, load_table
+
+KMV_K = 24  # minima kept per sketch
+KMV_P = 2_147_483_647  # hash modulus (2^31 - 1): wide, overflow-safe in BIGINT
+DAY_MS = 86_400_000
+
+HIST_BIN = 10  # value-histogram bin width
+HIST_QS = (50, 95, 99)
+
+SS_SHARDS = 8  # heavy-hitter summary shards (l_orderkey % SS_SHARDS)
+SS_KEEP = 64  # keys kept per shard summary
+HH_TOP = 20  # merged heavy hitters reported
+
+
+def _kmv_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {DAY_MS}").alias("day"),
+        hash31(
+            F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")),
+            mod=KMV_P,
+        ).alias("h"),
+    )
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of (user_id, event_type) per day + merged.
+
+    Per day-shard: the K smallest distinct hash values.  The global row
+    (day = -1) is built **from the shard sketches only** — the union of the
+    per-day K-mins provably contains the global K-mins, so the merge is
+    exact.  ``est_distinct`` uses pure integer arithmetic: (K-1)·P // kth
+    when the sketch saturated, else the seen-hash count."""
+    keyed = _kmv_keyed(spark, sf_dir)
+    day_h = keyed.groupBy("day", "h").agg(F.count(F.lit(1)).alias("_n")).drop("_n")
+    rk = W.partitionBy("day").orderBy("h")
+    shard_sketch = (
+        day_h.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= KMV_K)
+        .drop("rk")
+    )
+    # Merge: distinct hashes across shard sketches, keep the K smallest.
+    # The sketch union is tiny (K rows per shard) — the unpartitioned
+    # window runs over sketch rows, not data rows.
+    merged = (
+        shard_sketch.select("h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rk") <= KMV_K)
+        .select(F.lit(-1).cast("long").alias("day"), "h")
+    )
+    union = shard_sketch.select("day", "h").unionByName(merged)
+    est = union.groupBy("day").agg(
+        F.count(F.lit(1)).alias("kmv_n"),
+        F.max("h").alias("kth_min"),
+    )
+    return est.select(
+        "day",
+        "kmv_n",
+        "kth_min",
+        F.when(
+            F.col("kmv_n") >= KMV_K,
+            F.expr(f"{(KMV_K - 1) * KMV_P}L div kth_min"),
+        )
+        .otherwise(F.col("kmv_n").cast("long"))
+        .alias("est_distinct"),
+    ).orderBy("day")
+
+
+# BIGINT-safe DuckDB twin of hash31 at the wide modulus (the shared
+# hash31_sql accumulates in INT32, which overflows once acc*31 can pass 2^31).
+_WIDE_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+    "for c in string_split(CAST(user_id AS VARCHAR) || ':' || event_type, '')]), "
+    f"(a, c) -> (a*31 + c) % {KMV_P})"
+)
+
+_KMV_SQL = f"""
+WITH keyed AS (
+  SELECT epoch_ms(ts) // {DAY_MS} AS day,
+         {_WIDE_HASH_SQL} AS h
+  FROM events
+),
+day_h AS (SELECT DISTINCT day, h FROM keyed),
+shard_sketch AS (
+  SELECT day, h FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk FROM day_h
+  ) WHERE rk <= {KMV_K}
+),
+merged AS (
+  SELECT CAST(-1 AS BIGINT) AS day, h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rk
+    FROM (SELECT DISTINCT h FROM shard_sketch)
+  ) WHERE rk <= {KMV_K}
+),
+un AS (SELECT day, h FROM shard_sketch UNION ALL SELECT day, h FROM merged)
+SELECT day, count(*) AS kmv_n, max(h) AS kth_min,
+       CAST(CASE WHEN count(*) >= {KMV_K}
+                 THEN {(KMV_K - 1) * KMV_P} // max(h)
+                 ELSE count(*) END AS BIGINT) AS est_distinct
+FROM un GROUP BY day ORDER BY day
+"""
+
+
+def events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of ``value`` per event_type.
+
+    The per-(type, bin) counts are the mergeable summary (histograms merge by
+    addition); p50/p95/p99 are the lower edge of the first bin whose
+    cumulative count reaches ``ceil(q·n/100)`` — exact integer rank rule, and
+    the cumulative window scans bin rows (≤ ~50 per type), never events."""
+    ev = load_events(spark, sf_dir)
+    bins = ev.groupBy(
+        "event_type",
+        F.expr(f"cast(floor(value / {HIST_BIN}) as bigint)").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("bin_n"))
+    cum = bins.withColumn(
+        "cum_n",
+        F.sum("bin_n").over(
+            W.partitionBy("event_type").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("bin_n").over(W.partitionBy("event_type")))
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum_n") * 100 >= F.col("n") * q, F.col("bin") * HIST_BIN
+            )
+        ).alias(f"p{q}_lo")
+        for q in HIST_QS
+    ]
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("n_bins"), *qcols)
+        .orderBy("event_type")
+    )
+
+
+_HIST_QCOLS = ",\n       ".join(
+    f"min(CASE WHEN cum_n * 100 >= n * {q} THEN bin * {HIST_BIN} END) AS p{q}_lo"
+    for q in HIST_QS
+)
+_HIST_SQL = f"""
+WITH bins AS (
+  SELECT event_type, CAST(floor(value / {HIST_BIN}) AS BIGINT) AS bin, count(*) AS bin_n
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, bin_n,
+         sum(bin_n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(bin_n) OVER (PARTITION BY event_type) AS n
+  FROM bins
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n, count(*) AS n_bins,
+       {_HIST_QCOLS}
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+def lineitem_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitter summaries over lineitem part keys.
+
+    Each of ``SS_SHARDS`` shards (l_orderkey % shards — the natural "one
+    summary per data partition" layout) keeps its local top-``SS_KEEP`` keys
+    by count plus the largest count it *dropped*.  The merge sums kept counts
+    (``lo`` — guaranteed undercount) and, for every shard where the key was
+    not kept, adds that shard's dropped-max (``hi`` — guaranteed overcount):
+    the standard mergeable-summary bound.  Reports the merged top-``HH_TOP``
+    by ``lo`` with both bounds so the consumer sees the error interval."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_shard = li.groupBy(
+        (F.col("l_orderkey") % SS_SHARDS).alias("shard"), "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rk = W.partitionBy("shard").orderBy(F.desc("cnt"), "l_partkey")
+    ranked = per_shard.withColumn("rk", F.row_number().over(rk))
+    kept = ranked.filter(F.col("rk") <= SS_KEEP).drop("rk")
+    dropped_max = (
+        ranked.filter(F.col("rk") > SS_KEEP)
+        .groupBy("shard")
+        .agg(F.max("cnt").alias("dmax"))
+    )
+    # err_total = sum over shards of dropped-max; a key's hi bound adds the
+    # dropped-max of every shard that did NOT keep it: hi = lo + err_total -
+    # sum(dmax of shards that kept it).  Sketch-sized frames throughout.
+    shard_err = kept.join(F.broadcast(dropped_max), "shard", "left").select(
+        "shard", "l_partkey", "cnt", F.coalesce("dmax", F.lit(0)).alias("dmax")
+    )
+    err_total = dropped_max.agg(F.sum("dmax").alias("err_total"))
+    merged = (
+        shard_err.groupBy("l_partkey")
+        .agg(
+            F.sum("cnt").alias("lo"),
+            F.count(F.lit(1)).alias("n_shards_kept"),
+            F.sum("dmax").alias("kept_dmax"),
+        )
+        .crossJoin(F.broadcast(err_total))
+        .select(
+            "l_partkey",
+            "lo",
+            "n_shards_kept",
+            (F.col("lo") + F.coalesce(F.col("err_total"), F.lit(0)) - F.col("kept_dmax")).alias("hi"),
+        )
+    )
+    return (
+        merged.orderBy(F.desc("lo"), "l_partkey")
+        .limit(HH_TOP)
+        .withColumn("rank", F.row_number().over(W.orderBy(F.desc("lo"), "l_partkey")))
+        .select("rank", "l_partkey", "lo", "hi", "n_shards_kept")
+    )
+
+
+_HH_SQL = f"""
+WITH per_shard AS (
+  SELECT l_orderkey % {SS_SHARDS} AS shard, l_partkey, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, l_partkey) AS rk
+  FROM per_shard
+),
+kept AS (SELECT shard, l_partkey, cnt FROM ranked WHERE rk <= {SS_KEEP}),
+dropped_max AS (SELECT shard, max(cnt) AS dmax FROM ranked WHERE rk > {SS_KEEP} GROUP BY shard),
+err AS (SELECT coalesce(sum(dmax), 0) AS err_total FROM dropped_max),
+merged AS (
+  SELECT k.l_partkey, sum(k.cnt) AS lo, count(*) AS n_shards_kept,
+         sum(coalesce(d.dmax, 0)) AS kept_dmax
+  FROM kept k LEFT JOIN dropped_max d ON k.shard = d.shard
+  GROUP BY k.l_partkey
+),
+top AS (
+  SELECT l_partkey, lo, n_shards_kept, lo + e.err_total - kept_dmax AS hi
+  FROM merged, err e
+  ORDER BY lo DESC, l_partkey LIMIT {HH_TOP}
+)
+SELECT CAST(row_number() OVER (ORDER BY lo DESC, l_partkey) AS INT) AS rank,
+       l_partkey, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi, n_shards_kept
+FROM top ORDER BY rank
+"""
+
+
+QUERIES = {
+    "events_kmv_distinct": events_kmv_distinct,
+    "events_hist_quantiles": events_hist_quantiles,
+    "lineitem_heavy_hitters": lineitem_heavy_hitters,
+}
+
+ORACLE = {
+    "events_kmv_distinct": _KMV_SQL,
+    "events_hist_quantiles": _HIST_SQL,
+    "lineitem_heavy_hitters": _HH_SQL,
+}

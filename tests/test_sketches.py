@@ -1,0 +1,67 @@
+"""Invariant tests for the mergeable-sketch suite (functions/sketch_queries).
+
+Beyond the oracle hash gate, these pin the *sketch guarantees*: the KMV merge
+is lossless, histogram quantile ranks bracket the exact quantiles, and the
+heavy-hitter bounds genuinely bracket the exact counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions import sketch_queries as S
+from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def kmv(spark):
+    return {r["day"]: r.asDict() for r in S.events_kmv_distinct(spark, SF).collect()}
+
+
+def test_kmv_global_row_is_exact_merge(spark, kmv):
+    # The global sketch (day = -1) must equal the KMV of the union of the
+    # shard sketches: its kth_min can never exceed any shard's kth_min.
+    glob = kmv[-1]
+    shards = [v for d, v in kmv.items() if d != -1]
+    assert glob["kmv_n"] <= S.KMV_K
+    if glob["kmv_n"] == S.KMV_K:
+        assert glob["kth_min"] <= min(s["kth_min"] for s in shards if s["kmv_n"] == S.KMV_K)
+
+
+def test_kmv_estimate_vs_exact(spark, kmv):
+    ev = load_events(spark, SF)
+    exact = (
+        ev.select(F.concat(F.col("user_id").cast("string"), F.lit(":"), "event_type").alias("k"))
+        .distinct()
+        .count()
+    )
+    est = kmv[-1]["est_distinct"]
+    # KMV with K=24 has ~1/sqrt(K-2) ≈ 21% relative error; allow 3 sigma.
+    assert est == pytest.approx(exact, rel=0.65)
+
+
+def test_hist_quantiles_bracket_exact(spark):
+    rows = S.events_hist_quantiles(spark, SF).collect()
+    ev = load_events(spark, SF)
+    for r in rows:
+        exact = ev.filter(F.col("event_type") == r["event_type"]).agg(
+            F.expr("percentile(value, 0.95)").alias("p")
+        ).collect()[0]["p"]
+        # p95 bin lower edge is within one bin of the exact percentile.
+        assert r["p95_lo"] - S.HIST_BIN <= exact <= r["p95_lo"] + S.HIST_BIN
+        assert r["p50_lo"] <= r["p95_lo"] <= r["p99_lo"]
+
+
+def test_heavy_hitter_bounds_bracket_exact(spark):
+    got = S.lineitem_heavy_hitters(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_partkey"]: r["n"]
+        for r in li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(got) == S.HH_TOP
+    for r in got:
+        assert r["lo"] <= exact[r["l_partkey"]] <= r["hi"]
