@@ -756,7 +756,290 @@ ORDER BY chunk_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Transactional outbox relay (at-least-once publish -> exactly-once consume)
+# ---------------------------------------------------------------------------
+
+#: Deterministic duplicate injection: an outbox event is relayed twice iff
+#: hash31(pk ':' seq) % OUTBOX_DUP_MOD == 0 (the relay crashed after publish,
+#: before marking the outbox row sent — the at-least-once failure mode).
+OUTBOX_DUP_MOD = 7
+
+
+def cdc_outbox_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-outbox pattern, end to end.
+
+    The producer writes each business change and an outbox event in one
+    transaction (the ops feed *is* that event stream; ``event_id = seq``).
+    The relay republishes outbox rows at-least-once (deterministic crash
+    duplicates), the consumer dedups on ``event_id``, and the judged output
+    proves per key that the deduped delivery converges with the C1 WAL:
+    same event count, same final payload.  This is the capture-less CDC
+    architecture the reference contrasts with log tailing — and the dedup
+    step is exactly A8's exactly-once recovery.
+
+    Plan shape: one shuffle on ``pk`` for the per-key rollups; the duplicate
+    union is map-side; WAL join is per-key.
+    """
+    ops = ops_feed(spark, sf_dir)
+    dup_cond = (
+        hash31(F.concat(F.col("pk"), F.lit(":"), F.col("seq").cast("string")))
+        % OUTBOX_DUP_MOD
+        == 0
+    )
+    relayed = ops.select("pk", "seq", "op", "event_type", "value").withColumn(
+        "n_copies", F.when(dup_cond, F.lit(2)).otherwise(F.lit(1))
+    )
+    per_pk = relayed.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_outbox"),
+        F.sum("n_copies").alias("n_relayed"),
+        # consumer-side dedup on event_id: one delivery per outbox row
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.max_by(F.col("event_type"), F.col("seq")).alias("delivered_event_type"),
+        # value at the latest NON-delete op: filter via the ordinal (NULL
+        # ordinals are skipped by max_by in both engines; a NULL *arg* is
+        # kept by Spark but skipped by DuckDB's arg_max, so never rely on it)
+        F.max_by(
+            F.col("value"), F.when(F.col("op") != "delete", F.col("seq"))
+        ).alias("delivered_value"),
+        F.max_by(F.col("op") == "delete", F.col("seq")).alias("delivered_deleted"),
+    )
+    wal = log_capture(spark, sf_dir)
+    wal_pk = wal.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_wal"),
+        F.max_by(F.col("after_event_type"), F.when(F.col("op") != "d", F.col("lsn"))).alias(
+            "wal_event_type"
+        ),
+        F.max_by(F.col("after_value"), F.when(F.col("op") != "d", F.col("lsn"))).alias(
+            "wal_value"
+        ),
+        F.max_by(F.col("op") == "d", F.col("lsn")).alias("wal_deleted"),
+    )
+    joined = per_pk.join(wal_pk, "pk", "full_outer")
+    conv = (
+        (F.col("n_delivered") == F.col("n_wal"))
+        & (F.col("delivered_deleted") == F.col("wal_deleted"))
+        & (
+            F.col("delivered_deleted")
+            | (
+                F.col("delivered_event_type").eqNullSafe(F.col("wal_event_type"))
+                & F.col("delivered_value").eqNullSafe(F.col("wal_value"))
+            )
+        )
+    )
+    return joined.select(
+        "pk",
+        "n_outbox",
+        "n_relayed",
+        (F.col("n_relayed") - F.col("n_outbox")).alias("n_dup_deliveries"),
+        "n_delivered",
+        "delivered_deleted",
+        "delivered_event_type",
+        "delivered_value",
+        "n_wal",
+        conv.alias("converged"),
+    ).orderBy("pk")
+
+
+_OUTBOX_SQL = (
+    _with(WAL_SQL)
+    + f"""
+, relayed AS (
+  SELECT pk, seq, op, event_type, value,
+         CASE WHEN {hash31_sql(f"pk || ':' || CAST(seq AS VARCHAR)")} % {OUTBOX_DUP_MOD} = 0
+              THEN 2 ELSE 1 END AS n_copies
+  FROM src
+),
+per_pk AS (
+  SELECT pk,
+         count(*) AS n_outbox,
+         sum(n_copies) AS n_relayed,
+         count(*) AS n_delivered,
+         arg_max(event_type, seq) AS delivered_event_type,
+         arg_max(value, CASE WHEN op <> 'delete' THEN seq END) AS delivered_value,
+         arg_max(op = 'delete', seq) AS delivered_deleted
+  FROM relayed GROUP BY pk
+),
+wal_pk AS (
+  SELECT pk, count(*) AS n_wal,
+         arg_max(after_event_type, CASE WHEN op <> 'd' THEN lsn END) AS wal_event_type,
+         arg_max(after_value, CASE WHEN op <> 'd' THEN lsn END) AS wal_value,
+         arg_max(op = 'd', lsn) AS wal_deleted
+  FROM wal GROUP BY pk
+)
+SELECT p.pk, p.n_outbox, CAST(p.n_relayed AS BIGINT) AS n_relayed,
+       CAST(p.n_relayed - p.n_outbox AS BIGINT) AS n_dup_deliveries,
+       p.n_delivered, p.delivered_deleted, p.delivered_event_type, p.delivered_value,
+       w.n_wal,
+       (p.n_delivered = w.n_wal AND p.delivered_deleted = w.wal_deleted
+        AND (p.delivered_deleted OR (p.delivered_event_type IS NOT DISTINCT FROM w.wal_event_type
+                                     AND p.delivered_value IS NOT DISTINCT FROM w.wal_value)))
+         AS converged
+FROM per_pk p FULL OUTER JOIN wal_pk w USING (pk)
+ORDER BY pk
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Compacted-topic bootstrap (snapshot-free consumer onboarding)
+# ---------------------------------------------------------------------------
+
+#: Bootstrap boundary as a fraction of the log head (numerator/denominator —
+#: exact integer arithmetic on the max LSN).
+BOOTSTRAP_NUM, BOOTSTRAP_DEN = 6, 10
+
+
+def cdc_compacted_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap a new consumer from a *compacted* topic prefix + live tail.
+
+    A compacted topic keeps only each key's latest record up to the segment
+    boundary (tombstones dropped — unlike ``cdc_savepoint_restore``'s full
+    state snapshot); the consumer reads that compacted prefix, then tails
+    lsn > boundary.  Judged claim: bootstrapped state == the full-WAL replay
+    fold for every key, proven per key with both sides' payloads and a
+    ``converged`` flag — compaction loses history but never state.
+
+    Plan shape: two per-key windows over one shuffle on ``pk``; the boundary
+    is a broadcast single-row aggregate.
+    """
+    wal = log_capture(spark, sf_dir)
+    head = wal.agg(
+        F.expr(f"max(lsn) * {BOOTSTRAP_NUM} div {BOOTSTRAP_DEN}").alias("boundary")
+    )
+    w = wal.crossJoin(F.broadcast(head))
+    wpk = W.partitionBy("pk")
+    seg_latest = (
+        w.filter(F.col("lsn") <= F.col("boundary"))
+        .withColumn("rn", F.row_number().over(wpk.orderBy(F.desc("lsn"))))
+        .filter("rn = 1")
+    )
+    compacted = seg_latest.filter(F.col("op") != "d").select(
+        "pk",
+        F.col("after_event_type").alias("c_event_type"),
+        F.col("after_value").alias("c_value"),
+        F.col("lsn").alias("c_lsn"),
+    )
+    tail_latest = (
+        w.filter(F.col("lsn") > F.col("boundary"))
+        .withColumn("rn", F.row_number().over(wpk.orderBy(F.desc("lsn"))))
+        .filter("rn = 1")
+        .select(
+            "pk",
+            F.col("op").alias("t_op"),
+            F.col("after_event_type").alias("t_event_type"),
+            F.col("after_value").alias("t_value"),
+            F.col("lsn").alias("t_lsn"),
+        )
+    )
+    boot = compacted.join(tail_latest, "pk", "full_outer").select(
+        "pk",
+        F.when(F.col("t_lsn").isNotNull(), F.col("t_op") != "d")
+        .otherwise(F.lit(True))
+        .alias("boot_present"),
+        F.coalesce(
+            F.when(F.col("t_lsn").isNotNull() & (F.col("t_op") != "d"), F.col("t_event_type")),
+            F.when(F.col("t_lsn").isNull(), F.col("c_event_type")),
+        ).alias("boot_event_type"),
+        F.coalesce(
+            F.when(F.col("t_lsn").isNotNull() & (F.col("t_op") != "d"), F.col("t_value")),
+            F.when(F.col("t_lsn").isNull(), F.col("c_value")),
+        ).alias("boot_value"),
+        (F.col("t_lsn").isNull()).alias("from_compacted"),
+    )
+    full = (
+        wal.withColumn("rn", F.row_number().over(wpk.orderBy(F.desc("lsn"))))
+        .filter("rn = 1")
+        .select(
+            "pk",
+            (F.col("op") != "d").alias("full_present"),
+            F.when(F.col("op") != "d", F.col("after_event_type")).alias("full_event_type"),
+            F.when(F.col("op") != "d", F.col("after_value")).alias("full_value"),
+        )
+    )
+    out = boot.join(full, "pk", "full_outer")
+    conv = F.coalesce(F.col("boot_present"), F.lit(False)).eqNullSafe(
+        F.coalesce(F.col("full_present"), F.lit(False))
+    ) & (
+        ~F.coalesce(F.col("full_present"), F.lit(False))
+        | (
+            F.col("boot_event_type").eqNullSafe(F.col("full_event_type"))
+            & F.col("boot_value").eqNullSafe(F.col("full_value"))
+        )
+    )
+    return out.select(
+        "pk",
+        F.coalesce("boot_present", F.lit(False)).alias("boot_present"),
+        "from_compacted",
+        "boot_event_type",
+        "boot_value",
+        F.coalesce("full_present", F.lit(False)).alias("full_present"),
+        "full_event_type",
+        "full_value",
+        conv.alias("converged"),
+    ).orderBy("pk")
+
+
+_BOOTSTRAP_SQL = (
+    _with(WAL_SQL)
+    + f"""
+, head AS (SELECT max(lsn) * {BOOTSTRAP_NUM} // {BOOTSTRAP_DEN} AS boundary FROM wal),
+seg_latest AS (
+  SELECT * FROM (
+    SELECT w.*, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+    FROM wal w, head WHERE lsn <= boundary
+  ) WHERE rn = 1
+),
+compacted AS (
+  SELECT pk, after_event_type AS c_event_type, after_value AS c_value, lsn AS c_lsn
+  FROM seg_latest WHERE op <> 'd'
+),
+tail_latest AS (
+  SELECT pk, op AS t_op, after_event_type AS t_event_type, after_value AS t_value,
+         lsn AS t_lsn
+  FROM (
+    SELECT w.*, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+    FROM wal w, head WHERE lsn > boundary
+  ) WHERE rn = 1
+),
+boot AS (
+  SELECT COALESCE(c.pk, t.pk) AS pk,
+         CASE WHEN t.t_lsn IS NOT NULL THEN t.t_op <> 'd' ELSE TRUE END AS boot_present,
+         COALESCE(CASE WHEN t.t_lsn IS NOT NULL AND t.t_op <> 'd' THEN t.t_event_type END,
+                  CASE WHEN t.t_lsn IS NULL THEN c.c_event_type END) AS boot_event_type,
+         COALESCE(CASE WHEN t.t_lsn IS NOT NULL AND t.t_op <> 'd' THEN t.t_value END,
+                  CASE WHEN t.t_lsn IS NULL THEN c.c_value END) AS boot_value,
+         t.t_lsn IS NULL AS from_compacted
+  FROM compacted c FULL OUTER JOIN tail_latest t ON c.pk = t.pk
+),
+fullstate AS (
+  SELECT pk, op <> 'd' AS full_present,
+         CASE WHEN op <> 'd' THEN after_event_type END AS full_event_type,
+         CASE WHEN op <> 'd' THEN after_value END AS full_value
+  FROM (
+    SELECT w.*, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn FROM wal w
+  ) WHERE rn = 1
+)
+SELECT COALESCE(b.pk, f.pk) AS pk,
+       COALESCE(b.boot_present, FALSE) AS boot_present,
+       b.from_compacted,
+       b.boot_event_type, b.boot_value,
+       COALESCE(f.full_present, FALSE) AS full_present,
+       f.full_event_type, f.full_value,
+       (COALESCE(b.boot_present, FALSE) = COALESCE(f.full_present, FALSE)
+        AND (NOT COALESCE(f.full_present, FALSE)
+             OR (b.boot_event_type IS NOT DISTINCT FROM f.full_event_type
+                 AND b.boot_value IS NOT DISTINCT FROM f.full_value)))
+         AS converged
+FROM boot b FULL OUTER JOIN fullstate f ON b.pk = f.pk
+ORDER BY pk
+"""
+)
+
+
 QUERIES = {
+    "cdc_outbox_relay": cdc_outbox_relay,
+    "cdc_compacted_bootstrap": cdc_compacted_bootstrap,
     "cdc_dblog_snapshot": cdc_dblog_snapshot,
     "cdc_consumer_rebalance": cdc_consumer_rebalance,
     "cdc_retention_expiry": cdc_retention_expiry,
@@ -768,6 +1051,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_outbox_relay": _OUTBOX_SQL,
+    "cdc_compacted_bootstrap": _BOOTSTRAP_SQL,
     "cdc_dblog_snapshot": _DBLOG_SQL,
     "cdc_consumer_rebalance": _REBALANCE_SQL,
     "cdc_retention_expiry": _RETENTION_SQL,
