@@ -1,0 +1,265 @@
+"""Tokenizer training and n-gram language-model statistics on Spark.
+
+Two corpus-modeling operators a pretraining pipeline runs after cleaning
+(:mod:`.pipeline_queries`) and before packing (:mod:`.training_queries`):
+
+- ``docs_bpe_merges``    — byte-pair-encoding trainer: ``BPE_ROUNDS`` merge
+  rounds over the letter-only head of the vocabulary.  Each round counts
+  adjacent symbol pairs (weighted by word frequency), picks the argmax pair
+  (count desc, then lexicographic — fully deterministic), and applies the
+  merge greedily left-to-right in every word.  The corpus scan and
+  vocabulary cap run distributed; the merge loop runs in-memory on the
+  bounded vocabulary (see :func:`docs_bpe_merges` for why that split IS
+  the 100 TB architecture).  The DuckDB twin replays the same rounds as
+  unrolled CTEs with a string-state ``list_reduce`` fold.
+- ``docs_kneser_ney_lm`` — interpolated Kneser-Ney bigram statistics for
+  the most frequent bigrams: raw counts, history mass ``c(x·)``, distinct
+  continuation counts ``N1+(x·)`` / ``N1+(·y)``, the discounted probability
+  ``max(c-D,0)/c(x·) + λ(x)·P_cont(y)`` with ``D = 3/4``, and the backoff
+  weight λ — the smoothing arithmetic every count-based LM tool implements
+  (Kneser & Ney, ICASSP'95; Chen & Goodman, 1998).  All divisions happen in
+  one fixed parenthesisation, so Spark and DuckDB agree bit-for-bit.
+
+Scale shape: vocabulary/bigram counting is the standard one-shuffle
+``groupBy``; the BPE symbol table is vocabulary-sized (not corpus-sized)
+after the initial count, and every per-round reduction produces a
+single-row broadcast.  At 100 TB the corpus pass happens once; the merge
+loop runs on the (tiny) weighted vocabulary, exactly like sentencepiece's
+in-memory trainer after its corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import DOCS_T_SQL, _docs_t
+
+BPE_ROUNDS = 8
+BPE_VOCAB = 300  # letter-only vocabulary head the trainer fits on
+
+KN_D_NUM, KN_D_DEN = 3, 4  # Kneser-Ney absolute discount D = 3/4
+KN_TOPK = 30
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer
+# ---------------------------------------------------------------------------
+
+# Greedy left-to-right merge of the pair (mx, my) over a space-joined symbol
+# string, as a fold with state "out|prev".  '|' and ' ' are safe separators:
+# the corpus is restricted to ^[a-z]+$ words, so symbols are [a-z]+ strings.
+# (A struct-state fold would be cleaner, but DuckDB 1.0's list_reduce
+# mis-folds struct accumulators on repeated appends; string state works
+# identically in both engines.)
+
+
+def _merge_fold_sql(sym: str, mx: str, my: str) -> str:
+    merged = f"({mx} || {my})"
+    step = f"""CASE
+      WHEN split_part(st, '|', 2) = '' THEN split_part(st, '|', 1) || '|' || e
+      WHEN split_part(st, '|', 2) = {mx} AND e = {my}
+        THEN CASE WHEN split_part(st, '|', 1) = '' THEN {merged} || '|'
+                  ELSE split_part(st, '|', 1) || ' ' || {merged} || '|' END
+      ELSE (CASE WHEN split_part(st, '|', 1) = '' THEN ''
+                 ELSE split_part(st, '|', 1) || ' ' END)
+           || split_part(st, '|', 2) || '|' || e
+    END"""
+    fold = f"list_reduce(list_prepend('|', string_split({sym}, ' ')), (st, e) -> {step})"
+    return f"""CASE WHEN split_part({fold}, '|', 2) = '' THEN split_part({fold}, '|', 1)
+       WHEN split_part({fold}, '|', 1) = '' THEN split_part({fold}, '|', 2)
+       ELSE split_part({fold}, '|', 1) || ' ' || split_part({fold}, '|', 2) END"""
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_t(spark, sf_dir)
+    counts = (
+        d.select(F.explode("toks").alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(BPE_VOCAB)
+    )
+    return counts.withColumn(
+        "sym", F.expr("array_join(split(word, ''), ' ')")
+    )
+
+
+def _bpe_apply_merge(sym: str, mx: str, my: str) -> str:
+    """Greedy left-to-right merge of (mx, my) in a space-joined symbol string
+    — the in-memory twin of the SQL fold in :func:`_merge_fold_sql`."""
+    out: list[str] = []
+    prev: str | None = None
+    for e in sym.split(" "):
+        if prev is None:
+            prev = e
+        elif prev == mx and e == my:
+            out.append(mx + my)
+            prev = None
+        else:
+            out.append(prev)
+            prev = e
+    if prev is not None:
+        out.append(prev)
+    return " ".join(out)
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge table: one row per round (round, merge_x, merge_y,
+    pair_count) learned on the frequency-weighted letter vocabulary.
+
+    Architecture (how distributed BPE trainers actually work — the corpus
+    pass is the 100 TB part, the merge loop is not): the corpus scan +
+    word count + vocabulary cap run distributed (one shuffle); the capped
+    vocabulary (``BPE_VOCAB`` rows, bounded regardless of corpus size) is
+    collected and the ``BPE_ROUNDS`` pair-count/merge iterations run
+    in-memory on those weighted words, like sentencepiece after its corpus
+    scan.  Spawning a Spark job per merge round would pay ~2 s of plan
+    compilation per round to scan 300 rows."""
+    vocab = [(r["word"], r["n"], r["sym"]) for r in _bpe_words(spark, sf_dir).collect()]
+    rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _, n, sym in vocab:
+            syms = sym.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        (mx, my), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((r, mx, my, c))
+        vocab = [(w, n, _bpe_apply_merge(sym, mx, my)) for w, n, sym in vocab]
+    return spark.createDataFrame(
+        rows, "round INT, merge_x STRING, merge_y STRING, pair_count BIGINT"
+    ).orderBy("round")
+
+
+def _bpe_sql() -> str:
+    parts = [
+        DOCS_T_SQL,
+        f"""
+w0 AS (
+  SELECT word, n, array_to_string(string_split(word, ''), ' ') AS sym
+  FROM (
+    SELECT t.token AS word, count(*) AS n
+    FROM docs_t, UNNEST(toks) AS t(token)
+    WHERE regexp_full_match(t.token, '[a-z]+')
+    GROUP BY t.token
+    ORDER BY n DESC, word LIMIT {BPE_VOCAB}
+  )
+)""",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""
+p{r} AS (
+  SELECT s[i] AS x, s[i + 1] AS y, n
+  FROM (SELECT n, string_split(sym, ' ') AS s FROM {prev}),
+       UNNEST(range(1, len(s))) AS r(i)
+),
+b{r} AS (
+  SELECT x AS mx, y AS my, sum(n) AS pair_count
+  FROM p{r} GROUP BY x, y
+  ORDER BY pair_count DESC, x, y LIMIT 1
+),
+w{r} AS (
+  SELECT word, n, {_merge_fold_sql("sym", "b.mx", "b.my")} AS sym
+  FROM {prev}, b{r} b
+)"""
+        )
+    rounds_union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, mx AS merge_x, my AS merge_y, CAST(pair_count AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n{rounds_union}\nORDER BY round"
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+def docs_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KN bigram stats for the top-``KN_TOPK`` bigrams.
+
+    ``p_kn = max(c_xy·DEN − NUM, 0)/(DEN·c_x) + (NUM·n1p_after_x/(DEN·c_x))
+    · (n1p_before_y/n_bigram_types)`` with D = NUM/DEN = 3/4 — the exact
+    arithmetic, division order fixed so both engines produce identical
+    doubles."""
+    toks = _docs_t(spark, sf_dir).select("doc_id", "toks")
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS x, b AS y))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bc = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    hist = bc.groupBy("x").agg(
+        F.sum("c_xy").alias("c_x"), F.count(F.lit(1)).alias("n1p_after_x")
+    )
+    cont = bc.groupBy("y").agg(F.count(F.lit(1)).alias("n1p_before_y"))
+    types = F.broadcast(bc.agg(F.count(F.lit(1)).alias("n_types")))
+
+    p_kn = F.expr(
+        f"(cast(greatest(c_xy * {KN_D_DEN} - {KN_D_NUM}, 0) as double)"
+        f" / (cast({KN_D_DEN} as double) * c_x))"
+        f" + ((cast({KN_D_NUM} as double) * n1p_after_x / (cast({KN_D_DEN} as double) * c_x))"
+        f" * (cast(n1p_before_y as double) / n_types))"
+    )
+    lam = F.expr(
+        f"cast({KN_D_NUM} as double) * n1p_after_x / (cast({KN_D_DEN} as double) * c_x)"
+    )
+    return (
+        bc.join(hist, "x")
+        .join(cont, "y")
+        .crossJoin(types)
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "n1p_after_x",
+            "n1p_before_y",
+            "n_types",
+            p_kn.alias("p_kn"),
+            lam.alias("lambda_x"),
+        )
+        .orderBy(F.desc("c_xy"), "x", "y")
+        .limit(KN_TOPK)
+    )
+
+
+_KN_SQL = f"""
+WITH {DOCS_T_SQL},
+bi AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y
+  FROM docs_t, UNNEST(range(1, len(toks))) AS r(i)
+),
+bc AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+hist AS (SELECT x, sum(c_xy) AS c_x, count(*) AS n1p_after_x FROM bc GROUP BY x),
+cont AS (SELECT y, count(*) AS n1p_before_y FROM bc GROUP BY y),
+types AS (SELECT count(*) AS n_types FROM bc)
+SELECT bc.x, bc.y, bc.c_xy, CAST(h.c_x AS BIGINT) AS c_x,
+       h.n1p_after_x, c.n1p_before_y, t.n_types,
+       (CAST(greatest(bc.c_xy * {KN_D_DEN} - {KN_D_NUM}, 0) AS DOUBLE)
+        / (CAST({KN_D_DEN} AS DOUBLE) * h.c_x))
+       + ((CAST({KN_D_NUM} AS DOUBLE) * h.n1p_after_x / (CAST({KN_D_DEN} AS DOUBLE) * h.c_x))
+          * (CAST(c.n1p_before_y AS DOUBLE) / t.n_types)) AS p_kn,
+       CAST({KN_D_NUM} AS DOUBLE) * h.n1p_after_x / (CAST({KN_D_DEN} AS DOUBLE) * h.c_x) AS lambda_x
+FROM bc JOIN hist h ON bc.x = h.x JOIN cont c ON bc.y = c.y, types t
+ORDER BY bc.c_xy DESC, bc.x, bc.y
+LIMIT {KN_TOPK}
+"""
+
+
+QUERIES = {
+    "docs_bpe_merges": docs_bpe_merges,
+    "docs_kneser_ney_lm": docs_kneser_ney_lm,
+}
+
+ORACLE = {
+    "docs_bpe_merges": _bpe_sql(),
+    "docs_kneser_ney_lm": _KN_SQL,
+}

@@ -1,0 +1,44 @@
+"""Invariants for the BPE trainer and Kneser-Ney LM queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from lets_talk_cdc_change_feed_playground_spark.functions import lm_queries as L
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bpe_apply_merge_greedy_left_to_right():
+    assert L._bpe_apply_merge("a b a b", "a", "b") == "ab ab"
+    assert L._bpe_apply_merge("a a a", "a", "a") == "aa a"
+    assert L._bpe_apply_merge("x a b y", "a", "b") == "x ab y"
+    assert L._bpe_apply_merge("a", "a", "b") == "a"
+    assert L._bpe_apply_merge("ab c", "ab", "c") == "abc"
+
+
+def test_bpe_merges_monotone_and_wellformed(spark):
+    rows = L.docs_bpe_merges(spark, SF).collect()
+    assert [r["round"] for r in rows] == list(range(1, L.BPE_ROUNDS + 1))
+    # merged symbols can only be built from symbols available at that round
+    seen = set("abcdefghijklmnopqrstuvwxyz")
+    for r in rows:
+        assert r["merge_x"] in seen and r["merge_y"] in seen
+        seen.add(r["merge_x"] + r["merge_y"])
+        assert r["pair_count"] > 0
+
+
+def test_kneser_ney_probability_axioms(spark):
+    rows = L.docs_kneser_ney_lm(spark, SF).collect()
+    assert len(rows) == L.KN_TOPK
+    for r in rows:
+        # discounted prob in (0, 1]; backoff weight in (0, 1)
+        assert 0.0 < r["p_kn"] <= 1.0
+        assert 0.0 < r["lambda_x"] < 1.0
+        assert r["c_xy"] <= r["c_x"]
+        assert 1 <= r["n1p_after_x"] and 1 <= r["n1p_before_y"] <= r["n_types"]
+        # interpolated KN never gives a frequent bigram less than its
+        # discounted MLE share
+        assert r["p_kn"] >= (r["c_xy"] * L.KN_D_DEN - L.KN_D_NUM) / (
+            L.KN_D_DEN * r["c_x"]
+        ) - 1e-12
