@@ -883,7 +883,212 @@ ORDER BY pk, session_start
 )
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream enrichment join (watermarked interval join)
+# ---------------------------------------------------------------------------
+
+#: Deterministic ack latency: 1 s base + hash-spread, max < _ACK_MAX_MS.
+_ACK_BASE_MS = 1_000
+_ACK_SPREAD_MS = 5_000
+_ACK_MAX_MS = _ACK_BASE_MS + _ACK_SPREAD_MS
+
+
+def _ack_ms_col():
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31
+
+    return F.col("t") + _ACK_BASE_MS + hash31(
+        F.concat(F.col("pk"), F.lit("@"), F.col("seq").cast("string"))
+    ) % _ACK_SPREAD_MS
+
+
+def _ack_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the delivery-ack stream: one ack per op at ``t + latency``,
+    chunked by ACK time against the same cut points as the ops chunks — so
+    acks for each chunk's tail ops arrive one micro-batch AFTER the op and
+    the join must hold those ops in state across the batch boundary."""
+    key = (spark.sparkContext.applicationId, sf_dir, "acks")
+    if key in _staged:
+        return _staged[key]
+    ops = ops_feed(spark, sf_dir)
+    qs = [i / _N_CHUNKS for i in range(1, _N_CHUNKS)]
+    cuts = ops.approxQuantile("t", qs, 0.001)
+    acks = ops.select(
+        F.col("seq").alias("ack_seq"), _ack_ms_col().alias("ack_ms")
+    )
+    out = tempfile.mkdtemp(prefix="sg_ack_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = acks
+        if lo is not None:
+            chunk = chunk.filter(F.col("ack_ms") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("ack_ms") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    _staged[key] = flat
+    return flat
+
+
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: ops enriched with their
+    delivery acks.
+
+    The ack stream is chunked by ACK time, so every chunk-tail op's ack
+    lands in the NEXT micro-batch — the join only converges if the ops side
+    is buffered in join state across batch boundaries and released by the
+    watermark, never by batch alignment.  Both watermarks lag further than
+    the max ack latency, so no pair can be dropped as late: the emitted set
+    is exactly one enriched row per op, independent of chunking — which is
+    what the DuckDB oracle (a plain batch join) hash-checks."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ops = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ops_chunks(spark, sf_dir))
+        .withColumn("ts", F.timestamp_millis(F.col("t")))
+        .withWatermark("ts", "10 seconds")
+    )
+    ack_schema = StructType(
+        [StructField("ack_seq", LongType()), StructField("ack_ms", LongType())]
+    )
+    acks = (
+        spark.readStream.schema(ack_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ack_chunks(spark, sf_dir))
+        .withColumn("ack_ts", F.timestamp_millis(F.col("ack_ms")))
+        .withWatermark("ack_ts", "10 seconds")
+    )
+    joined = ops.join(
+        acks,
+        F.expr(
+            f"seq = ack_seq AND ack_ts >= ts AND ack_ts <= ts + interval {_ACK_MAX_MS} milliseconds"
+        ),
+        "inner",
+    ).select(
+        "seq",
+        "pk",
+        "event_type",
+        F.col("t").alias("t_ms"),
+        "ack_ms",
+        (F.col("ack_ms") - F.col("t")).alias("latency_ms"),
+    )
+    return _run_to_table(joined, "append").orderBy("seq")
+
+
+def _stream_enrich_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31_sql
+
+    h = hash31_sql("pk || '@' || CAST(seq AS VARCHAR)")
+    ack = f"t + {_ACK_BASE_MS} + {h} % {_ACK_SPREAD_MS}"
+    return (
+        "WITH "
+        + OPS_SQL
+        + f"""
+SELECT seq, pk, event_type, t AS t_ms,
+       {ack} AS ack_ms,
+       ({ack}) - t AS latency_ms
+FROM src
+ORDER BY seq
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermarked streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+
+def _dup_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the at-least-once delivery stream: every op once in its own
+    time chunk, plus a re-delivery of the outbox-duplicated ops (same
+    payload, same event time) written into the NEXT chunk — cross-batch
+    duplicates, the case in-batch ``dropDuplicates`` cannot fix."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31
+    from lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries import (
+        OUTBOX_DUP_MOD,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dups")
+    if key in _staged:
+        return _staged[key]
+    ops = ops_feed(spark, sf_dir)
+    dup_cond = (
+        hash31(F.concat(F.col("pk"), F.lit(":"), F.col("seq").cast("string")))
+        % OUTBOX_DUP_MOD
+        == 0
+    )
+    qs = [i / _N_CHUNKS for i in range(1, _N_CHUNKS)]
+    cuts = ops.approxQuantile("t", qs, 0.001)
+    out = tempfile.mkdtemp(prefix="sg_dup_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    bounds = [(None, cuts[0])] + [
+        (cuts[i], cuts[i + 1] if i + 1 < len(cuts) else None) for i in range(len(cuts))
+    ]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = ops
+        if lo is not None:
+            chunk = chunk.filter(F.col("t") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("t") <= hi)
+        if i > 0:
+            plo, phi = bounds[i - 1]
+            redeliver = ops.filter(dup_cond)
+            if plo is not None:
+                redeliver = redeliver.filter(F.col("t") > plo)
+            redeliver = redeliver.filter(F.col("t") <= phi)
+            chunk = chunk.unionByName(redeliver)
+        elif len(bounds) == 1:
+            chunk = chunk.unionByName(ops.filter(dup_cond))
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+    _staged[key] = flat
+    return flat
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery via ``dropDuplicatesWithinWatermark``: the
+    at-least-once stream re-delivers the outbox-duplicated ops one
+    micro-batch later (same ``seq``, same event time), and the watermarked
+    dedup state suppresses them across the batch boundary.  The watermark
+    delay exceeds one chunk's time span, so no dedup key is evicted before
+    its re-delivery arrives — the emitted set is the canonical once-only
+    feed, which is exactly what the oracle (the plain ops feed) checks."""
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_dup_chunks(spark, sf_dir))
+        .withColumn("ts", F.timestamp_millis(F.col("t")))
+        .withWatermark("ts", "20 days")
+    )
+    deduped = src.dropDuplicatesWithinWatermark(["seq"]).select(
+        "seq", "pk", "op", "event_type", "value", F.col("t").alias("t_ms")
+    )
+    return _run_to_table(deduped, "append").orderBy("seq")
+
+
+STREAM_DEDUP_SQL = (
+    "WITH "
+    + OPS_SQL
+    + """
+SELECT seq, pk, op, event_type, value, t AS t_ms
+FROM src
+ORDER BY seq
+"""
+)
+
+
 QUERIES = {
+    "stream_enrich_join": stream_enrich_join,
+    "stream_dedup_watermark": stream_dedup_watermark,
     "stream_sessionize": stream_sessionize,
     "stream_txn_assembly": stream_txn_assembly,
     "stream_backpressure": stream_backpressure,
@@ -897,6 +1102,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_enrich_join": _stream_enrich_sql(),
+    "stream_dedup_watermark": STREAM_DEDUP_SQL,
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_txn_assembly": _stream_txn_sql(),
     "stream_backpressure": _stream_backpressure_sql(),

@@ -1,0 +1,34 @@
+"""Round-3 streaming additions: stream-stream join + watermarked dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import ops_feed
+from lets_talk_cdc_change_feed_playground_spark.streaming import stream_queries as SQ
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dup_chunks_really_contain_cross_batch_duplicates(spark):
+    path = SQ._dup_chunks(spark, SF)
+    staged = spark.read.parquet(path)
+    n_ops = ops_feed(spark, SF).count()
+    assert staged.count() > n_ops  # duplicates were injected...
+    per_seq = staged.groupBy("seq").count()
+    assert per_seq.filter("count = 2").count() > 0  # ...as re-deliveries
+
+
+def test_stream_dedup_restores_once_only_feed(spark):
+    out = SQ.stream_dedup_watermark(spark, SF)
+    ops = ops_feed(spark, SF)
+    assert out.count() == ops.count()
+    assert out.select("seq").distinct().count() == out.count()
+
+
+def test_enrich_join_matches_every_op_exactly_once(spark):
+    out = SQ.stream_enrich_join(spark, SF)
+    ops = ops_feed(spark, SF)
+    assert out.count() == ops.count()
+    lat = out.agg(F.min("latency_ms"), F.max("latency_ms")).collect()[0]
+    assert lat[0] >= SQ._ACK_BASE_MS and lat[1] < SQ._ACK_MAX_MS
