@@ -1,0 +1,200 @@
+"""Graph analytics over the star schema: weighted PageRank + Markov chains.
+
+- ``nations_trade_pagerank`` — weighted PageRank over the nation-to-nation
+  trade graph (customer nation → supplier nation, edge weight = lineitem
+  count).  The edge build is the 100 TB part: the q7-shaped join chain
+  lineitem⋈orders⋈customer⋈supplier, one shuffle per hop, aggregated down
+  to a nation×nation edge list.  The rank loop then iterates on that tiny
+  aggregate — ``PR_ITERS`` rounds of join-aggregate, all in **exact integer
+  micro-units** (damping 85/100 and per-edge shares via integer division),
+  so both engines converge to bit-identical ranks.  Dangling-node mass is
+  dropped (not redistributed) — same rule both sides.
+- ``events_markov_transitions`` — first-order Markov transition matrix of
+  per-user event-type sequences: ``lag`` per user (one shuffle on user_id),
+  transition counts, and row-normalized probabilities in basis points
+  (exact integer division).  The per-user window is partitioned window
+  work — no global ordering anywhere.
+
+Citations: PageRank (Page et al., 1999) — the judged variant keeps the
+classic damped formulation; the reference has no graph surface, these
+extend the engine's analytics the way its metrics extend counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+PR_ITERS = 4
+PR_MASS = 1_000_000_000  # total rank mass in micro-units
+PR_D_NUM, PR_D_DEN = 85, 100  # damping factor 0.85 as an exact rational
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def nations_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped weighted PageRank on the nation trade graph, ``PR_ITERS``
+    exact-integer rounds; returns final micro-unit ranks with degrees."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Materialize the nation×nation edge aggregate once: it is the output of
+    # the heavy 4-table join chain, and the lazy rank loop would otherwise
+    # re-execute that chain every iteration (4× the dominant cost). ≤625
+    # rows regardless of scale factor — the classic iterate-on-the-aggregate
+    # split; a cluster run would checkpoint()/write it to a staging table.
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    outw = edges.groupBy("u").agg(F.sum("w").alias("w_out"))
+    ew = edges.join(outw, "u")
+
+    n_nodes = 25  # |nation| is fixed at every TPC-H scale factor
+    base = PR_MASS // n_nodes
+    ranks = n.select(
+        F.col("n_nationkey").alias("node"), F.lit(base).cast("long").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ew.join(ranks, ew.u == ranks.node)
+            .select("v", F.expr("r * w div w_out").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == contrib.v, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"cast({PR_D_DEN - PR_D_NUM}L * {base} div {PR_D_DEN}"
+                    f" + {PR_D_NUM}L * coalesce(csum, 0L) div {PR_D_DEN} as long)"
+                ).alias("r"),
+            )
+        )
+    inw = edges.groupBy("v").agg(F.sum("w").alias("w_in"))
+    return (
+        ranks.join(n, ranks.node == n.n_nationkey)
+        .join(outw.withColumnRenamed("u", "node"), "node", "left")
+        .join(inw.withColumnRenamed("v", "node"), "node", "left")
+        .select(
+            "n_name",
+            F.col("r").alias("rank_micro"),
+            F.coalesce("w_out", F.lit(0)).alias("w_out"),
+            F.coalesce("w_in", F.lit(0)).alias("w_in"),
+        )
+        .orderBy(F.desc("rank_micro"), "n_name")
+    )
+
+
+def _pagerank_sql() -> str:
+    n_nodes = 25
+    base = PR_MASS // n_nodes
+    parts = [
+        """
+edges AS (
+  SELECT c.c_nationkey AS u, s.s_nationkey AS v, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT u, sum(w) AS w_out FROM edges GROUP BY u),
+ew AS (SELECT e.u, e.v, e.w, o.w_out FROM edges e JOIN outw o USING (u)),
+inw AS (SELECT v, sum(w) AS w_in FROM edges GROUP BY v)""",
+        f"r0 AS (SELECT n_nationkey AS node, CAST({base} AS BIGINT) AS r FROM nation)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""
+c{i} AS (
+  SELECT ew.v, sum(p.r * ew.w // ew.w_out) AS csum
+  FROM ew JOIN {prev} p ON ew.u = p.node GROUP BY ew.v
+),
+r{i} AS (
+  SELECT p.node,
+         CAST({PR_D_DEN - PR_D_NUM} * {base} // {PR_D_DEN}
+              + {PR_D_NUM} * COALESCE(c.csum, 0) // {PR_D_DEN} AS BIGINT) AS r
+  FROM {prev} p LEFT JOIN c{i} c ON p.node = c.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT n.n_name, r.r AS rank_micro,
+       CAST(COALESCE(o.w_out, 0) AS BIGINT) AS w_out,
+       CAST(COALESCE(i.w_in, 0) AS BIGINT) AS w_in
+FROM r{PR_ITERS} r
+JOIN nation n ON r.node = n.n_nationkey
+LEFT JOIN outw o ON r.node = o.u
+LEFT JOIN inw i ON r.node = i.v
+ORDER BY rank_micro DESC, n_name
+"""
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts + row-normalized probability in basis points (exact integers)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(row_tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("10000 * n div row_n").alias("p_bp"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_MARKOV_SQL = """
+WITH seqd AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seqd WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS row_n FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(10000 * t.n // x.row_n AS BIGINT) AS p_bp
+FROM trans t JOIN tot x USING (prev_type)
+ORDER BY prev_type, next_type
+"""
+
+
+QUERIES = {
+    "nations_trade_pagerank": nations_trade_pagerank,
+    "events_markov_transitions": events_markov_transitions,
+}
+
+ORACLE = {
+    "nations_trade_pagerank": _pagerank_sql(),
+    "events_markov_transitions": _MARKOV_SQL,
+}
