@@ -45,3 +45,32 @@ def salted_agg(
     return p1.groupBy(*keys).agg(
         *[merges[name](name).alias(name) for name in partials]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join: replicate the small side ``n_salts``× and
+    spread the big side's hot keys across salts.
+
+    A shuffle join on a skewed key sends every row of the hot key to ONE
+    reducer; salting the big side by an unrelated column's hash and
+    exploding the small side over all salts turns that reducer into
+    ``n_salts`` evenly-loaded ones, at the cost of an ``n_salts``× blowup of
+    the (much smaller) build side — the manual form of AQE's skew-join
+    splitting, usable when the skew is known up front or AQE is off (e.g.
+    inside a streaming micro-batch). Deterministic: the salt is a hash, not
+    ``rand()``."""
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    small_r = small.withColumn("__salt", salts)
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)).cast("int")
+    )
+    return big_s.join(
+        small_r, (F.col(big_key) == F.col(small_key)) & (big_s["__salt"] == small_r["__salt"])
+    ).drop("__salt")

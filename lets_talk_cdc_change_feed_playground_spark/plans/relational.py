@@ -929,6 +929,80 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Manual skew-join salting: the join twin of events_salted_hot_keys. The
+# salted plan must produce exactly the plain join's answer — that IS the
+# judged claim; the oracle is the unsalted SQL.
+# --------------------------------------------------------------------------
+def lineitem_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lets_talk_cdc_change_feed_playground_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey", "l_quantity")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, p, big_key="l_partkey", small_key="p_partkey", salt_col="l_orderkey"
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+LINEITEM_SALTED_SQL = """
+SELECT p.p_brand,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking-function coverage: percent_rank / cume_dist / ntile per market
+# segment over customer account balances. Per-segment partitioned windows —
+# distributed by segment; the double divisions are the closed-form
+# (rank-1)/(n-1) and peers/n, identical in both engines.
+# --------------------------------------------------------------------------
+def customers_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        ranked.filter(F.col("decile").isin(1, 10))
+        .orderBy("c_mktsegment", "decile", "c_custkey")
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "pr", "cd", "decile")
+    )
+
+
+CUSTOMERS_PRANK_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, pr, cd, CAST(decile AS INT) AS decile
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         ntile(10) OVER w AS decile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
+WHERE decile IN (1, 10)
+ORDER BY c_mktsegment, decile, c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Q4 shape: EXISTS → left-semi join with a non-equi residual condition.
 # Scale: orders filter pushed to scan; semi join shuffles both sides on
 # orderkey only (no payload duplication — semi join carries no right columns).
@@ -1992,6 +2066,8 @@ QUERIES = {
     "q18_large_volume_orders": q18_large_volume_orders,
     "q22_idle_balances": q22_idle_balances,
     "events_salted_hot_keys": events_salted_hot_keys,
+    "lineitem_salted_join": lineitem_salted_join,
+    "customers_percentile_ranks": customers_percentile_ranks,
     "q4_priority_late_ship": q4_priority_late_ship,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -2041,6 +2117,8 @@ ORACLE = {
     "q18_large_volume_orders": Q18_SQL,
     "q22_idle_balances": Q22_SQL,
     "events_salted_hot_keys": EVENTS_SALTED_SQL,
+    "lineitem_salted_join": LINEITEM_SALTED_SQL,
+    "customers_percentile_ranks": CUSTOMERS_PRANK_SQL,
     "q4_priority_late_ship": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
