@@ -280,9 +280,127 @@ FROM v CROSS JOIN UNNEST(range(greatest(1, duration_ms // 500))) AS t(i)
 """,
 }
 
+def media_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged entry: perceptual-hash near-dup detection over binary media.
+
+    The corpus makes trios of media ids share a base pattern at different
+    "encodings" (repetition counts) — the binary payloads differ, but a
+    perceptual hash must collapse them.  The STUB phash kernel models
+    exactly that: hash of the decoded *base* pattern (a real phash DCTs the
+    downsampled image; repetition is what downsampling collapses) with one
+    encoding-dependent bit flipped, so same-base variants sit at Hamming
+    distance ≤ 2 and different bases ~8 bits apart.  Dedup is then the
+    standard banded near-dup join: bucket by the high phash byte, pair
+    within buckets, keep pairs at Hamming ≤ ``PHASH_MAX_HAMMING``, point
+    every duplicate at its lowest-id leader — never all-pairs."""
+    d_docs = media_from_documents(spark, sf_dir).select("media_id")
+    corpus = d_docs.select(
+        "media_id",
+        F.expr(
+            "encode(repeat(sha2(cast(media_id div 3 as string), 256),"
+            " cast(4 + media_id % 5 as int)), 'utf-8')"
+        ).alias("content"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def phash(b: bytes) -> int:
+            # STUB decode: the base pattern is the first 64 bytes (one hex
+            # digest); a real kernel would decode + downsample + DCT here.
+            base = bytes(b)[:64]
+            bits16 = struct.unpack("<H", hashlib.sha256(base).digest()[:2])[0]
+            reps = len(b) // 64
+            if reps % 2:
+                bits16 ^= 1 << (reps % 16)
+            return bits16
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["content"].map(phash).astype("int64"),
+                }
+            )
+
+    hashed = corpus.mapInPandas(
+        kernel,
+        StructType(
+            [StructField("media_id", LongType()), StructField("phash", LongType())]
+        ),
+    )
+    a = hashed.select(
+        F.col("media_id").alias("ma"),
+        F.col("phash").alias("ha"),
+        F.expr("cast(phash div 256 as int)").alias("band"),
+    )
+    b = hashed.select(
+        F.col("media_id").alias("mb"),
+        F.col("phash").alias("hb"),
+        F.expr("cast(phash div 256 as int)").alias("band"),
+    )
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("ma") < F.col("mb"))
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= PHASH_MAX_HAMMING
+        )
+    )
+    keepers = pairs.groupBy(F.col("mb").alias("media_id")).agg(
+        F.min("ma").alias("keeper")
+    )
+    return (
+        hashed.join(keepers, "media_id", "left")
+        .select(
+            "media_id",
+            "phash",
+            F.coalesce("keeper", F.col("media_id")).alias("keeper_media_id"),
+            F.col("keeper").isNotNull().alias("is_near_duplicate"),
+        )
+        .orderBy("media_id")
+    )
+
+
+PHASH_MAX_HAMMING = 2
+
+_PHASH_BITS_SQL = (
+    f"({_hex_byte_sql('hd', 0)}) + ({_hex_byte_sql('hd', 1)}) * 256"
+)
+
+ORACLE["media_phash_dedup"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         repeat(sha256(CAST(doc_id // 3 AS VARCHAR)), CAST(4 + doc_id % 5 AS INT)) AS content_str
+  FROM documents
+),
+ph0 AS (
+  SELECT media_id, sha256(substr(content_str, 1, 64)) AS hd,
+         length(content_str) // 64 AS reps
+  FROM m
+),
+ph AS (
+  SELECT media_id,
+         CASE WHEN reps % 2 = 1
+              THEN xor({_PHASH_BITS_SQL}, 1 << CAST(reps % 16 AS INT))
+              ELSE {_PHASH_BITS_SQL} END AS phash
+  FROM ph0
+),
+pairs AS (
+  SELECT a.media_id AS ma, b.media_id AS mb
+  FROM ph a JOIN ph b
+    ON a.phash // 256 = b.phash // 256 AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+),
+keepers AS (SELECT mb AS media_id, min(ma) AS keeper FROM pairs GROUP BY mb)
+SELECT p.media_id, CAST(p.phash AS BIGINT) AS phash,
+       COALESCE(k.keeper, p.media_id) AS keeper_media_id,
+       k.keeper IS NOT NULL AS is_near_duplicate
+FROM ph p LEFT JOIN keepers k USING (media_id)
+ORDER BY p.media_id
+"""
+
 QUERIES = {
     "media_features": media_features_query,
     "media_frames": media_frames_query,
+    "media_phash_dedup": media_phash_dedup_query,
 }
 
 
