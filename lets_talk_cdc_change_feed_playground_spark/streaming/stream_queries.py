@@ -32,7 +32,7 @@ import itertools
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
@@ -1086,7 +1086,124 @@ ORDER BY seq
 )
 
 
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch (incremental mergeable summary)
+# ---------------------------------------------------------------------------
+
+
+def stream_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch maintained *incrementally*: per-day keyed
+    state holds the K smallest distinct hashes across micro-batches (K-min
+    is a semilattice merge, so arrival order and batching cannot change the
+    result), and the final state must equal the batch sketch —
+    ``events_kmv_distinct``'s oracle verbatim.  This is the streaming face
+    of the mergeable-summaries suite: the same sketch a 100 TB ingest
+    pipeline keeps per partition and merges at query time."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lets_talk_cdc_change_feed_playground_spark.functions.sketch_queries import (
+        DAY_MS,
+        KMV_K,
+        KMV_P,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31
+
+    keyed_schema = StructType(
+        [StructField("day", LongType()), StructField("h", LongType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("day", LongType()),
+            StructField("version", IntegerType()),
+            StructField("hashes_json", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("version", IntegerType()), StructField("hashes_json", StringType())]
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        (day,) = key
+        if state.exists:
+            version, hj = state.get
+            hs = set(_json.loads(hj))
+        else:
+            version, hs = 0, set()
+        for pdf in pdf_iter:
+            hs.update(int(x) for x in pdf["h"])
+            hs = set(sorted(hs)[:KMV_K])  # K-min lattice: prune eagerly
+        keep = sorted(hs)[:KMV_K]
+        state.update((version + 1, _json.dumps(keep)))
+        yield pd.DataFrame(
+            [{"day": day, "version": version + 1, "hashes_json": _json.dumps(keep)}]
+        )
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ops_chunks(spark, sf_dir))
+    )
+    keyed = src.select(
+        F.expr(f"t div {DAY_MS}").alias("day"),
+        hash31(F.concat(F.col("pk"), F.lit(":"), F.col("event_type")), mod=KMV_P).alias("h"),
+    )
+    emitted = keyed.groupBy("day").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    got = _run_to_table(emitted, "append")
+
+    # Final sketch per day = the last emitted state version; everything
+    # below operates on sketch rows (K per day), mirroring the batch query.
+    wlast = W.partitionBy("day").orderBy(F.desc("version"))
+    final = (
+        got.withColumn("rn", F.row_number().over(wlast))
+        .filter("rn = 1")
+        .select(
+            "day",
+            F.explode(F.from_json("hashes_json", "array<long>")).alias("h"),
+        )
+    )
+    merged = (
+        final.select("h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rk") <= KMV_K)
+        .select(F.lit(-1).cast("long").alias("day"), "h")
+    )
+    union = final.unionByName(merged)
+    est = union.groupBy("day").agg(
+        F.count(F.lit(1)).alias("kmv_n"), F.max("h").alias("kth_min")
+    )
+    return est.select(
+        "day",
+        "kmv_n",
+        "kth_min",
+        F.when(F.col("kmv_n") >= KMV_K, F.expr(f"{(KMV_K - 1) * KMV_P}L div kth_min"))
+        .otherwise(F.col("kmv_n").cast("long"))
+        .alias("est_distinct"),
+    ).orderBy("day")
+
+
+def _stream_kmv_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.functions.sketch_queries import _KMV_SQL
+
+    # identical semantics, but keyed off the ops feed's (pk, event_type) —
+    # which IS (user_id, event_type); the batch oracle applies verbatim.
+    return _KMV_SQL
+
+
 QUERIES = {
+    "stream_kmv_sketch": stream_kmv_sketch,
     "stream_enrich_join": stream_enrich_join,
     "stream_dedup_watermark": stream_dedup_watermark,
     "stream_sessionize": stream_sessionize,
@@ -1102,6 +1219,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_kmv_sketch": _stream_kmv_sql(),
     "stream_enrich_join": _stream_enrich_sql(),
     "stream_dedup_watermark": STREAM_DEDUP_SQL,
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
