@@ -254,12 +254,126 @@ LIMIT {KN_TOPK}
 """
 
 
+LM_SCORE_SCALE = 1_000_000  # p_kn -> integer millionths before summation
+LM_LOW_BP = 2_000  # docs in the lowest-scoring 20% (by threshold rank) flagged
+
+
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter shape: score every document by its average bigram
+    probability under the corpus KN model, flag the least-familiar tail.
+
+    A real pipeline scores with a small LM's log-perplexity; logs are
+    transcendental (banned from the judged surface), so the score is the
+    mean *linear* KN probability in integer millionths — the same ranking
+    direction (low = surprising = candidate for the quality filter).  The
+    per-bigram double ``p_kn`` is bit-identical across engines (proved by
+    ``docs_kneser_ney_lm``), so its truncation to millionths is too, and
+    the integer mean is order-independent.
+
+    Scale shape: doc-bigram explode (map-side) joined against the
+    corpus-derived bigram model on the bigram key — one shuffle each side;
+    the flag threshold is an exact integer rank over doc scores."""
+    toks = _docs_t(spark, sf_dir).select("doc_id", "toks")
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS x, b AS y))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.x", "p.y")
+    bc = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    hist = bc.groupBy("x").agg(
+        F.sum("c_xy").alias("c_x"), F.count(F.lit(1)).alias("n1p_after_x")
+    )
+    cont = bc.groupBy("y").agg(F.count(F.lit(1)).alias("n1p_before_y"))
+    types = F.broadcast(bc.agg(F.count(F.lit(1)).alias("n_types")))
+    model = (
+        bc.join(hist, "x")
+        .join(cont, "y")
+        .crossJoin(types)
+        .select(
+            "x",
+            "y",
+            F.expr(
+                f"cast(floor((cast(greatest(c_xy * {KN_D_DEN} - {KN_D_NUM}, 0) as double)"
+                f" / (cast({KN_D_DEN} as double) * c_x)"
+                f" + (cast({KN_D_NUM} as double) * n1p_after_x / (cast({KN_D_DEN} as double) * c_x))"
+                f" * (cast(n1p_before_y as double) / n_types)) * {LM_SCORE_SCALE}) as long)"
+            ).alias("p_micro"),
+        )
+    )
+    scored = (
+        bi.join(model, ["x", "y"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("p_micro").alias("p_sum"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("p_sum div n_bigrams").alias("mean_p_micro"),
+        )
+    )
+    thresh = F.broadcast(
+        scored.select(
+            F.expr(
+                f"percentile_disc({LM_LOW_BP / 10000}) within group (order by mean_p_micro)"
+            ).alias("cut")
+        )
+    )
+    return (
+        scored.crossJoin(thresh)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "mean_p_micro",
+            (F.col("mean_p_micro") <= F.col("cut")).alias("low_quality_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LM_SCORE_SQL = f"""
+WITH {DOCS_T_SQL},
+bi AS (
+  SELECT doc_id, toks[i] AS x, toks[i + 1] AS y
+  FROM docs_t, UNNEST(range(1, len(toks))) AS r(i)
+),
+bc AS (SELECT x, y, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+hist AS (SELECT x, sum(c_xy) AS c_x, count(*) AS n1p_after_x FROM bc GROUP BY x),
+cont AS (SELECT y, count(*) AS n1p_before_y FROM bc GROUP BY y),
+types AS (SELECT count(*) AS n_types FROM bc),
+model AS (
+  SELECT bc.x, bc.y,
+         CAST(floor(((CAST(greatest(bc.c_xy * {KN_D_DEN} - {KN_D_NUM}, 0) AS DOUBLE)
+                / (CAST({KN_D_DEN} AS DOUBLE) * h.c_x))
+               + ((CAST({KN_D_NUM} AS DOUBLE) * h.n1p_after_x / (CAST({KN_D_DEN} AS DOUBLE) * h.c_x))
+                  * (CAST(c.n1p_before_y AS DOUBLE) / t.n_types))) * {LM_SCORE_SCALE}) AS BIGINT)
+           AS p_micro
+  FROM bc JOIN hist h ON bc.x = h.x JOIN cont c ON bc.y = c.y, types t
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         CAST(sum(m.p_micro) // count(*) AS BIGINT) AS mean_p_micro
+  FROM bi b JOIN model m ON b.x = m.x AND b.y = m.y
+  GROUP BY b.doc_id
+),
+th AS (SELECT percentile_disc({LM_LOW_BP / 10000}) WITHIN GROUP (ORDER BY mean_p_micro) AS cut FROM scored)
+SELECT s.doc_id, s.n_bigrams, s.mean_p_micro,
+       s.mean_p_micro <= t.cut AS low_quality_flag
+FROM scored s, th t
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
     "docs_bpe_merges": docs_bpe_merges,
     "docs_kneser_ney_lm": docs_kneser_ney_lm,
+    "docs_lm_score": docs_lm_score,
 }
 
 ORACLE = {
     "docs_bpe_merges": _bpe_sql(),
     "docs_kneser_ney_lm": _KN_SQL,
+    "docs_lm_score": _LM_SCORE_SQL,
 }

@@ -1094,7 +1094,82 @@ FROM wal ORDER BY lsn
 )
 
 
+# ---------------------------------------------------------------------------
+# Debezium emit → parse round-trip (S6 both directions, in the hash gate)
+# ---------------------------------------------------------------------------
+
+
+def cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 closed loop: the C1 WAL is serialized into Debezium envelopes
+    (``emit_debezium`` — what a Kafka Connect source would publish) and
+    parsed back by the verifier-side parser (``parse_debezium``); the query
+    proves IN-QUERY, per event, that op/pk/ts and the full before/after row
+    images survive (map equality via identically-constructed ``to_json``).
+    The oracle pins the expected outcome — every row round-trips — plus the
+    envelope metadata, so a Spark-side serialization regression (dropped
+    key, mangled null, wrong topic) breaks the hash."""
+    from lets_talk_cdc_change_feed_playground_spark.sources.debezium import (
+        emit_debezium,
+        parse_debezium,
+    )
+
+    wal = log_capture(spark, sf_dir)
+    img = lambda p: F.create_map(  # noqa: E731
+        F.lit("event_type"), F.col(f"{p}event_type"),
+        F.lit("value"), F.col(f"{p}value").cast("string"),
+        F.lit("props"), F.col(f"{p}props"),
+    )
+    src = wal.select(
+        "lsn",
+        "op",
+        "pk",
+        "ts_ms",
+        F.when(F.col("op") != "c", img("before_")).alias("before"),
+        F.when(F.col("op") != "d", img("after_")).alias("after"),
+    )
+    records = emit_debezium(src, table="events")
+    parsed = parse_debezium(records, passthrough=("lsn",)).select(
+        "lsn",
+        F.col("tbl"),
+        F.col("op").alias("p_op"),
+        F.col("pk").alias("p_pk"),
+        F.col("ts_ms").alias("p_ts_ms"),
+        F.col("before").alias("p_before"),
+        F.col("after").alias("p_after"),
+    )
+    joined = src.join(parsed, "lsn")
+    ok = (
+        (F.col("op") == F.col("p_op"))
+        & (F.col("pk") == F.col("p_pk"))
+        & (F.col("ts_ms") == F.col("p_ts_ms"))
+        & F.to_json(F.col("before")).eqNullSafe(F.to_json(F.col("p_before")))
+        & F.to_json(F.col("after")).eqNullSafe(F.to_json(F.col("p_after")))
+    )
+    return joined.select(
+        "lsn",
+        "op",
+        "pk",
+        "ts_ms",
+        "tbl",
+        F.coalesce(F.size("p_after"), F.lit(-1)).alias("n_after_keys"),
+        ok.alias("roundtrip_ok"),
+    ).orderBy("lsn")
+
+
+_DBZ_ROUNDTRIP_SQL = (
+    _with(WAL_SQL)
+    + """
+SELECT lsn, op, pk, ts_ms,
+       'events' AS tbl,
+       CASE WHEN op = 'd' THEN -1 ELSE 3 END AS n_after_keys,
+       TRUE AS roundtrip_ok
+FROM wal ORDER BY lsn
+"""
+)
+
+
 QUERIES = {
+    "cdc_debezium_roundtrip": cdc_debezium_roundtrip,
     "cdc_ndjson_roundtrip": cdc_ndjson_roundtrip,
     "cdc_outbox_relay": cdc_outbox_relay,
     "cdc_compacted_bootstrap": cdc_compacted_bootstrap,
@@ -1109,6 +1184,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_debezium_roundtrip": _DBZ_ROUNDTRIP_SQL,
     "cdc_ndjson_roundtrip": _NDJSON_SQL,
     "cdc_outbox_relay": _OUTBOX_SQL,
     "cdc_compacted_bootstrap": _BOOTSTRAP_SQL,

@@ -37,18 +37,59 @@ ENVELOPE_SCHEMA = StructType(
 )
 
 
-def parse_debezium(df: DataFrame, topic_prefix: str = "dbserver1.public.") -> DataFrame:
+def emit_debezium(
+    df: DataFrame,
+    table: str,
+    op_col: str = "op",
+    pk_col: str = "pk",
+    ts_col: str = "ts_ms",
+    before_col: str = "before",
+    after_col: str = "after",
+    topic_prefix: str = "dbserver1.public.",
+) -> DataFrame:
+    """The emit side of S6: change rows → ``(topic, key, value)`` Kafka
+    records carrying the Debezium envelope ``parse_debezium`` consumes.
+    ``before``/``after`` are ``MAP<STRING,STRING>`` row images (the same
+    open-schema payloads the apply path folds); extra input columns pass
+    through untouched so callers can keep join keys alongside the record."""
+    return df.withColumn(
+        "topic", F.lit(topic_prefix + table)
+    ).withColumn("key", F.col(pk_col)).withColumn(
+        "value",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col(op_col).alias("op"),
+                    F.col(before_col).alias("before"),
+                    F.col(after_col).alias("after"),
+                    F.col(ts_col).cast("string").alias("ts_ms"),
+                    F.struct(F.lit(table).alias("table")).alias("source"),
+                ).alias("payload")
+            )
+        ),
+    )
+
+
+def parse_debezium(
+    df: DataFrame,
+    topic_prefix: str = "dbserver1.public.",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Kafka records → canonical change events: c/u/d only (``r`` snapshot
-    reads dropped), table from the topic suffix, key as pk."""
+    reads dropped), table from the topic suffix, key as pk. ``passthrough``
+    names extra input columns to carry into the output (e.g. an offset the
+    caller joins back on)."""
     parsed = df.select(
         "topic",
         F.col("key").cast("string").alias("pk"),
         F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("env"),
+        *passthrough,
     )
     import re as _re
 
     return (
         parsed.select(
+            *passthrough,
             F.regexp_replace("topic", f"^{_re.escape(topic_prefix)}", "").alias("tbl"),
             "pk",
             F.col("env.payload.op").alias("op"),
