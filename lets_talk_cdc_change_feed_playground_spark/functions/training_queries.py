@@ -35,6 +35,7 @@ from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
 from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
     DOCS_T_SQL,
     K_IVF,
+    TOKEN_HASHES_SQL,
     TOPK,
     TOPK_QUERIES,
     _docs_t,
@@ -945,7 +946,146 @@ ORDER BY rank
 )
 
 
+DSIR_BUCKETS = 256  # hashed-unigram feature buckets
+DSIR_SCALE = 10_000  # likelihood ratios reported in exact 1e-4 units
+DSIR_SEL_PCT = 0.75  # docs at/above the 75th-percentile ratio are selected
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with hashed n-gram importance weights
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): fit bag-of-hashed-unigram models on a target
+    slice (here the ``lang = 'en'`` documents) and on the raw corpus, weight
+    every document by its per-token target/raw likelihood ratio, and select
+    the best-matching quantile.
+
+    Logs are transcendental (banned from the judged surface), so the
+    per-bucket ratio is kept *linear* and exact: with Laplace-smoothed counts
+    the ratio ``p_target[b]/p_raw[b]`` is the rational number
+    ``(c_t[b]+1)(tot_r+B) / ((c_r[b]+1)(tot_t+B))``, reported as its floor in
+    1e-4 units — pure BIGINT arithmetic, identical in both engines; the
+    per-doc score is the (order-independent) integer mean over token
+    positions.  Same ranking direction as the paper's log-ratio.
+
+    Scale shape: one explode → 256-group map-side-combinable count, then the
+    complete bucket→weight table (256 rows) folds back row-locally via a
+    broadcast sorted array — scoring touches each document exactly once with
+    ZERO additional shuffles; the selection cut is a 1-row broadcast.
+    """
+    toks = _docs_t(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.transform(
+            T.token_hashes(F.col("toks")), lambda h: h % DSIR_BUCKETS
+        ).alias("tb"),
+    )
+    counts = (
+        toks.select("lang", F.explode("tb").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("c_t"),
+        )
+    )
+    full = (
+        spark.range(DSIR_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .join(counts, "b", "left")
+        .na.fill({"c_r": 0, "c_t": 0})
+    )
+    tot = full.agg(F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t"))
+    weights = full.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"({DSIR_SCALE} * (c_t + 1) * (tot_r + {DSIR_BUCKETS}))"
+            f" div ((c_r + 1) * (tot_t + {DSIR_BUCKETS}))"
+        ).alias("w"),
+    )
+    wl = F.broadcast(
+        weights.agg(
+            F.expr("transform(array_sort(collect_list(struct(b, w))), x -> x.w)").alias(
+                "wl"
+            )
+        )
+    )
+    scored = (
+        toks.crossJoin(wl)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("tb").alias("n_tokens"),
+            F.expr("aggregate(tb, 0L, (acc, x) -> acc + wl[int(x)])").alias("w_sum"),
+        )
+        .withColumn("mean_w", F.expr("w_sum div n_tokens"))
+    )
+    cut = F.broadcast(
+        scored.agg(
+            F.expr(
+                f"percentile_disc({DSIR_SEL_PCT}) within group (order by mean_w)"
+            ).alias("cut")
+        )
+    )
+    return (
+        scored.crossJoin(cut)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "w_sum",
+            "mean_w",
+            (F.col("mean_w") >= F.col("cut")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = f"""
+WITH {DOCS_T_SQL},
+tb AS (
+  SELECT doc_id, lang,
+         list_transform({TOKEN_HASHES_SQL}, h -> h % {DSIR_BUCKETS}) AS tb
+  FROM docs_t
+),
+tok AS (SELECT lang, UNNEST(tb) AS b FROM tb),
+counts AS (
+  SELECT b, count(*) AS c_r,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+  FROM tok GROUP BY b
+),
+fullb AS (
+  SELECT r.b, CAST(COALESCE(c.c_r, 0) AS BIGINT) AS c_r,
+         CAST(COALESCE(c.c_t, 0) AS BIGINT) AS c_t
+  FROM (SELECT UNNEST(range(0, {DSIR_BUCKETS})) AS b) r
+  LEFT JOIN counts c ON r.b = c.b
+),
+tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS tot_r, CAST(sum(c_t) AS BIGINT) AS tot_t FROM fullb),
+wt AS (
+  SELECT b, ({DSIR_SCALE} * (c_t + 1) * (tot_r + {DSIR_BUCKETS}))
+            // ((c_r + 1) * (tot_t + {DSIR_BUCKETS})) AS w
+  FROM fullb, tot
+),
+wl AS (SELECT list(w ORDER BY b) AS wl FROM wt),
+scored AS (
+  SELECT doc_id, lang, CAST(len(tb) AS INT) AS n_tokens,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(tb, x -> wl[x + 1])), (acc, v) -> acc + v) AS BIGINT) AS w_sum
+  FROM tb, wl
+),
+sc AS (
+  SELECT doc_id, lang, n_tokens, w_sum,
+         CAST(w_sum // n_tokens AS BIGINT) AS mean_w
+  FROM scored
+),
+th AS (SELECT percentile_disc({DSIR_SEL_PCT}) WITHIN GROUP (ORDER BY mean_w) AS cut FROM sc)
+SELECT s.doc_id, s.lang, s.n_tokens, s.w_sum, s.mean_w,
+       s.mean_w >= t.cut AS selected
+FROM sc s, th t
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
+    "docs_dsir_weights": docs_dsir_weights,
     "emb_pq_adc_topk": emb_pq_adc_topk,
     "emb_matryoshka_recall": emb_matryoshka_recall,
     "docs_vocab_topk": docs_vocab_topk,
@@ -959,6 +1099,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "docs_dsir_weights": _DSIR_SQL,
     "emb_pq_adc_topk": _ADC_SQL,
     "emb_matryoshka_recall": _mrl_sql(),
     "docs_vocab_topk": _VOCAB_SQL,

@@ -1202,7 +1202,138 @@ def _stream_kmv_sql() -> str:
     return _KMV_SQL
 
 
+def _rate_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the delivered bus events as 3 chunk files split on
+    ``delivery_ts`` — per-partition delivery order is preserved across
+    micro-batch boundaries (every chunk holds a contiguous delivery-time
+    range), the property the rate-limit recurrence needs, and the same one a
+    keyed Kafka topic gives per partition."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg
+
+    key = (spark.sparkContext.applicationId, sf_dir, "rate")
+    if key in _staged:
+        return _staged[key]
+    ev = (
+        pg.bus_feed(spark, sf_dir)
+        .filter(~F.col("dropped"))
+        .select("lsn", "txn_id", "pk", "partition", "delivery_ts")
+    )
+    cuts = ev.approxQuantile("delivery_ts", [1 / 3, 2 / 3], 0.001)
+    out = tempfile.mkdtemp(prefix="sg_rate_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("delivery_ts") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("delivery_ts") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    _staged[key] = flat
+    return flat
+
+
+_RATE_PER_TICK = 8  # service slots per tick — matches the batch A6 query
+
+
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 as a REAL streaming job: the token-bucket consumer rate limit runs
+    as per-partition keyed state across micro-batches.
+
+    The batch query (``cdc_rate_limited_consume``) computes the service-queue
+    closed form ``slot_i = i + max_{j<=i}(tick_j·R − j)`` with two-phase
+    bucketed windows; streaming keeps ONE number per bus partition — the last
+    assigned service slot ``u`` — and applies the recurrence the closed form
+    solves, ``u_i = max(u_{i-1} + 1, tick_i·R)``, event by event inside
+    ``applyInPandasWithState``.  A chunk boundary mid-burst means the queue
+    carry-over (``u`` ahead of the next event's tick) must survive in state
+    for the timeline to match; the emitted (consume_tick, queue_delay_ms) per
+    event must hash-equal the batch closed form exactly.
+
+    Scale: state is one long per bus partition; per-batch work is the sorted
+    fold over that partition's new events — the same shape a production
+    rate-limited consumer has (per-partition FIFO + O(1) state)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg
+
+    tick_ms = pg.TICK_MS
+    in_schema = StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("txn_id", LongType()),
+            StructField("pk", StringType()),
+            StructField("partition", LongType()),
+            StructField("delivery_ts", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            *in_schema.fields,
+            StructField("consume_tick", LongType()),
+            StructField("queue_delay_ms", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("u", LongType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def drain(key, pdf_iter, state: "GroupState"):
+        (part,) = key
+        u = state.get[0] if state.exists else None
+        out: list[dict] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["delivery_ts", "lsn"])
+            for row in pdf.itertuples(index=False):
+                base = (row.delivery_ts // tick_ms) * _RATE_PER_TICK
+                u = base if u is None else max(u + 1, base)
+                ct = (u // _RATE_PER_TICK) * tick_ms
+                out.append(
+                    {
+                        "lsn": row.lsn,
+                        "txn_id": row.txn_id,
+                        "pk": row.pk,
+                        "partition": part,
+                        "delivery_ts": row.delivery_ts,
+                        "consume_tick": ct,
+                        "queue_delay_ms": ct - row.delivery_ts,
+                    }
+                )
+        state.update((int(u),))
+        yield pd.DataFrame(out, columns=cols)
+
+    src = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_rate_chunks(spark, sf_dir))
+    )
+    res = src.groupBy("partition").applyInPandasWithState(
+        drain, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_table(res, "append").orderBy("partition", "consume_tick", "lsn")
+
+
+def _stream_rate_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators import (
+        playground_queries as pq,
+    )
+
+    return pq.ORACLE["cdc_rate_limited_consume"]
+
+
 QUERIES = {
+    "stream_rate_limit": stream_rate_limit,
     "stream_kmv_sketch": stream_kmv_sketch,
     "stream_enrich_join": stream_enrich_join,
     "stream_dedup_watermark": stream_dedup_watermark,
@@ -1219,6 +1350,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_rate_limit": _stream_rate_sql(),
     "stream_kmv_sketch": _stream_kmv_sql(),
     "stream_enrich_join": _stream_enrich_sql(),
     "stream_dedup_watermark": STREAM_DEDUP_SQL,
