@@ -397,10 +397,143 @@ FROM ph p LEFT JOIN keepers k USING (media_id)
 ORDER BY p.media_id
 """
 
+VAD_FRAME = 32  # fake-PCM samples per 20 ms frame (real: sample_rate * 0.02)
+
+
+def media_audio_vad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged entry: voice-activity detection over the audio rows — the
+    standard energy-VAD pipeline (frame → energy → adaptive threshold →
+    hangover smoothing → speech segments), the pre-filter an audio training
+    pipeline runs before transcription/captioning.
+
+    The Arrow ``mapInPandas`` kernel is the *decode+frame* stage: STUB decode
+    treats the payload bytes as PCM samples (a real kernel would
+    ``soundfile.read`` the WAV here — same batch shape, 1 row → n_frames
+    rows) and emits per-frame integer energies.  Everything after the kernel
+    is declarative DataFrame work: the adaptive threshold is the per-media
+    mean energy (exact integer division), a frame is speech-smoothed if it or
+    its predecessor clears the threshold (1-frame hangover), and segments are
+    gaps-and-islands over the smoothed flags — per-media keyed windows only,
+    no global shuffle."""
+    audio = media_from_documents(spark, sf_dir).filter(F.col("kind") == "audio")
+
+    frame_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("energy", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                # STUB decode: payload bytes ARE the PCM stream; real kernel
+                # parses the WAV container at the same 1→N batch shape.
+                b = bytes(row.content)
+                for i in range(len(b) // VAD_FRAME):
+                    fr = b[i * VAD_FRAME : (i + 1) * VAD_FRAME]
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_idx": i,
+                            "energy": sum(x * x for x in fr),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in frame_schema.fields])
+
+    frames = audio.mapInPandas(kernel, frame_schema)
+    from pyspark.sql import Window as W
+
+    thr = frames.groupBy("media_id").agg(
+        F.expr("sum(energy) div count(*)").alias("thr")
+    )
+    wm = W.partitionBy("media_id").orderBy("frame_idx")
+    flagged = (
+        frames.join(thr, "media_id")
+        .withColumn("raw", F.col("energy") > F.col("thr"))
+        .withColumn(
+            "speech", F.col("raw") | F.coalesce(F.lag("raw").over(wm), F.lit(False))
+        )
+        .withColumn(
+            "new_seg",
+            (
+                F.col("speech")
+                & ~F.coalesce(F.lag("speech").over(wm), F.lit(False))
+            ).cast("int"),
+        )
+        .withColumn(
+            "seg_idx",
+            F.sum("new_seg").over(wm.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        flagged.filter(F.col("speech"))
+        .groupBy("media_id", "seg_idx")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .orderBy("media_id", "seg_idx")
+    )
+
+
+# DuckDB recomputes the fake-PCM frame energies directly from the hex string
+_VAD_ENERGY_SQL = (
+    "list_reduce(list_prepend(0, list_transform(range(0, "
+    f"{VAD_FRAME}), j -> CAST(ascii(substr(content_str, "
+    f"CAST(i * {VAD_FRAME} + j + 1 AS INT), 1)) AS BIGINT) "
+    "* ascii(substr(content_str, CAST(i * "
+    f"{VAD_FRAME} + j + 1 AS INT), 1)))), (a, b) -> a + b)"
+)
+
+ORACLE["media_audio_vad"] = f"""
+{_MEDIA_SQL},
+a AS (SELECT media_id, content_str FROM m WHERE kind = 'audio'),
+frames AS (
+  SELECT media_id, CAST(i AS INT) AS frame_idx,
+         CAST({_VAD_ENERGY_SQL} AS BIGINT) AS energy
+  FROM a CROSS JOIN UNNEST(range(length(content_str) // {VAD_FRAME})) AS t(i)
+),
+thr AS (SELECT media_id, sum(energy) // count(*) AS thr FROM frames GROUP BY media_id),
+flags AS (
+  SELECT f.media_id, f.frame_idx, f.energy,
+         f.energy > t.thr AS raw
+  FROM frames f JOIN thr t USING (media_id)
+),
+sm AS (
+  SELECT *, raw OR COALESCE(lag(raw) OVER w, FALSE) AS speech
+  FROM flags
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+),
+sm2 AS (
+  SELECT *,
+         CASE WHEN speech AND NOT COALESCE(lag(speech) OVER w, FALSE)
+              THEN 1 ELSE 0 END AS new_seg
+  FROM sm
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+),
+segd AS (
+  SELECT *, sum(new_seg) OVER (PARTITION BY media_id ORDER BY frame_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_idx
+  FROM sm2
+)
+SELECT media_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+       min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+       count(*) AS n_frames, CAST(sum(energy) AS BIGINT) AS seg_energy
+FROM segd WHERE speech
+GROUP BY media_id, seg_idx
+ORDER BY media_id, seg_idx
+"""
+
 QUERIES = {
     "media_features": media_features_query,
     "media_frames": media_frames_query,
     "media_phash_dedup": media_phash_dedup_query,
+    "media_audio_vad": media_audio_vad_query,
 }
 
 
