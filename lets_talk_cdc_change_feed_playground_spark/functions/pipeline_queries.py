@@ -1928,3 +1928,131 @@ SELECT t.doc_id, t.n_ngrams,
 FROM totals t LEFT JOIN hits h USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (maximal shared spans, Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 12  # window width: a shared run must cover >= 12 tokens
+
+
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup — the pass "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022) runs with suffix
+    arrays, re-expressed for Spark: fingerprint every overlapping
+    ``SPAN_TOKENS``-token window (stride 1), keep windows whose hash occurs
+    in >= 2 distinct documents, then coalesce each document's overlapping /
+    adjacent hits into MAXIMAL duplicated spans (gaps-and-islands over the
+    window starts) and report per-doc duplicated-token mass.
+
+    Scale design: windowing is a per-row array expression (no shuffle);
+    the only data-sized shuffles are the groupBy on the window hash and the
+    join back — both key-bucketed, never doc×doc.  The islands window is
+    partitioned by doc_id, so span merging is per-document local.  A
+    suffix-array build is inherently sequential; stride-1 fingerprinting
+    finds exactly the duplicated runs >= ``SPAN_TOKENS`` at 100 TB with
+    nothing but hash-partitioned operators."""
+    thd = (
+        _docs_t(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            T.token_hashes(F.col("toks")).alias("th"),
+        )
+        .filter(F.col("n_tokens") >= SPAN_TOKENS)
+    )
+    fold = lambda sl: F.aggregate(  # noqa: E731 — 31-fold over the window
+        sl,
+        F.lit(0).cast("long"),
+        lambda a, h: (a * 31 + h) % T.TOKEN_HASH_PRIME,
+    )
+    wins = thd.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - SPAN_TOKENS),
+                lambda i: fold(F.slice(F.col("th"), i + 1, SPAN_TOKENS)),
+            )
+        ).alias("pos", "wh"),
+    )
+    cross_doc = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    dw = wins.join(cross_doc, "wh").select("doc_id", "n_tokens", "pos")
+    wprev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    wrun = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    islands = (
+        dw.withColumn("prev_end", F.max(F.col("pos") + SPAN_TOKENS).over(wprev))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("is_new").over(wrun))
+    )
+    spans = islands.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + SPAN_TOKENS).alias("e"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum("nw").alias("n_dup_windows"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        )
+        .withColumn("dup_frac_bp", F.expr("dup_tokens * 10000 div n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["docs_substring_dedup"] = docs_substring_dedup
+
+ORACLE["docs_substring_dedup"] = f"""
+WITH {DOCS_T_SQL.strip().rstrip()},
+thd AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, {TOKEN_HASHES_SQL} AS th
+  FROM docs_t WHERE len(toks) >= {SPAN_TOKENS}
+),
+wins AS (
+  SELECT doc_id, n_tokens, u.pos AS pos, u.wh AS wh FROM (
+    SELECT doc_id, n_tokens,
+           unnest(list_transform(range(0, n_tokens - {SPAN_TOKENS - 1}),
+             i -> {{'pos': i,
+                    'wh': {_NG_FOLD_SQL.format(start="i+1", stop=f"i+{SPAN_TOKENS}")}}})) AS u
+    FROM thd
+  )
+),
+crossdoc AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+dw AS (SELECT doc_id, n_tokens, pos FROM wins JOIN crossdoc USING (wh)),
+m AS (
+  SELECT *, max(pos + {SPAN_TOKENS}) OVER (
+    PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS prev_end FROM dw
+),
+i AS (
+  SELECT *, sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END) OVER (
+    PARTITION BY doc_id ORDER BY pos
+  ) AS island FROM m
+),
+sp AS (
+  SELECT doc_id, n_tokens, island, min(pos) AS s, max(pos + {SPAN_TOKENS}) AS e, count(*) AS nw
+  FROM i GROUP BY 1, 2, 3
+)
+SELECT doc_id, n_tokens,
+       CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+       count(*) AS n_spans,
+       CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+       (CAST(sum(e - s) AS BIGINT) * 10000) // n_tokens AS dup_frac_bp
+FROM sp
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""
