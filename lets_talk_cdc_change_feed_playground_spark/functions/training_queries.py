@@ -1111,3 +1111,191 @@ ORACLE = {
     "docs_domain_mix": _MIX_SQL,
     "emb_semantic_dedup": _SEMDEDUP_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): the combined index structure of billion-scale ANN
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 4  # coarse cells each query probes
+
+
+def _subspaces_of(df: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
+    """Explode ``vcol`` (a 64-d array) into (m, 16-d subvector) rows."""
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(vcol, m * PQ_DIM + 1, PQ_DIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(*keep, F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the index layout billion-scale ANN actually deploys (Jégou
+    et al.'s IVF + product quantization, the FAISS ``IVFx,PQy`` family):
+
+    1. coarse-quantize every vector to one of ``K_IVF`` cells (seeds = the
+       lowest vec_ids, squared-L2 argmin — broadcast centroids, map-side);
+    2. PQ-encode each vector's RESIDUAL (v − cell centroid) with one
+       deterministic Lloyd round per subspace (decimal-mean codebooks,
+       exactly :func:`emb_pq_quantize`'s recipe but over residuals — the
+       residual trick is what makes shared codebooks tight across cells);
+    3. at query time, probe the ``IVFPQ_NPROBE`` nearest cells; per probed
+       cell build the query-residual ADC distance table against the shared
+       codebooks, and score cell members by ``M`` table lookups — the corpus
+       vectors are never decoded.
+
+    Scale: the corpus-sized work is two broadcast-argmin passes and ONE
+    shuffle (the codebook mean); the search side touches only byte codes in
+    probed cells (``NPROBE/K_IVF`` of the data, ~1/256th of its bytes).
+    Distance tables are queries×NPROBE×M×K rows — broadcast-sized at any
+    corpus scale."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cc = e.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cc))
+        .withColumn("cd2", d2(F.col("v"), F.col("ccv")))
+        .withColumn(
+            "crn",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("cd2", "ccid")),
+        )
+    )
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id",
+        F.col("ccid").alias("cell"),
+        F.zip_with("v", "ccv", lambda x, y: x - y).alias("rv"),
+    )
+    rsubs = _subspaces_of(assign, "rv", ["vec_id", "cell"])
+    c0 = rsubs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    plain = rsubs.select("vec_id", "m", "sv")
+    c1 = _pq_update_step(_pq_assign_step(plain, c0))
+    codes = (
+        _pq_assign_step(plain, c1)
+        .select("vec_id", "m", "cid")
+        .join(assign.select("vec_id", "cell"), "vec_id")
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < TOPK_QUERIES) & (F.col("crn") <= IVFPQ_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ccid").alias("cell"),
+        F.zip_with("v", "ccv", lambda x, y: x - y).alias("qrv"),
+    )
+    qsubs = _subspaces_of(probe, "qrv", ["query_id", "cell"])
+    dt = qsubs.join(F.broadcast(c1), "m").select(
+        "query_id",
+        "cell",
+        "m",
+        "cid",
+        _pq_dist2(F.col("sv"), F.col("cv")).alias("qd2"),
+    )
+    scored = (
+        codes.join(F.broadcast(dt), ["cell", "m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("qd2").cast("decimal(38,12)")).cast("double")), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["emb_ivfpq_topk"] = emb_ivfpq_topk
+
+_CD2 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(list_zip(v, ccv), p -> (p[1]-p[2])*(p[1]-p[2]))), (a, x) -> a + x)"
+)
+_RES = "list_transform(list_zip(v, ccv), p -> p[1] - p[2])"
+
+ORACLE["emb_ivfpq_topk"] = f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cc AS (SELECT vec_id AS ccid, v AS ccv FROM vecs WHERE vec_id < {K_IVF}),
+cr AS (
+  SELECT vec_id, v, ccid, ccv, cd2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cd2, ccid) AS crn
+  FROM (SELECT vecs.vec_id, vecs.v, cc.ccid, cc.ccv, {_CD2} AS cd2 FROM vecs, cc)
+),
+ca AS (SELECT vec_id, ccid AS cell, {_RES} AS rv FROM cr WHERE crn = 1),
+rsubs AS (
+  SELECT vec_id, cell, m, rv[m*{PQ_DIM}+1 : (m+1)*{PQ_DIM}] AS sv
+  FROM ca, generate_series(0, {PQ_M - 1}) g(m)
+),
+c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM rsubs WHERE vec_id < {PQ_K}),
+s1 AS (SELECT rsubs.vec_id, rsubs.m, rsubs.sv, c0.cid, {_PQ_D2} AS d2
+       FROM rsubs JOIN c0 ON rsubs.m = c0.m),
+a1 AS (
+  SELECT vec_id, m, sv, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM s1
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT m, cid, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS cval
+  FROM (SELECT m, cid, unnest(sv) AS val, generate_subscripts(sv, 1) AS pos FROM a1)
+  GROUP BY m, cid, pos
+),
+c1 AS (SELECT m, cid, array_agg(cval ORDER BY pos) AS cv FROM m1 GROUP BY m, cid),
+s2 AS (SELECT rsubs.vec_id, rsubs.cell, rsubs.m, rsubs.sv, c1.cid, {_PQ_D2} AS d2
+       FROM rsubs JOIN c1 ON rsubs.m = c1.m),
+a2 AS (
+  SELECT vec_id, cell, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn FROM s2
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, ccid AS cell, {_RES.replace("rv", "qrv")} AS qrv
+  FROM cr WHERE vec_id < {TOPK_QUERIES} AND crn <= {IVFPQ_NPROBE}
+),
+qsubs AS (
+  SELECT query_id, cell, m, qrv[m*{PQ_DIM}+1 : (m+1)*{PQ_DIM}] AS qsv
+  FROM probe, generate_series(0, {PQ_M - 1}) g(m)
+),
+dt AS (
+  SELECT query_id, cell, c1.m, c1.cid, {_PQ_QD2} AS qd2
+  FROM qsubs JOIN c1 ON qsubs.m = c1.m
+),
+sc AS (
+  SELECT dt.query_id, a2.vec_id,
+         round(sqrt(CAST(sum(CAST(qd2 AS DECIMAL(38,12))) AS DOUBLE)), 6) AS adc_dist
+  FROM a2 JOIN dt ON a2.cell = dt.cell AND a2.m = dt.m AND a2.cid = dt.cid
+  WHERE a2.vec_id <> dt.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM sc
+) WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
