@@ -289,3 +289,132 @@ ORACLE = {
     "events_hist_quantiles": _HIST_SQL,
     "lineitem_heavy_hitters": _HH_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimates from mergeable counters)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows (depth)
+CMS_W = 64  # counters per row (width)
+CMS_QUERY_KEYS = 10  # heaviest users whose estimates we audit
+
+
+def _cms_buckets(col, prefix_d: int):
+    """Row ``prefix_d``'s counter index for a key: wide 31-hash of
+    ``"<d>:<key>"`` folded into ``CMS_W`` buckets."""
+    return (
+        hash31(F.concat(F.lit(f"{prefix_d}:"), col), mod=KMV_P) % CMS_W
+    ).cast("long")
+
+
+def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over per-user event counts: build ``CMS_D``×``CMS_W``
+    counters per day-shard, merge shards by summing counters (CMS rows are
+    sums, so the merge is exact by construction — the mergeable-summaries
+    property), then answer point queries for the heaviest users and audit
+    the classic guarantee: estimate >= true count, overshoot bounded by
+    colliding mass.
+
+    Scale shape: the sketch build is one map-side-combinable groupBy on
+    (day, d, bucket) — the shuffle carries at most days×D×W counter rows,
+    not events; the merged sketch (D×W rows) broadcasts to the query join
+    at any corpus size."""
+    ev = load_events(spark, sf_dir)
+    keyed = ev.select(
+        F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {DAY_MS}").alias(
+            "day"
+        ),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("user_id").alias("user_id"),
+    )
+    rows = keyed.select(
+        "day",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_buckets(F.col("k"), d).alias("b")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("day", F.col("s.d").alias("d"), F.col("s.b").alias("b"))
+    shard_cms = rows.groupBy("day", "d", "b").agg(F.count(F.lit(1)).alias("c"))
+    merged_cms = shard_cms.groupBy("d", "b").agg(F.sum("c").alias("c"))
+    true_counts = keyed.groupBy("user_id", "k").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    queried = true_counts.orderBy(F.desc("true_count"), F.asc("user_id")).limit(
+        CMS_QUERY_KEYS
+    )
+    qb = queried.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_buckets(F.col("k"), d).alias("b")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("user_id", "true_count", F.col("s.d").alias("d"), F.col("s.b").alias("b"))
+    est = (
+        qb.join(F.broadcast(merged_cms), ["d", "b"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).alias("overcount"),
+        (F.col("cms_est") >= F.col("true_count")).alias("bound_ok"),
+    ).orderBy(F.desc("true_count"), F.asc("user_id"))
+
+
+QUERIES["events_cms_counts"] = events_cms_counts
+
+
+def _cms_hash_sql(dexpr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+        f"for c in string_split({dexpr} || ':' || CAST(user_id AS VARCHAR), '')]), "
+        f"(a, c) -> (a*31 + c) % {KMV_P}) % {CMS_W}"
+    )
+
+
+ORACLE["events_cms_counts"] = f"""
+WITH keyed AS (
+  SELECT epoch_ms(ts) // {DAY_MS} AS day, user_id FROM events
+),
+rows_ AS (
+  SELECT day, g.d AS d, {_cms_hash_sql("CAST(g.d AS VARCHAR)")} AS b
+  FROM keyed, generate_series(0, {CMS_D - 1}) g(d)
+),
+shard_cms AS (SELECT day, d, b, count(*) AS c FROM rows_ GROUP BY 1, 2, 3),
+merged_cms AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS c FROM shard_cms GROUP BY 1, 2),
+true_counts AS (SELECT user_id, count(*) AS true_count FROM keyed GROUP BY 1),
+queried AS (
+  SELECT user_id, true_count FROM true_counts
+  ORDER BY true_count DESC, user_id ASC LIMIT {CMS_QUERY_KEYS}
+),
+qb AS (
+  SELECT user_id, true_count, g.d AS d, {_cms_hash_sql("CAST(g.d AS VARCHAR)")} AS b
+  FROM queried, generate_series(0, {CMS_D - 1}) g(d)
+),
+est AS (
+  SELECT qb.user_id, qb.true_count, min(m.c) AS cms_est
+  FROM qb JOIN merged_cms m ON qb.d = m.d AND qb.b = m.b
+  GROUP BY 1, 2
+)
+SELECT user_id, true_count, cms_est,
+       cms_est - true_count AS overcount,
+       cms_est >= true_count AS bound_ok
+FROM est
+ORDER BY true_count DESC, user_id ASC
+"""
