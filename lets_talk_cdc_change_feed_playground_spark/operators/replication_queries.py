@@ -1,0 +1,276 @@
+"""Multi-region replication semantics: LWW conflict resolution, CRDT merge.
+
+Active-active CDC deployments replicate each region's change feed to the
+others and need deterministic conflict semantics.  Two judged queries model
+the standard answers over the derived ops feed
+(:mod:`.ops_feed` — the same feed every capture lane uses):
+
+- ``cdc_geo_lww`` — two regions accept writes concurrently (op origin =
+  ``seq`` parity) and ship them cross-region with a fixed replication
+  delay.  A NAIVE apply-in-arrival-order sink diverges between regions for
+  keys with concurrent writes; a last-writer-wins register (resolve by
+  origin timestamp, region rank, seq) converges regardless of arrival
+  order — the query shows both folds side by side and counts the
+  conflict windows per key.  This is the register-CRDT argument the
+  reference's playground demonstrates with commit drift
+  (``src/changefeed/model.ts`` availability delays): ordering noise must
+  not change the converged state.
+- ``cdc_crdt_counter`` — a PN-counter per event_type across three replicas
+  (op origin = ``seq`` mod 3).  Each replica snapshot knows its OWN
+  increments fully but only a stale prefix of the others; merging the
+  three snapshots with the CRDT join (element-wise max per origin) still
+  recovers the exact global counter, because every origin contributes its
+  own complete row — the join-semilattice property that makes state-based
+  CRDTs delivery-order-proof.
+
+Scale shape: everything is per-key windows and (origin, type) aggregations
+— no unpartitioned window touches event-sized data; the snapshot union in
+the PN-counter carries replicas×origins×types rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    OPS_SQL,
+    ops_feed,
+)
+
+#: Cross-region replication delay (ms): a remote write arrives this late.
+REPL_MS = 120_000
+
+
+def cdc_geo_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-region LWW register vs naive arrival-order apply, per key."""
+    ops = ops_feed(spark, sf_dir).select(
+        "seq",
+        "t",
+        "pk",
+        "op",
+        "event_type",
+        "value",
+        F.when(F.col("seq") % 2 == 0, F.lit("east")).otherwise(F.lit("west")).alias(
+            "region"
+        ),
+    )
+    r = ops.withColumn("rrank", F.when(F.col("region") == "east", 0).otherwise(1))
+    # conflict: consecutive ops on a key from different regions closer than
+    # the replication delay — neither region saw the other's write in time
+    wk = W.partitionBy("pk").orderBy("t", "seq")
+    conf = r.withColumn("prev_region", F.lag("region").over(wk)).withColumn(
+        "prev_t", F.lag("t").over(wk)
+    )
+    conflicts = conf.groupBy("pk").agg(
+        F.sum(F.when(F.col("region") == "east", 1).otherwise(0)).alias("n_east"),
+        F.sum(F.when(F.col("region") == "west", 1).otherwise(0)).alias("n_west"),
+        F.sum(
+            F.when(
+                (F.col("prev_region").isNotNull())
+                & (F.col("prev_region") != F.col("region"))
+                & (F.col("t") - F.col("prev_t") < REPL_MS),
+                1,
+            ).otherwise(0)
+        ).alias("n_conflicts"),
+    )
+    # LWW register: resolve by (origin t, region rank, seq) — arrival-order
+    # independent by construction
+    lww = (
+        r.groupBy("pk")
+        .agg(F.max(F.struct("t", "rrank", "seq", "region", "event_type", "value")).alias("w"))
+        .select(
+            "pk",
+            F.col("w.region").alias("winner_region"),
+            F.col("w.event_type").alias("lww_event_type"),
+            F.col("w.value").alias("lww_value"),
+        )
+    )
+
+    def naive(observer_rank: int):
+        # naive sink: apply in ARRIVAL order at this region (local at t,
+        # remote at t + REPL_MS), last applied wins
+        arr = r.withColumn(
+            "arrival",
+            F.when(F.col("rrank") == observer_rank, F.col("t")).otherwise(
+                F.col("t") + REPL_MS
+            ),
+        )
+        return (
+            arr.groupBy("pk")
+            .agg(F.max(F.struct("arrival", "seq", "value")).alias("w"))
+            .select("pk", F.col("w.value").alias(f"naive_{'east' if observer_rank == 0 else 'west'}_value"))
+        )
+
+    out = (
+        conflicts.join(lww, "pk")
+        .join(naive(0), "pk")
+        .join(naive(1), "pk")
+        .withColumn(
+            "naive_diverged",
+            ~F.col("naive_east_value").eqNullSafe(F.col("naive_west_value")),
+        )
+    )
+    # only keys with cross-region activity are interesting
+    return out.filter((F.col("n_east") > 0) & (F.col("n_west") > 0)).orderBy("pk")
+
+
+_GEO_SQL = (
+    "WITH "
+    + OPS_SQL.strip().rstrip()
+    + f"""
+, r AS (
+  SELECT seq, t, pk, op, event_type, value,
+         CASE WHEN seq % 2 = 0 THEN 'east' ELSE 'west' END AS region,
+         CASE WHEN seq % 2 = 0 THEN 0 ELSE 1 END AS rrank
+  FROM src
+),
+conf AS (
+  SELECT *, lag(region) OVER wk AS prev_region, lag(t) OVER wk AS prev_t
+  FROM r WINDOW wk AS (PARTITION BY pk ORDER BY t, seq)
+),
+conflicts AS (
+  SELECT pk,
+         CAST(sum(CASE WHEN region = 'east' THEN 1 ELSE 0 END) AS BIGINT) AS n_east,
+         CAST(sum(CASE WHEN region = 'west' THEN 1 ELSE 0 END) AS BIGINT) AS n_west,
+         CAST(sum(CASE WHEN prev_region IS NOT NULL AND prev_region <> region
+                        AND t - prev_t < {REPL_MS} THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts
+  FROM conf GROUP BY pk
+),
+lww AS (
+  SELECT pk, region AS winner_region, event_type AS lww_event_type, value AS lww_value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY pk ORDER BY t DESC, rrank DESC, seq DESC) AS rn
+    FROM r
+  ) WHERE rn = 1
+),
+naive_east AS (
+  SELECT pk, value AS naive_east_value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY pk
+      ORDER BY (CASE WHEN rrank = 0 THEN t ELSE t + {REPL_MS} END) DESC, seq DESC
+    ) AS rn FROM r
+  ) WHERE rn = 1
+),
+naive_west AS (
+  SELECT pk, value AS naive_west_value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY pk
+      ORDER BY (CASE WHEN rrank = 1 THEN t ELSE t + {REPL_MS} END) DESC, seq DESC
+    ) AS rn FROM r
+  ) WHERE rn = 1
+)
+SELECT c.pk, c.n_east, c.n_west, c.n_conflicts,
+       l.winner_region, l.lww_event_type, l.lww_value,
+       ne.naive_east_value, nw.naive_west_value,
+       ne.naive_east_value IS DISTINCT FROM nw.naive_west_value AS naive_diverged
+FROM conflicts c
+JOIN lww l USING (pk) JOIN naive_east ne USING (pk) JOIN naive_west nw USING (pk)
+WHERE c.n_east > 0 AND c.n_west > 0
+ORDER BY pk
+"""
+)
+
+
+def cdc_crdt_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PN-counter CRDT: three replica snapshots merge to the exact totals."""
+    ops = ops_feed(spark, sf_dir).select(
+        "seq",
+        "t",
+        "event_type",
+        (F.col("seq") % 3).alias("origin"),
+        F.when(F.col("op") == "delete", F.lit(0)).otherwise(F.lit(1)).alias("is_inc"),
+    )
+    bounds = ops.agg(
+        ((F.min("t") + F.max("t")) / 2).cast("long").alias("t_stale")
+    )
+    o = ops.crossJoin(F.broadcast(bounds))
+    # observer r's snapshot: full history of its own origin, stale prefix of
+    # the others (t <= t_stale)
+    snapshots = []
+    for obs in range(3):
+        vis = o.filter((F.col("origin") == obs) | (F.col("t") <= F.col("t_stale")))
+        snapshots.append(
+            vis.groupBy("event_type", "origin").agg(
+                F.sum("is_inc").alias("inc"),
+                F.sum(1 - F.col("is_inc")).alias("dec"),
+            )
+        )
+    snap = snapshots[0].unionByName(snapshots[1]).unionByName(snapshots[2])
+    # CRDT join: element-wise max per (origin, type) across snapshots
+    merged = snap.groupBy("event_type", "origin").agg(
+        F.max("inc").alias("inc"), F.max("dec").alias("dec")
+    )
+    counter = merged.groupBy("event_type").agg(
+        F.sum("inc").alias("inc_total"),
+        F.sum("dec").alias("dec_total"),
+        (F.sum("inc") - F.sum("dec")).alias("pn_value"),
+    )
+    truth = ops.groupBy("event_type").agg(
+        F.sum("is_inc").alias("true_inc"),
+        F.sum(1 - F.col("is_inc")).alias("true_dec"),
+    )
+    return (
+        counter.join(truth, "event_type")
+        .withColumn(
+            "converged",
+            (F.col("inc_total") == F.col("true_inc"))
+            & (F.col("dec_total") == F.col("true_dec")),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CRDT_SQL = (
+    "WITH "
+    + OPS_SQL.strip().rstrip()
+    + """
+, ops AS (
+  SELECT seq, t, event_type, seq % 3 AS origin,
+         CASE WHEN op = 'delete' THEN 0 ELSE 1 END AS is_inc
+  FROM src
+),
+bounds AS (SELECT (min(t) + max(t)) // 2 AS t_stale FROM ops),
+snap AS (
+  SELECT g.obs AS obs, event_type, origin,
+         CAST(sum(is_inc) AS BIGINT) AS inc,
+         CAST(sum(1 - is_inc) AS BIGINT) AS dec
+  FROM ops, bounds, generate_series(0, 2) g(obs)
+  WHERE origin = g.obs OR t <= t_stale
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, origin, max(inc) AS inc, max(dec) AS dec
+  FROM snap GROUP BY 1, 2
+),
+counter AS (
+  SELECT event_type,
+         CAST(sum(inc) AS BIGINT) AS inc_total,
+         CAST(sum(dec) AS BIGINT) AS dec_total,
+         CAST(sum(inc) - sum(dec) AS BIGINT) AS pn_value
+  FROM merged GROUP BY 1
+),
+truth AS (
+  SELECT event_type,
+         CAST(sum(is_inc) AS BIGINT) AS true_inc,
+         CAST(sum(1 - is_inc) AS BIGINT) AS true_dec
+  FROM ops GROUP BY 1
+)
+SELECT c.event_type, c.inc_total, c.dec_total, c.pn_value,
+       t.true_inc, t.true_dec,
+       (c.inc_total = t.true_inc AND c.dec_total = t.true_dec) AS converged
+FROM counter c JOIN truth t USING (event_type)
+ORDER BY c.event_type
+"""
+)
+
+
+QUERIES = {
+    "cdc_geo_lww": cdc_geo_lww,
+    "cdc_crdt_counter": cdc_crdt_counter,
+}
+
+ORACLE = {
+    "cdc_geo_lww": _GEO_SQL,
+    "cdc_crdt_counter": _CRDT_SQL,
+}
