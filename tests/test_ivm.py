@@ -1,0 +1,43 @@
+"""Invariants of the delta-rule incremental view maintenance query.
+
+The oracle gate already proves the epoch-by-epoch numbers equal an
+independent recompute; these tests pin the structural properties that make
+the query an IVM demonstration at all.
+"""
+
+from __future__ import annotations
+
+from lets_talk_cdc_change_feed_playground_spark.operators.ivm_queries import (
+    cdc_ivm_join,
+)
+
+
+def test_ivm_converges_every_epoch(spark, sf_dir):
+    rows = cdc_ivm_join(spark, sf_dir).collect()
+    assert len(rows) >= 4  # 30-day feed / 5-day epochs
+    epochs = [r["epoch"] for r in rows]
+    assert epochs == sorted(epochs)
+    for r in rows:
+        # the whole point: delta-rule cumulative size == recomputed size
+        assert r["converged"], r
+        assert r["view_rows"] == r["view_rows_direct"]
+        assert r["view_rows"] >= 0
+
+
+def test_ivm_delta_rule_is_incremental(spark, sf_dir):
+    rows = cdc_ivm_join(spark, sf_dir).collect()
+    # epoch 0 bootstraps purely from dR x dS (both "old" sides empty):
+    # every key inserts, nothing deletes
+    first = rows[0]
+    assert first["d_r_ins"] > 0 and first["d_r_del"] == 0
+    assert first["d_s_ins"] > 0 and first["d_s_del"] == 0
+    assert first["view_rows"] == first["dv_net"]
+    # cumulative sum identity over the emitted net deltas
+    run = 0
+    for r in rows:
+        run += r["dv_net"]
+        assert r["view_rows"] == run
+    # later epochs exercise both delta signs somewhere (update churn on R,
+    # hot-set churn on S)
+    assert any(r["d_r_del"] > 0 for r in rows[1:])
+    assert any(r["d_s_del"] > 0 for r in rows[1:])
