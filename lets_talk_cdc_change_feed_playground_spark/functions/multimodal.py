@@ -173,6 +173,72 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     return media.mapInPandas(kernel, FRAMES_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("thumb", BinaryType()),
+        StructField("thumb_sha", StringType()),
+        StructField("out_bytes", IntegerType()),
+    ]
+)
+
+#: Thumbnail bounding box (square), the fit target for :func:`resize_media`.
+THUMB_BOX = 32
+
+
+def _fit_box(w: int, h: int, box: int = THUMB_BOX) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) into a box x box square — exact
+    integer math so the SQL oracle reproduces it digit-for-digit."""
+    if w >= h:
+        return box, max(1, (h * box) // w)
+    return max(1, (w * box) // h), box
+
+
+def resize_media(media: DataFrame, box: int = THUMB_BOX) -> DataFrame:
+    """Decode → aspect-fit resize for visual media (Arrow, shuffle-free).
+
+    STUB decode/resample: the "thumbnail" is the sha256 digest of the
+    payload tagged with the target dims (a real kernel does
+    ``PIL.Image.open(...).thumbnail((box, box))`` at the same batch shape);
+    the aspect-ratio fit math and every byte of Spark plumbing are real.
+    Audio rows are filtered JVM-side BEFORE the Python kernel so the Arrow
+    channel never carries rows the kernel would drop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                w = int(row.meta["width"])
+                h = int(row.meta["height"])
+                dw, dh = _fit_box(w, h, box)
+                content = bytes(row.content)
+                thumb = hashlib.sha256(
+                    content + f"x{dw}x{dh}".encode()
+                ).digest()
+                rows.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "src_w": w,
+                        "src_h": h,
+                        "dst_w": dw,
+                        "dst_h": dh,
+                        "thumb": thumb,
+                        "thumb_sha": thumb.hex(),
+                        "out_bytes": dw * dh * 3,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    visual = media.filter(F.col("meta.width").isNotNull())
+    return visual.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media corpus keyed off ``documents.doc_id`` — scales with
     SF and is reproducible on both engines: content bytes are the UTF-8 text of
@@ -220,6 +286,16 @@ def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "content_sha", "feat0")
 
 
+def media_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Judged entry: aspect-fit thumbnailing of every visual media row
+    through the Arrow resize kernel; the binary thumb stays internal, the
+    judged projection carries the dims + content-addressed sha."""
+    resized = resize_media(media_from_documents(spark, sf_dir))
+    return resized.select(
+        "media_id", "kind", "src_w", "src_h", "dst_w", "dst_h", "thumb_sha", "out_bytes"
+    )
+
+
 def media_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Judged entry: 1→N video frame sampling through the Arrow kernel; frames
     surface as UTF-8 strings (the fake payload is ASCII hex) for the oracle."""
@@ -264,6 +340,29 @@ SELECT media_id, kind,
        content_sha,
        CAST({_FEAT0_SQL} AS BIGINT) AS feat0
 FROM f
+""",
+    "media_resize": f"""
+{_MEDIA_SQL},
+v AS (
+  SELECT media_id, kind, content_str,
+         CAST(64 + media_id % 8 * 16 AS INT) AS src_w,
+         CAST(64 + media_id % 4 * 16 AS INT) AS src_h
+  FROM m WHERE kind <> 'audio'
+),
+fit AS (
+  SELECT *,
+         CASE WHEN src_w >= src_h THEN {THUMB_BOX}
+              ELSE greatest(1, src_w * {THUMB_BOX} // src_h) END AS dst_w,
+         CASE WHEN src_w >= src_h THEN greatest(1, src_h * {THUMB_BOX} // src_w)
+              ELSE {THUMB_BOX} END AS dst_h
+  FROM v
+)
+SELECT media_id, kind, src_w, src_h,
+       CAST(dst_w AS INT) AS dst_w, CAST(dst_h AS INT) AS dst_h,
+       sha256(content_str || 'x' || CAST(dst_w AS VARCHAR) || 'x'
+              || CAST(dst_h AS VARCHAR)) AS thumb_sha,
+       CAST(dst_w * dst_h * 3 AS INT) AS out_bytes
+FROM fit
 """,
     "media_frames": f"""
 {_MEDIA_SQL},
@@ -531,6 +630,7 @@ ORDER BY media_id, seg_idx
 
 QUERIES = {
     "media_features": media_features_query,
+    "media_resize": media_resize_query,
     "media_frames": media_frames_query,
     "media_phash_dedup": media_phash_dedup_query,
     "media_audio_vad": media_audio_vad_query,

@@ -59,3 +59,24 @@ def test_media_stats_no_udf(media):
     # stats path must stay JVM-side: no Python UDF in the plan
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan.split("mapInPandas")[0].split("MapInPandas")[0]
+
+
+def test_resize_aspect_fit(media):
+    resized = MM.resize_media(media).cache()
+    rows = resized.collect()
+    # audio rows never reach the kernel (JVM-side visual filter)
+    n_visual = media.filter(F.col("meta.width").isNotNull()).count()
+    assert len(rows) == n_visual > 0
+    for r in rows:
+        assert 1 <= r["dst_w"] <= MM.THUMB_BOX
+        assert 1 <= r["dst_h"] <= MM.THUMB_BOX
+        assert max(r["dst_w"], r["dst_h"]) == MM.THUMB_BOX  # fits the box snugly
+        # aspect preserved under integer floor: dst_h == floor(h * dst_w / w)
+        # on the landscape branch (w >= h), symmetric otherwise
+        if r["src_w"] >= r["src_h"]:
+            assert r["dst_h"] == max(1, r["src_h"] * MM.THUMB_BOX // r["src_w"])
+        else:
+            assert r["dst_w"] == max(1, r["src_w"] * MM.THUMB_BOX // r["src_h"])
+        assert len(bytes(r["thumb"])) == 32
+        assert r["thumb_sha"] == bytes(r["thumb"]).hex()
+        assert r["out_bytes"] == r["dst_w"] * r["dst_h"] * 3
