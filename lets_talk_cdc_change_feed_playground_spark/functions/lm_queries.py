@@ -133,7 +133,9 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
-def _bpe_sql() -> str:
+def _bpe_trainer_parts() -> list[str]:
+    """The trainer's CTE chain (w0 .. b{BPE_ROUNDS}), shared by the
+    merge-table oracle and the encoder oracle."""
     parts = [
         DOCS_T_SQL,
         f"""
@@ -167,11 +169,130 @@ w{r} AS (
   FROM {prev}, b{r} b
 )"""
         )
+    return parts
+
+
+def _bpe_sql() -> str:
     rounds_union = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, mx AS merge_x, my AS merge_y, CAST(pair_count AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    return "WITH " + ",".join(parts) + f"\n{rounds_union}\nORDER BY round"
+    return "WITH " + ",".join(_bpe_trainer_parts()) + f"\n{rounds_union}\nORDER BY round"
+
+
+# ---------------------------------------------------------------------------
+# BPE encoder — apply the trained merges to the whole corpus
+# ---------------------------------------------------------------------------
+
+
+def _spark_merge_fold(mx: str, my: str) -> str:
+    """One trained merge applied greedily left-to-right over the space-joined
+    symbol string, as a JVM-side ``aggregate`` higher-order fold — the Spark
+    twin of :func:`_merge_fold_sql` (same "out|prev" string state, no UDF).
+    ``mx``/``my`` come from the trainer and match ``^[a-z]+$``, so inlining
+    them as SQL literals is safe."""
+    merged = mx + my
+    step = f"""CASE
+      WHEN split_part(st, '|', 2) = '' THEN concat(split_part(st, '|', 1), '|', e)
+      WHEN split_part(st, '|', 2) = '{mx}' AND e = '{my}'
+        THEN CASE WHEN split_part(st, '|', 1) = '' THEN concat('{merged}', '|')
+                  ELSE concat(split_part(st, '|', 1), ' ', '{merged}', '|') END
+      ELSE concat(CASE WHEN split_part(st, '|', 1) = '' THEN ''
+                       ELSE concat(split_part(st, '|', 1), ' ') END,
+                  split_part(st, '|', 2), '|', e)
+    END"""
+    fin = """CASE WHEN split_part(st, '|', 2) = '' THEN split_part(st, '|', 1)
+       WHEN split_part(st, '|', 1) = '' THEN split_part(st, '|', 2)
+       ELSE concat(split_part(st, '|', 1), ' ', split_part(st, '|', 2)) END"""
+    return f"aggregate(split(sym, ' '), '|', (st, e) -> {step}, st -> {fin})"
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED merge table: per-document word
+    count, BPE token count, character baseline, and merge hits.
+
+    The 100 TB shape is dictionary encoding: the corpus is tokenized once
+    per DISTINCT word (the merge folds run JVM-side as ``aggregate``
+    higher-order functions — no Python boundary), then the per-word token
+    counts join back to the exploded corpus on the word key.  Encoding cost
+    scales with vocabulary size, not corpus size; the merge table itself is
+    8 rows collected from the trainer (:func:`docs_bpe_merges`)."""
+    merges = [
+        (r["merge_x"], r["merge_y"])
+        for r in docs_bpe_merges(spark, sf_dir).collect()
+    ]
+    d = _docs_t(spark, sf_dir)
+    per_doc = (
+        d.select("doc_id", F.explode("toks").alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    vocab = per_doc.select("word").distinct().withColumn(
+        "sym", F.expr("array_join(split(word, ''), ' ')")
+    )
+    for mx, my in merges:
+        vocab = vocab.withColumn("sym", F.expr(_spark_merge_fold(mx, my)))
+    enc = vocab.select(
+        "word",
+        F.size(F.split("sym", " ")).cast("long").alias("n_toks"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return (
+        per_doc.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("n_base_chars"),
+            F.sum(F.col("n_chars") - F.col("n_toks")).alias("merge_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql() -> str:
+    parts = _bpe_trainer_parts()
+    parts.append(
+        """
+aw AS (
+  SELECT DISTINCT t.token AS word
+  FROM docs_t, UNNEST(toks) AS t(token)
+  WHERE regexp_full_match(t.token, '[a-z]+')
+),
+e0 AS (SELECT word, array_to_string(string_split(word, ''), ' ') AS sym FROM aw)"""
+    )
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+e{r} AS (
+  SELECT word, {_merge_fold_sql("sym", "b.mx", "b.my")} AS sym
+  FROM e{r - 1}, b{r} b
+)"""
+        )
+    parts.append(
+        f"""
+enc AS (
+  SELECT word, len(string_split(sym, ' ')) AS n_toks, length(word) AS n_chars
+  FROM e{BPE_ROUNDS}
+),
+pd AS (
+  SELECT doc_id, t.token AS word
+  FROM docs_t, UNNEST(toks) AS t(token)
+  WHERE regexp_full_match(t.token, '[a-z]+')
+)"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+SELECT pd.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_base_chars,
+       CAST(sum(n_chars - n_toks) AS BIGINT) AS merge_hits
+FROM pd JOIN enc USING (word)
+GROUP BY pd.doc_id
+ORDER BY pd.doc_id"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -368,12 +489,14 @@ ORDER BY s.doc_id
 
 QUERIES = {
     "docs_bpe_merges": docs_bpe_merges,
+    "docs_bpe_encode": docs_bpe_encode,
     "docs_kneser_ney_lm": docs_kneser_ney_lm,
     "docs_lm_score": docs_lm_score,
 }
 
 ORACLE = {
     "docs_bpe_merges": _bpe_sql(),
+    "docs_bpe_encode": _bpe_encode_sql(),
     "docs_kneser_ney_lm": _KN_SQL,
     "docs_lm_score": _LM_SCORE_SQL,
 }

@@ -42,3 +42,18 @@ def test_kneser_ney_probability_axioms(spark):
         assert r["p_kn"] >= (r["c_xy"] * L.KN_D_DEN - L.KN_D_NUM) / (
             L.KN_D_DEN * r["c_x"]
         ) - 1e-12
+
+
+def test_bpe_encode_compresses(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.functions.lm_queries import (
+        docs_bpe_encode,
+    )
+
+    rows = docs_bpe_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # each word is at least one token and at most its character count
+        assert r["n_words"] <= r["n_tokens"] <= r["n_base_chars"]
+        assert r["merge_hits"] == r["n_base_chars"] - r["n_tokens"]
+    # the trained merges must actually fire somewhere in the corpus
+    assert sum(r["merge_hits"] for r in rows) > 0
