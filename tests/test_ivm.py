@@ -41,3 +41,21 @@ def test_ivm_delta_rule_is_incremental(spark, sf_dir):
     # hot-set churn on S)
     assert any(r["d_r_del"] > 0 for r in rows[1:])
     assert any(r["d_s_del"] > 0 for r in rows[1:])
+
+
+def test_fk_ordering_holdback_eliminates_violations(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.operators.integrity_queries import (
+        cdc_fk_ordering,
+    )
+
+    rows = cdc_fk_ordering(spark, sf_dir).collect()
+    assert rows
+    total_viol = sum(r["n_violations"] for r in rows)
+    # independent drifts make SOME children beat their parent to the sink
+    assert total_viol > 0
+    for r in rows:
+        assert 0 <= r["n_violations"] <= r["n_children"]
+        assert r["n_violations_after_holdback"] == 0  # the fix is total
+        # hold time is only ever paid for actual violations
+        assert (r["sum_hold_ms"] > 0) == (r["n_violations"] > 0)
+        assert r["viol_bp"] == r["n_violations"] * 10000 // r["n_children"]
