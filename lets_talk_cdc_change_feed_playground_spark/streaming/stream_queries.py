@@ -1332,7 +1332,233 @@ def _stream_rate_sql() -> str:
     return pq.ORACLE["cdc_rate_limited_consume"]
 
 
+def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-rule incremental view maintenance as a STREAMING job.
+
+    The batch twin (``operators/ivm_queries.py:cdc_ivm_join``) computes all
+    maintenance epochs set-based; here each epoch arrives as one micro-batch
+    (epoch-aligned staged chunks, ``maxFilesPerTrigger=1``) and
+    ``foreachBatch`` applies the counting delta rule
+    ``dV = dR join S_old + R_old join dS + dR join dS`` against
+    parquet-versioned R/S state tables — the production shape of a
+    streaming materialized view: per-batch state read, delta joins, state
+    write, monitoring row out.  The emitted per-epoch stats must equal the
+    batch query exactly (same oracle), which proves the maintained state
+    never drifts from the recomputed truth across batch boundaries.
+
+    Scale notes: state lives in parquet keyed by the same columns the batch
+    variant shuffles on (pk / event_type); per batch the dim-side deltas are
+    broadcast and only scalar stats reach the driver.  At 100 TB the state
+    dirs become Delta tables and the memory accumulators a metrics sink —
+    the foreachBatch body is unchanged."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import ivm_queries as IVM
+
+    ops = ops_feed(spark, sf_dir)
+    t0 = ops.agg(F.min("t").alias("t0")).collect()[0]["t0"]
+    opse = ops.withColumn("epoch", F.expr(f"(t - {t0}) div {IVM.EPOCH_MS}"))
+    epochs = sorted(
+        r["epoch"] for r in opse.select("epoch").distinct().collect()
+    )
+    all_types = [
+        r["event_type"] for r in ops.select("event_type").distinct().collect()
+    ]
+
+    # stage one chunk file per maintenance epoch, oldest-first
+    key = (spark.sparkContext.applicationId, sf_dir, "ivm")
+    if key not in _staged:
+        out = tempfile.mkdtemp(prefix="sg_ivm_chunks_")
+        flat = os.path.join(out, "flat")
+        os.makedirs(flat)
+        for i, e in enumerate(epochs):
+            cdir = os.path.join(out, f"c{i}")
+            opse.filter(F.col("epoch") == e).coalesce(1).write.parquet(cdir)
+            part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+            os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _staged[key] = flat
+
+    state_root = tempfile.mkdtemp(prefix="sg_ivm_state_")
+    results: list[tuple] = []
+    running = {"view_rows": 0, "r_dir": None, "s_dir": None}
+
+    r_schema = "pk string, et string, val double"
+    s_schema = "et string, present boolean, bucket long"
+
+    def maintain(bdf: DataFrame, bid: int) -> None:
+        sp = bdf.sparkSession
+        epoch = bdf.agg(F.min("epoch").alias("e")).collect()[0]["e"]
+        r_old = (
+            sp.read.parquet(running["r_dir"])
+            if running["r_dir"]
+            else sp.createDataFrame([], r_schema)
+        )
+        s_old = (
+            sp.read.parquet(running["s_dir"])
+            if running["s_dir"]
+            else sp.createDataFrame([], s_schema)
+        )
+
+        # -- R delta: batch-final state per touched key vs held state --
+        last = bdf.groupBy("pk").agg(
+            F.max_by(
+                F.struct(
+                    (F.col("op") != "delete").alias("alive"),
+                    F.col("event_type").alias("et"),
+                    F.col("value").alias("val"),
+                ),
+                F.col("seq"),
+            ).alias("st")
+        )
+        oldr = r_old.select(
+            F.col("pk").alias("opk"), F.col("et").alias("oet"), F.col("val").alias("oval")
+        )
+        chg = last.join(oldr, last.pk == oldr.opk, "left")
+        same = (
+            F.col("opk").isNotNull()
+            & F.col("st.alive")
+            & (F.col("oet") == F.col("st.et"))
+            & F.col("oval").eqNullSafe(F.col("st.val"))
+        )
+        d_r = (
+            chg.filter(~same)
+            .select(
+                "pk",
+                F.when(
+                    F.col("st.alive"),
+                    F.struct(F.lit(1).alias("w"), F.col("st.et").alias("et"), F.col("st.val").alias("val")),
+                ).alias("ins"),
+                F.when(
+                    F.col("opk").isNotNull(),
+                    F.struct(F.lit(-1).alias("w"), F.col("oet").alias("et"), F.col("oval").alias("val")),
+                ).alias("del"),
+            )
+            .select("pk", F.explode(F.array("ins", "del")).alias("d"))
+            .filter(F.col("d").isNotNull())
+            .select("pk", "d.w", "d.et", "d.val")
+            .persist()
+        )
+
+        # -- S delta: dense per-type hot state of THIS epoch vs held state --
+        counts = {
+            r["event_type"]: r["n"]
+            for r in bdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(counts.values())
+        s_new_rows = [
+            (
+                et,
+                counts.get(et, 0) * IVM.HOT_DEN >= total,
+                counts.get(et, 0) * 1000 // total,
+            )
+            for et in sorted(all_types)
+        ]
+        s_new = sp.createDataFrame(s_new_rows, s_schema)
+        olds = {
+            r["et"]: (r["present"], r["bucket"]) for r in s_old.collect()
+        }
+        ds_rows = []
+        for et, present, bucket in s_new_rows:
+            p_present, p_bucket = olds.get(et, (False, None))
+            if p_present and present and p_bucket == bucket:
+                continue
+            if present:
+                ds_rows.append((et, 1, bucket))
+            if p_present:
+                ds_rows.append((et, -1, p_bucket))
+        d_s = sp.createDataFrame(ds_rows, "det string, w long, bucket long")
+
+        # -- the three delta-rule terms, one action via union --
+        s_old_hot = s_old.filter("present").select(F.col("et").alias("het"))
+        t1 = d_r.join(F.broadcast(s_old_hot), F.col("et") == F.col("het")).select(
+            F.col("w").cast("long").alias("wv")
+        )
+        t2 = r_old.join(
+            F.broadcast(d_s.select("det", F.col("w").alias("sw"))),
+            F.col("et") == F.col("det"),
+        ).select(F.col("sw").cast("long").alias("wv"))
+        t3 = (
+            d_r.select(F.col("et").alias("ret"), F.col("w").alias("rw"))
+            .join(F.broadcast(d_s), F.col("ret") == F.col("det"))
+            .select((F.col("rw") * F.col("w")).cast("long").alias("wv"))
+        )
+        dv_net = int(
+            t1.unionByName(t2).unionByName(t3)
+            .agg(F.coalesce(F.sum("wv"), F.lit(0)).alias("v"))
+            .collect()[0]["v"]
+        )
+        gross = d_r.agg(
+            F.coalesce(F.sum(F.when(F.col("w") == 1, 1)), F.lit(0)).alias("i"),
+            F.coalesce(F.sum(F.when(F.col("w") == -1, 1)), F.lit(0)).alias("d"),
+        ).collect()[0]
+        d_r_ins, d_r_del = gross["i"], gross["d"]
+        d_s_ins = sum(1 for r in ds_rows if r[1] == 1)
+        d_s_del = sum(1 for r in ds_rows if r[1] == -1)
+
+        # -- apply deltas to the state tables (versioned parquet) --
+        r_new = (
+            r_old.join(last.select(F.col("pk").alias("tpk")), r_old.pk == F.col("tpk"), "left_anti")
+            .unionByName(
+                last.filter("st.alive").select(
+                    "pk", F.col("st.et").alias("et"), F.col("st.val").alias("val")
+                )
+            )
+        )
+        r_dir = os.path.join(state_root, f"r{bid}")
+        s_dir = os.path.join(state_root, f"s{bid}")
+        r_new.write.parquet(r_dir)
+        s_new.write.parquet(s_dir)
+
+        # -- recompute audit on the NEW state --
+        direct = (
+            sp.read.parquet(r_dir)
+            .join(
+                F.broadcast(s_new.filter("present").select(F.col("et").alias("het"))),
+                F.col("et") == F.col("het"),
+            )
+            .count()
+        )
+        d_r.unpersist()
+        running["view_rows"] += dv_net
+        running["r_dir"], running["s_dir"] = r_dir, s_dir
+        results.append(
+            (
+                int(epoch), int(d_r_ins), int(d_r_del), int(d_s_ins), int(d_s_del),
+                int(dv_net), int(running["view_rows"]), int(direct),
+                running["view_rows"] == direct,
+            )
+        )
+
+    src = (
+        spark.readStream.schema(opse.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged[key])
+    )
+    ckpt = tempfile.mkdtemp(prefix="sg_ivm_ckpt_")
+    # per-batch state joins touch keyed state only — 32 shuffle partitions
+    # would spend the whole batch on task scheduling
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            src.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(maintain)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        results,
+        "epoch long, d_r_ins long, d_r_del long, d_s_ins long, d_s_del long,"
+        " dv_net long, view_rows long, view_rows_direct long, converged boolean",
+    ).orderBy("epoch")
+
+
 QUERIES = {
+    "stream_ivm_join": stream_ivm_join,
     "stream_rate_limit": stream_rate_limit,
     "stream_kmv_sketch": stream_kmv_sketch,
     "stream_enrich_join": stream_enrich_join,
@@ -1349,7 +1575,14 @@ QUERIES = {
     "stream_docs_dedup": stream_docs_dedup,
 }
 
+def _stream_ivm_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators import ivm_queries as IVM
+
+    return IVM.ORACLE["cdc_ivm_join"]
+
+
 ORACLE = {
+    "stream_ivm_join": _stream_ivm_sql(),
     "stream_rate_limit": _stream_rate_sql(),
     "stream_kmv_sketch": _stream_kmv_sql(),
     "stream_enrich_join": _stream_enrich_sql(),

@@ -32,3 +32,19 @@ def test_enrich_join_matches_every_op_exactly_once(spark):
     assert out.count() == ops.count()
     lat = out.agg(F.min("latency_ms"), F.max("latency_ms")).collect()[0]
     assert lat[0] >= SQ._ACK_BASE_MS and lat[1] < SQ._ACK_MAX_MS
+
+
+def test_stream_ivm_matches_batch(spark, sf_dir):
+    """The streaming delta-rule maintenance must emit exactly the batch
+    IVM rows — state carried across micro-batches never drifts."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.ivm_queries import (
+        cdc_ivm_join,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.streaming.stream_queries import (
+        stream_ivm_join,
+    )
+
+    batch = [tuple(r) for r in cdc_ivm_join(spark, sf_dir).collect()]
+    stream = [tuple(r) for r in stream_ivm_join(spark, sf_dir).collect()]
+    assert stream == batch
+    assert all(r[-1] for r in stream)  # converged every epoch
