@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+    OPS_SQL,
     hash31,
     hash31_sql,
 )
@@ -133,5 +134,174 @@ GROUP BY priority
 ORDER BY priority
 """
 
-QUERIES = {"cdc_fk_ordering": cdc_fk_ordering}
-ORACLE = {"cdc_fk_ordering": _FK_SQL}
+#: Offset-commit batch size (positions) for the delivery-guarantee model.
+COMMIT_BATCH = 100
+#: Number of deterministic consumer crashes injected into the replay.
+N_CRASHES = 3
+
+
+def cdc_delivery_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once vs at-most-once vs exactly-once, priced per strategy.
+
+    The reference's playground teaches delivery guarantees by letting the
+    consumer crash (deterministic fault injection,
+    ``src/changefeed/model.ts:149-167``); this query replays the SAME WAL
+    under the three textbook offset-commit strategies and accounts for
+    every delivery:
+
+    - positions are a dense global sequence over the ops feed (two-phase
+      bucketed assignment, no data-sized global window);
+    - ``N_CRASHES`` crashes hit at deterministic positions ``i*N/4``;
+      offsets commit in batches of ``COMMIT_BATCH``;
+    - **at_least_once** commits AFTER processing: a crash replays the
+      window since the last commit — the replayed segments are built as a
+      real broadcast range join (the redelivery audit you'd run on a real
+      sink), so duplicates are counted per event, not assumed;
+    - **at_most_once** commits BEFORE processing: a crash loses the rest
+      of the committed batch;
+    - **exactly_once** commits offsets and output in one transaction (the
+      A8/2PC path, ``cdc_offset_dedup`` / ``cdc_epoch_2pc``).
+
+    The verdict columns show the standard recovery claim: offset dedup
+    restores exactly-once semantics from at-least-once delivery
+    (``converges_after_dedup``) but can NEVER recover at-most-once's
+    losses."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_global_seq,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import ops_feed
+
+    ops = ops_feed(spark, sf_dir).select("seq", "t")
+    pos = with_global_seq(
+        ops, F.expr("t div 86400000"), ["t", "seq"], out_col="pos"
+    ).select("seq", "pos")
+    n = pos.agg(F.count(F.lit(1)).alias("n"))
+    B = COMMIT_BATCH
+    crashes = (
+        spark.range(1, N_CRASHES + 1)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("crash_id"),
+            F.expr("n * id div 4").alias("crash_pos"),
+            F.expr(f"(n * id div 4) div {B} * {B}").alias("alo_floor"),
+            F.expr(f"((n * id div 4 - 1) div {B} + 1) * {B}").alias("amo_hi"),
+            F.col("n"),
+        )
+    )
+    # at-least-once: base pass + one replayed row per (event, containing crash)
+    replays = pos.join(
+        F.broadcast(crashes),
+        (F.col("pos") > F.col("alo_floor")) & (F.col("pos") <= F.col("crash_pos")),
+    ).select("seq", "pos")
+    alo = pos.unionByName(replays)
+    # at-most-once: events inside a lost tail never process
+    amo = pos.join(
+        F.broadcast(crashes.select("crash_pos", "amo_hi", "n")),
+        (F.col("pos") > F.col("crash_pos"))
+        & (F.col("pos") <= F.least(F.col("amo_hi"), F.col("n"))),
+        "left_anti",
+    )
+
+    def account(strategy: str, delivered: DataFrame):
+        return (
+            delivered.crossJoin(F.broadcast(n))
+            .groupBy(F.lit(strategy).alias("strategy"))
+            .agg(
+                F.max("n").alias("n_events"),
+                F.count(F.lit(1)).alias("n_deliveries"),
+                (F.count(F.lit(1)) - F.countDistinct("seq")).alias("n_duplicates"),
+                (F.max("n") - F.countDistinct("seq")).alias("n_lost"),
+                F.countDistinct("seq").alias("n_unique_delivered"),
+            )
+        )
+
+    out = (
+        account("at_least_once", alo)
+        .unionByName(account("at_most_once", amo))
+        .unionByName(account("exactly_once", pos))
+        .withColumn(
+            "exactly_once",
+            (F.col("n_duplicates") == 0) & (F.col("n_lost") == 0),
+        )
+        .withColumn("converges_after_dedup", F.col("n_lost") == 0)
+        .orderBy("strategy")
+    )
+    return out
+
+
+def _delivery_sql() -> str:
+    B = COMMIT_BATCH
+    return (
+        "WITH "
+        + OPS_SQL.strip().rstrip()
+        + f""",
+pos AS (
+  SELECT seq, row_number() OVER (ORDER BY t, seq) AS pos FROM src
+),
+nn AS (SELECT count(*) AS n FROM pos),
+crashes AS (
+  SELECT i AS crash_id,
+         n * i // 4 AS crash_pos,
+         (n * i // 4) // {B} * {B} AS alo_floor,
+         ((n * i // 4 - 1) // {B} + 1) * {B} AS amo_hi,
+         n
+  FROM nn, UNNEST(range(1, {N_CRASHES + 1})) AS t(i)
+),
+alo AS (
+  SELECT seq FROM pos
+  UNION ALL
+  SELECT p.seq FROM pos p JOIN crashes c
+    ON p.pos > c.alo_floor AND p.pos <= c.crash_pos
+),
+amo AS (
+  SELECT seq FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM crashes c
+    WHERE p.pos > c.crash_pos AND p.pos <= least(c.amo_hi, c.n)
+  )
+),
+acct AS (
+  SELECT 'at_least_once' AS strategy,
+         (SELECT n FROM nn) AS n_events,
+         count(*) AS n_deliveries,
+         count(*) - count(DISTINCT seq) AS n_duplicates,
+         (SELECT n FROM nn) - count(DISTINCT seq) AS n_lost,
+         count(DISTINCT seq) AS n_unique_delivered
+  FROM alo
+  UNION ALL
+  SELECT 'at_most_once',
+         (SELECT n FROM nn), count(*),
+         count(*) - count(DISTINCT seq),
+         (SELECT n FROM nn) - count(DISTINCT seq),
+         count(DISTINCT seq)
+  FROM amo
+  UNION ALL
+  SELECT 'exactly_once',
+         (SELECT n FROM nn), count(*),
+         count(*) - count(DISTINCT seq),
+         (SELECT n FROM nn) - count(DISTINCT seq),
+         count(DISTINCT seq)
+  FROM pos
+)
+SELECT strategy,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_deliveries AS BIGINT) AS n_deliveries,
+       CAST(n_duplicates AS BIGINT) AS n_duplicates,
+       CAST(n_lost AS BIGINT) AS n_lost,
+       CAST(n_unique_delivered AS BIGINT) AS n_unique_delivered,
+       n_duplicates = 0 AND n_lost = 0 AS exactly_once,
+       n_lost = 0 AS converges_after_dedup
+FROM acct
+ORDER BY strategy
+"""
+    )
+
+
+QUERIES = {
+    "cdc_fk_ordering": cdc_fk_ordering,
+    "cdc_delivery_guarantees": cdc_delivery_guarantees,
+}
+ORACLE = {
+    "cdc_fk_ordering": _FK_SQL,
+    "cdc_delivery_guarantees": _delivery_sql(),
+}

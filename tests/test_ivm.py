@@ -59,3 +59,24 @@ def test_fk_ordering_holdback_eliminates_violations(spark, sf_dir):
         # hold time is only ever paid for actual violations
         assert (r["sum_hold_ms"] > 0) == (r["n_violations"] > 0)
         assert r["viol_bp"] == r["n_violations"] * 10000 // r["n_children"]
+
+
+def test_delivery_guarantees_semantics(spark, sf_dir):
+    from lets_talk_cdc_change_feed_playground_spark.operators.integrity_queries import (
+        cdc_delivery_guarantees,
+    )
+
+    by = {r["strategy"]: r for r in cdc_delivery_guarantees(spark, sf_dir).collect()}
+    assert set(by) == {"at_least_once", "at_most_once", "exactly_once"}
+    n = by["exactly_once"]["n_events"]
+    alo, amo, eo = by["at_least_once"], by["at_most_once"], by["exactly_once"]
+    # ALO: crashes cause real duplicates, nothing lost, dedup recovers
+    assert alo["n_duplicates"] > 0 and alo["n_lost"] == 0
+    assert alo["n_deliveries"] == n + alo["n_duplicates"]
+    assert not alo["exactly_once"] and alo["converges_after_dedup"]
+    # AMO: crashes cause real loss, no duplicates, unrecoverable
+    assert amo["n_lost"] > 0 and amo["n_duplicates"] == 0
+    assert amo["n_unique_delivered"] == n - amo["n_lost"]
+    assert not amo["exactly_once"] and not amo["converges_after_dedup"]
+    # EO: clean
+    assert eo["exactly_once"] and eo["n_deliveries"] == n
