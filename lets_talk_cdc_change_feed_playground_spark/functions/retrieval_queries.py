@@ -1,0 +1,280 @@
+"""Full-text retrieval + neighborhood-graph construction.
+
+Two retrieval-side capabilities a training-data platform needs beyond the
+dedup/similarity family already judged in :mod:`.pipeline_queries`:
+
+- ``docs_bm25_topk``  — BM25 ranked retrieval over the document corpus.
+  Classic inverted-index shape: explode → (doc, term) postings with term
+  frequencies (map-side combinable), document frequencies from the distinct
+  postings, corpus scalars (N, total length) as a 1-row broadcast, query
+  terms joined against the postings (never a doc×doc product), per-query
+  top-k window.  The score is the **log-free rational BM25**: the standard
+  Robertson idf ``ln((N-df+.5)/(df+.5))`` is replaced by the exact rational
+  odds ``(2N-2df+1)/(2df+1)`` (same monotonicity in df), because a
+  transcendental ``ln`` differs by ulps between the JVM and C libm and
+  would poison the value hash.  With k1 = 6/5 and b = 3/4 every factor is
+  a ratio of integers, so scoring runs entirely in integer micro-units —
+  bit-identical on both engines (the same determinism rule as
+  ``docs_tfidf_terms``).
+- ``emb_knn_graph``   — the k-nearest-neighbor graph over the embedding
+  corpus, the substrate for graph-based dedup/clustering and HNSW-style
+  index construction.  All-pairs is quadratic and never shipped at scale;
+  candidates are bounded to the vector's IVF cell (same deterministic
+  coarse quantizer as ``emb_ivf_topk``: seed centroids = the ``K_IVF``
+  lowest vec_ids), so pair count is Σ|cell|² ≪ n².  Per-vector top-k via
+  a by-vector window, then a self-join on the reversed edge marks
+  reciprocal pairs (the mutual-kNN signal graph clustering uses).
+
+Scale shape: BM25 = two map-side-combinable aggregations + a broadcast of
+(queries × ≤Q_TERMS) terms; the kNN graph's only data-sized shuffles are
+the cell assignment and the within-cell self-join keyed on the cell id
+(at 100 TB you raise K_IVF ∝ √n to keep cells bounded; the plumbing is
+unchanged).  No UDFs, no collect, no global windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
+from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+    DOCS_T_SQL,
+    K_IVF,
+    TOPK_QUERIES,
+    _DOT_SQL,
+    _docs_t,
+)
+from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+BM25_TOPK = 10
+BM25_QTERMS = 4  # query = the 4 alphabetically-first distinct tokens (len>=3, non-stop) of each query doc
+M = 1_000_000  # micro-unit scale
+# k1 = 6/5, b = 3/4 as exact rationals; see score derivation in the docstrings.
+
+KNN_K = 5  # neighbors kept per vector in the kNN graph
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval, exact integer micro-unit scoring.
+
+    Per (query, doc, term):
+      ``tf_norm = tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with k1=6/5,
+      b=3/4 and ``avgdl = total_len/N`` becomes, after clearing
+      denominators by ``10·total_len``:
+      ``tf_norm_micro = (M·22·tf·total_len) div
+      (10·total_len·tf + 3·total_len + 9·dl·N)``;
+      ``idf_micro = (M·(2N-2df+1)) div (2df+1)`` (rational odds idf);
+      ``term_score_micro = (idf_micro·tf_norm_micro) div M``.
+    Summed per (query, doc) — every step is integer arithmetic with the
+    identical rounding points on both engines."""
+    d = _docs_t(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        (F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qw = W.partitionBy("query_id").orderBy("term")
+    qterms = (
+        tf.filter(F.col("doc_id") < TOPK_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= BM25_QTERMS)
+        .drop("qrn")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "term").select("term", "df").distinct()), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tf_norm_micro",
+            F.expr(
+                f"({M}L * 22 * tf * total_len) div"
+                " (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"
+            ),
+        )
+        .withColumn(
+            "idf_micro",
+            F.expr(f"({M}L * (2*n_docs - 2*df + 1)) div (2*df + 1)"),
+        )
+        .withColumn("term_score", F.expr(f"(idf_micro * tf_norm_micro) div {M}L"))
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("term_score").cast("long").alias("score_micro"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "n_terms", "score_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+_BM25_SQL = f"""
+WITH {DOCS_T_SQL.strip().rstrip()},
+tok AS (
+  SELECT doc_id, t.term FROM docs_t, UNNEST(toks) AS t(term)
+  WHERE length(t.term) >= 3 AND t.term NOT IN ({_STOP_SQL})
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+qterms AS (
+  SELECT query_id, term FROM (
+    SELECT doc_id AS query_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY term) AS qrn
+    FROM tf WHERE doc_id < {TOPK_QUERIES}
+  ) WHERE qrn <= {BM25_QTERMS}
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         ({M} * 22 * t.tf * s.total_len) //
+           (10 * s.total_len * t.tf + 3 * s.total_len + 9 * l.dl * s.n_docs)
+           AS tf_norm_micro,
+         ({M} * (2*s.n_docs - 2*f.df + 1)) // (2*f.df + 1) AS idf_micro
+  FROM tf t
+  JOIN qterms q ON t.term = q.term AND t.doc_id <> q.query_id
+  JOIN dl l ON t.doc_id = l.doc_id
+  JOIN dfreq f ON t.term = f.term
+  CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT query_id, doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum((idf_micro * tf_norm_micro) // {M}) AS BIGINT) AS score_micro
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_terms, score_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id) AS rank
+  FROM per_doc
+)
+WHERE rank <= {BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph bounded by IVF cells, with reciprocal-edge marking.
+
+    Every vector is assigned to its nearest seed centroid (identical rule
+    to ``emb_ivf_topk``); candidate pairs are the within-cell self-join;
+    the per-vector top-``KNN_K`` by exact cosine becomes the edge list;
+    a self-join on the reversed (src, dst) flags mutual-kNN edges."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    n = e.withColumn("nrm", T.l2_norm(F.col("v")))
+    cents = n.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = n.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", T.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    assign = (
+        scored.withColumn("crn", F.row_number().over(wv))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "label", "v", "nrm", F.col("cent_id").alias("cell"))
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        (T.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    edges = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", F.col("rank").cast("int").alias("rank"), "same_label", "cosine")
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("_r"))
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .select(
+            "src",
+            "rank",
+            "dst",
+            "same_label",
+            "cosine",
+            F.coalesce(F.col("_r"), F.lit(False)).alias("reciprocal"),
+        )
+        .orderBy("src", "rank")
+    )
+
+
+_NRM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(v, x -> x*x)), (a, x) -> a + x))"
+)
+
+_KNN_SQL = f"""
+WITH n AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         {_NRM_SQL} AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {K_IVF}),
+assign AS (
+  SELECT vec_id, label, v, nrm, cent_id AS cell FROM (
+    SELECT n.vec_id, n.label, n.v, n.nrm, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_DOT_SQL.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
+                      c.cent_id) AS crn
+    FROM n CROSS JOIN c
+  ) WHERE crn = 1
+),
+edges AS (
+  SELECT src, dst, rank, same_label, cosine FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           a.label = b.label AS same_label,
+           {_DOT_SQL.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cosine,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_DOT_SQL.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) DESC,
+                      b.vec_id) AS rank
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  ) WHERE rank <= {KNN_K}
+)
+SELECT e.src, CAST(e.rank AS INT) AS rank, e.dst, e.same_label, e.cosine,
+       r.src IS NOT NULL AS reciprocal
+FROM edges e
+LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+ORDER BY e.src, e.rank
+"""
+
+
+QUERIES = {
+    "docs_bm25_topk": docs_bm25_topk,
+    "emb_knn_graph": emb_knn_graph,
+}
+
+ORACLE = {
+    "docs_bm25_topk": _BM25_SQL,
+    "emb_knn_graph": _KNN_SQL,
+}

