@@ -418,3 +418,161 @@ SELECT user_id, true_count, cms_est,
 FROM est
 ORDER BY true_count DESC, user_id ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style mergeable column statistics
+# ---------------------------------------------------------------------------
+
+STATS_SHARDS = 8  # per-shard summaries (l_orderkey % STATS_SHARDS)
+
+
+def lineitem_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-shard column statistics + lossless merge — the ANALYZE
+    TABLE path: each shard ships (count, min, max, Σx, Σx²) for quantity and
+    price; the global row (shard = -1) is computed **from the shard
+    summaries only** and must equal the direct full-table aggregation,
+    proven in-query (``merge_ok``).  This is what a 1000-executor ANALYZE
+    actually does: per-file-group moments, merged on the driver — raw rows
+    never move.
+
+    Exactness: prices are DECIMAL(18,2) (Σ and Σx² accumulate in decimal —
+    partition-order independent); the population-variance numerator
+    ``n·Σx² − (Σx)²`` and the variance in micro-units use integer
+    arithmetic with one division at the very end, identical in both
+    engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey % {STATS_SHARDS}").alias("shard"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min("qty").alias("qty_min"),
+        F.max("qty").alias("qty_max"),
+        F.sum("qty").cast("decimal(38,2)").alias("qty_sum"),
+        F.min("price").alias("price_min"),
+        F.max("price").alias("price_max"),
+        F.sum("price").cast("decimal(38,2)").alias("price_sum"),
+        F.sum(F.expr("price * price")).cast("decimal(38,4)").alias("price_sumsq"),
+    ]
+    shard = li.groupBy("shard").agg(*aggs)
+    # Merge of the shard summaries: the whole point — count/min/max/sums
+    # compose losslessly, so the merged row is built from 8 summary rows.
+    merged = shard.agg(
+        F.sum("n").alias("n"),
+        F.min("qty_min").alias("qty_min"),
+        F.max("qty_max").alias("qty_max"),
+        F.sum("qty_sum").cast("decimal(38,2)").alias("qty_sum"),
+        F.min("price_min").alias("price_min"),
+        F.max("price_max").alias("price_max"),
+        F.sum("price_sum").cast("decimal(38,2)").alias("price_sum"),
+        F.sum("price_sumsq").cast("decimal(38,4)").alias("price_sumsq"),
+    ).select(F.lit(-1).cast("long").alias("shard"), "*")
+    direct = li.agg(*aggs).select(F.lit(-2).cast("long").alias("shard"), "*")
+    both = merged.unionByName(direct)
+    # audit: merged (-1) row must equal the direct (-2) row field-for-field
+    audit = (
+        both.groupBy()
+        .agg(
+            F.count_distinct(
+                F.struct(
+                    "n", "qty_min", "qty_max", "qty_sum",
+                    "price_min", "price_max", "price_sum", "price_sumsq",
+                )
+            ).alias("_distinct")
+        )
+        .select((F.col("_distinct") == 1).alias("merge_ok"))
+    )
+    out = (
+        shard.select(F.col("shard").cast("long").alias("shard"), "n", "qty_min", "qty_max", "qty_sum",
+                     "price_min", "price_max", "price_sum", "price_sumsq")
+        .unionByName(merged)
+        .crossJoin(F.broadcast(audit))
+    )
+    # variance of price in micro-units: (n·Σx²·1e4 − (Σx·1e2)²) scaled —
+    # integer arithmetic end-to-end (see module docstring determinism rule)
+    return out.select(
+        "shard",
+        F.col("n").cast("long").alias("n"),
+        F.col("qty_min").cast("double").alias("qty_min"),
+        F.col("qty_max").cast("double").alias("qty_max"),
+        F.col("qty_sum").cast("string").alias("qty_sum"),
+        F.col("price_min").cast("double").alias("price_min"),
+        F.col("price_max").cast("double").alias("price_max"),
+        F.col("price_sum").cast("string").alias("price_sum"),
+        F.expr(
+            "cast((1000000 * (n * cast(price_sumsq * 10000 as decimal(38,0))"
+            " - cast(price_sum * 100 as decimal(38,0)) * cast(price_sum * 100 as decimal(38,0))))"
+            " div (cast(10000 as decimal(38,0)) * n * n) as bigint)"
+        ).alias("price_var_micro"),
+        "merge_ok",
+    ).orderBy("shard")
+
+
+ORACLE["lineitem_shard_stats"] = f"""
+WITH li AS (
+  SELECT l_orderkey % {STATS_SHARDS} AS shard,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+),
+shard AS (
+  SELECT shard, count(*) AS n,
+         min(qty) AS qty_min, max(qty) AS qty_max,
+         CAST(sum(qty) AS DECIMAL(38,2)) AS qty_sum,
+         min(price) AS price_min, max(price) AS price_max,
+         CAST(sum(price) AS DECIMAL(38,2)) AS price_sum,
+         CAST(sum(price * price) AS DECIMAL(38,4)) AS price_sumsq
+  FROM li GROUP BY shard
+),
+merged AS (
+  SELECT CAST(-1 AS BIGINT) AS shard, sum(n) AS n,
+         min(qty_min) AS qty_min, max(qty_max) AS qty_max,
+         CAST(sum(qty_sum) AS DECIMAL(38,2)) AS qty_sum,
+         min(price_min) AS price_min, max(price_max) AS price_max,
+         CAST(sum(price_sum) AS DECIMAL(38,2)) AS price_sum,
+         CAST(sum(price_sumsq) AS DECIMAL(38,4)) AS price_sumsq
+  FROM shard
+),
+direct AS (
+  SELECT CAST(-2 AS BIGINT) AS shard, count(*) AS n,
+         min(qty) AS qty_min, max(qty) AS qty_max,
+         CAST(sum(qty) AS DECIMAL(38,2)) AS qty_sum,
+         min(price) AS price_min, max(price) AS price_max,
+         CAST(sum(price) AS DECIMAL(38,2)) AS price_sum,
+         CAST(sum(price * price) AS DECIMAL(38,4)) AS price_sumsq
+  FROM li
+),
+audit AS (
+  SELECT count(DISTINCT (n, qty_min, qty_max, qty_sum,
+                         price_min, price_max, price_sum, price_sumsq)) = 1
+           AS merge_ok
+  FROM (SELECT * FROM merged UNION ALL SELECT * FROM direct)
+),
+rows_ AS (
+  SELECT CAST(shard AS BIGINT) AS shard, n, qty_min, qty_max, qty_sum,
+         price_min, price_max, price_sum, price_sumsq
+  FROM shard
+  UNION ALL
+  SELECT shard, n, qty_min, qty_max, qty_sum,
+         price_min, price_max, price_sum, price_sumsq
+  FROM merged
+)
+SELECT r.shard, CAST(r.n AS BIGINT) AS n,
+       CAST(r.qty_min AS DOUBLE) AS qty_min,
+       CAST(r.qty_max AS DOUBLE) AS qty_max,
+       CAST(r.qty_sum AS VARCHAR) AS qty_sum,
+       CAST(r.price_min AS DOUBLE) AS price_min,
+       CAST(r.price_max AS DOUBLE) AS price_max,
+       CAST(r.price_sum AS VARCHAR) AS price_sum,
+       CAST((1000000 * (r.n * CAST(r.price_sumsq * 10000 AS HUGEINT)
+              - CAST(r.price_sum * 100 AS HUGEINT) * CAST(r.price_sum * 100 AS HUGEINT)))
+            // (CAST(10000 AS HUGEINT) * r.n * r.n) AS BIGINT) AS price_var_micro,
+       a.merge_ok
+FROM rows_ r CROSS JOIN audit a
+ORDER BY shard
+"""
+
+QUERIES["lineitem_shard_stats"] = lineitem_shard_stats

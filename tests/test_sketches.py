@@ -65,3 +65,17 @@ def test_heavy_hitter_bounds_bracket_exact(spark):
     assert len(got) == S.HH_TOP
     for r in got:
         assert r["lo"] <= exact[r["l_partkey"]] <= r["hi"]
+
+
+def test_shard_stats_merge_is_lossless(spark):
+    rows = {r["shard"]: r for r in S.lineitem_shard_stats(spark, SF).collect()}
+    assert set(rows) == set(range(S.STATS_SHARDS)) | {-1}
+    m = rows[-1]
+    assert m["merge_ok"] is True
+    # merged counters equal the recomposition of the shard rows
+    shards = [rows[s] for s in range(S.STATS_SHARDS)]
+    assert m["n"] == sum(r["n"] for r in shards)
+    assert m["qty_min"] == min(r["qty_min"] for r in shards)
+    assert m["price_max"] == max(r["price_max"] for r in shards)
+    # population variance is non-negative and bounded by (max-min)^2 / 4 * 1e6... loose sanity
+    assert m["price_var_micro"] >= 0
