@@ -241,3 +241,113 @@ ORACLE = {
     "cdc_time_travel": _TIME_TRAVEL_SQL,
     "cdc_idempotent_producer": _IDEM_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal as-of reads (valid time × transaction time)
+# ---------------------------------------------------------------------------
+
+BT_CUTS = (50, 75, 100)  # pct cuts applied to BOTH time axes (9 snapshots)
+
+
+def cdc_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of grid over the WAL: **transaction time** is when the
+    pipeline learned a change (``emitted_at_ms`` — the fetch-boundary emit),
+    **valid time** is when it happened at the source (``ts_ms``).  For each
+    (tt_pct × vt_pct) cut pair the snapshot folds only records *known by*
+    the tx cut with *validity* at or before the vt cut — the standard
+    bitemporal read (Snodgrass): "what did we believe at T about the state
+    as of V".  Off-diagonal cells differ from the valid-time-only
+    ``cdc_time_travel`` exactly where emit lag (fetch interval) holds
+    records back; the (100, 100) cell equals the full replay state.
+
+    Scale: one broadcast of the 9-row cut grid, one (cut, pk) shuffle for
+    the per-snapshot argmax fold — same shape as ``cdc_time_travel``.
+    """
+    wal = capture.log_capture(spark, sf_dir)
+    bounds = wal.agg(
+        F.min("emitted_at_ms").alias("e0"),
+        F.max("emitted_at_ms").alias("e1"),
+        F.min("ts_ms").alias("v0"),
+        F.max("ts_ms").alias("v1"),
+    )
+    cuts = (
+        bounds.select(
+            F.explode(F.array(*[F.lit(p) for p in BT_CUTS])).alias("tt_pct"),
+            "e0", "e1", "v0", "v1",
+        )
+        .select(
+            "tt_pct",
+            F.explode(F.array(*[F.lit(p) for p in BT_CUTS])).alias("vt_pct"),
+            "e0", "e1", "v0", "v1",
+        )
+        .select(
+            "tt_pct",
+            "vt_pct",
+            F.expr("e0 + ((e1 - e0) * tt_pct) div 100").alias("tt_cut_ms"),
+            F.expr("v0 + ((v1 - v0) * vt_pct) div 100").alias("vt_cut_ms"),
+        )
+    )
+    known = wal.join(
+        F.broadcast(cuts),
+        (F.col("emitted_at_ms") <= F.col("tt_cut_ms"))
+        & (F.col("ts_ms") <= F.col("vt_cut_ms")),
+    )
+    w = W.partitionBy("tt_pct", "vt_pct", "pk").orderBy(F.desc("ts_ms"), F.desc("lsn"))
+    state = known.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    snap = state.groupBy("tt_pct", "vt_pct", "tt_cut_ms", "vt_cut_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("op") != "d", 1).otherwise(0)).cast("long").alias("n_resident"),
+        F.round(
+            F.sum(F.when(F.col("op") != "d", F.col("after_value")).cast("decimal(38,6)")), 2
+        )
+        .cast("double")
+        .alias("total_value"),
+    )
+    return snap.orderBy("tt_pct", "vt_pct")
+
+
+_BT_LIST = ", ".join(str(p) for p in BT_CUTS)
+
+_BITEMPORAL_SQL = _with(
+    WAL_SQL,
+    f"""
+bounds AS (
+  SELECT min(emitted_at_ms) AS e0, max(emitted_at_ms) AS e1,
+         min(ts_ms) AS v0, max(ts_ms) AS v1
+  FROM wal
+),
+cuts AS (
+  SELECT tt_pct, vt_pct,
+         e0 + ((e1 - e0) * tt_pct) // 100 AS tt_cut_ms,
+         v0 + ((v1 - v0) * vt_pct) // 100 AS vt_cut_ms
+  FROM bounds,
+       (SELECT UNNEST([{_BT_LIST}]) AS tt_pct),
+       (SELECT UNNEST([{_BT_LIST}]) AS vt_pct)
+),
+known AS (
+  SELECT c.tt_pct, c.vt_pct, c.tt_cut_ms, c.vt_cut_ms, w.*
+  FROM wal w JOIN cuts c
+    ON w.emitted_at_ms <= c.tt_cut_ms AND w.ts_ms <= c.vt_cut_ms
+),
+st AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY tt_pct, vt_pct, pk
+                                 ORDER BY ts_ms DESC, lsn DESC) AS rn
+    FROM known
+  ) WHERE rn = 1
+)
+SELECT tt_pct, vt_pct, tt_cut_ms, vt_cut_ms,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN op <> 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_resident,
+       CAST(round(sum(CASE WHEN op <> 'd'
+                           THEN CAST(after_value AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+         AS total_value
+FROM st
+GROUP BY tt_pct, vt_pct, tt_cut_ms, vt_cut_ms
+ORDER BY tt_pct, vt_pct
+""",
+)
+
+QUERIES["cdc_bitemporal_asof"] = cdc_bitemporal_asof
+ORACLE["cdc_bitemporal_asof"] = _BITEMPORAL_SQL

@@ -37,6 +37,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         "lets_talk_cdc_change_feed_playground_spark.operators.replication_queries",
         "lets_talk_cdc_change_feed_playground_spark.operators.ivm_queries",
         "lets_talk_cdc_change_feed_playground_spark.operators.integrity_queries",
+        "lets_talk_cdc_change_feed_playground_spark.operators.governance_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.sketch_queries",
         "lets_talk_cdc_change_feed_playground_spark.functions.ann_queries",
