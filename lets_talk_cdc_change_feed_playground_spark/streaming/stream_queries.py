@@ -1598,3 +1598,148 @@ ORACLE = {
     "stream_upsert_sink": _stream_upsert_sql(),
     "stream_apply_on_commit": _stream_apply_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 dimension maintenance
+# ---------------------------------------------------------------------------
+
+
+class _Scd2Sink:
+    """``foreachBatch`` target maintaining an SCD type-2 dimension as
+    versioned parquet (same commit-versioning miniature as ``UpsertSink``).
+
+    Per batch: the dimension's open version for every key touched in the
+    batch is closed at the key's first batch change; the batch's non-delete
+    records open new versions numbered from the key's prior version count
+    (state carried across micro-batches — the incremental twin of the
+    batch ``cdc_scd2_history`` window fold)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.path)
+            if d.startswith("v=") and d.split("=")[1].isdigit()
+        )
+
+    def current(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v={vs[-1]}"))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "pk", "seq", "op",
+            F.col("after_event_type").alias("event_type"),
+            F.col("after_value").alias("value"),
+            F.col("after_props").alias("props"),
+            F.col("ts_ms").alias("valid_from_ms"),
+        )
+        wb = W.partitionBy("pk").orderBy("valid_from_ms", "seq")
+        new_rows = (
+            b.select(
+                "*",
+                F.sum(F.when(F.col("op") != "d", 1).otherwise(0))
+                .over(wb)
+                .cast("long")
+                .alias("dv"),
+                F.lead("valid_from_ms").over(wb).alias("valid_to_ms"),
+            )
+            .filter(F.col("op") != "d")
+        )
+        prior = self.current()
+        if prior is None:
+            out = new_rows.select(
+                "pk",
+                F.col("dv").alias("version"),
+                "event_type", "value", "props", "valid_from_ms", "valid_to_ms",
+                F.col("valid_to_ms").isNull().alias("is_current"),
+            )
+        else:
+            firsts = b.groupBy("pk").agg(F.min("valid_from_ms").alias("__first_ts"))
+            closed = prior.join(F.broadcast(firsts), "pk", "left").select(
+                "pk", "version", "event_type", "value", "props", "valid_from_ms",
+                F.when(
+                    F.col("is_current") & F.col("__first_ts").isNotNull(),
+                    F.col("__first_ts"),
+                )
+                .otherwise(F.col("valid_to_ms"))
+                .alias("valid_to_ms"),
+                (F.col("is_current") & F.col("__first_ts").isNull()).alias("is_current"),
+            )
+            counts = prior.groupBy("pk").agg(F.max("version").alias("__base"))
+            opened = (
+                new_rows.join(F.broadcast(counts), "pk", "left")
+                .select(
+                    "pk",
+                    (F.coalesce("__base", F.lit(0)) + F.col("dv")).cast("long").alias("version"),
+                    "event_type", "value", "props", "valid_from_ms", "valid_to_ms",
+                    F.col("valid_to_ms").isNull().alias("is_current"),
+                )
+            )
+            out = closed.unionByName(opened)
+        vs = self._versions()
+        nxt = (vs[-1] + 1) if vs else 0
+        out.write.mode("overwrite").parquet(os.path.join(self.path, f"v={nxt}"))
+
+
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history maintained INCREMENTALLY by a streaming job: the
+    chunked ops stream runs through the keyed-state C1 capture
+    (``applyInPandasWithState``) into a ``foreachBatch`` dimension sink
+    that closes open versions and opens new ones per micro-batch.  The
+    final dimension must hash-equal the batch ``cdc_scd2_history`` window
+    fold over the full WAL (oracle reused) — version numbering, interval
+    tiling and current flags must all survive keys whose change chains
+    cross micro-batch boundaries.
+
+    Scale notes: the sink's per-batch work is keyed on pk (broadcast of the
+    batch's touched-key set against the dimension), exactly a Delta MERGE
+    over the SCD2 table; state is parquet-versioned like the upsert sink.
+    """
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_ops_chunks(spark, sf_dir))
+    )
+    sink = _Scd2Sink(spark, tempfile.mkdtemp(prefix="sg_scd2_store_"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            log_capture_stream(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        sink.current()
+        .select(
+            "pk", "version", "event_type", "value", "props",
+            "valid_from_ms", "valid_to_ms", "is_current",
+        )
+        .orderBy("pk", "version")
+    )
+
+
+def _stream_scd2_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators import cdc_queries as CQ
+
+    return CQ.ORACLE["cdc_scd2_history"]
+
+
+QUERIES["stream_scd2"] = stream_scd2
+ORACLE["stream_scd2"] = _stream_scd2_sql()

@@ -48,3 +48,30 @@ def test_stream_ivm_matches_batch(spark, sf_dir):
     stream = [tuple(r) for r in stream_ivm_join(spark, sf_dir).collect()]
     assert stream == batch
     assert all(r[-1] for r in stream)  # converged every epoch
+
+
+def test_stream_scd2_equals_batch_history(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import (
+        cdc_scd2_history,
+    )
+
+    stream_rows = SQ.stream_scd2(spark, SF).collect()
+    batch_rows = cdc_scd2_history(spark, SF).collect()
+    key = lambda r: (r["pk"], r["version"])
+    s = {key(r): tuple(r) for r in stream_rows}
+    b = {key(r): tuple(r) for r in batch_rows}
+    assert s == b  # incremental dimension == batch window fold, field-exact
+
+
+def test_stream_scd2_interval_tiling(spark):
+    rows = SQ.stream_scd2(spark, SF).collect()
+    by_pk = {}
+    for r in rows:
+        by_pk.setdefault(r["pk"], []).append(r)
+    for pk, rs in by_pk.items():
+        rs.sort(key=lambda r: r["version"])
+        open_rows = [r for r in rs if r["is_current"]]
+        assert len(open_rows) <= 1  # at most one open version per key
+        for a, b in zip(rs, rs[1:]):
+            if a["valid_to_ms"] is not None:
+                assert a["valid_to_ms"] <= b["valid_from_ms"]
