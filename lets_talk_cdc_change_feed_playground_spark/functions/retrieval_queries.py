@@ -41,6 +41,7 @@ from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
 from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
     DOCS_T_SQL,
     K_IVF,
+    TOKEN_HASHES_SQL,
     TOPK_QUERIES,
     _DOT_SQL,
     _docs_t,
@@ -278,3 +279,147 @@ ORACLE = {
     "docs_bm25_topk": _BM25_SQL,
     "emb_knn_graph": _KNN_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 5  # winnowing window (grams per window)
+WIN_CAP = 8  # fingerprints shared by more docs are boilerplate — dropped
+WIN_MIN_SHARED = 5  # pair threshold
+
+
+def _win_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint sets, materialized once per session.
+
+    Each stage (token hashes → gram hashes → window minima) is persisted:
+    Catalyst's CollapseProject would otherwise inline the producing array
+    lambda into every downstream ``slice``/``array_min`` reference, turning
+    the row-local selection into an O(positions × window × k) interpreted
+    re-computation per row (measured 90 s for 500 docs).  The cache
+    boundary pins each array to compute exactly once — the 100 TB analogue
+    is staging the fingerprint column to a table."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    P = T.FINGERPRINT_PRIME
+
+    def build() -> DataFrame:
+        d = _docs_t(spark, sf_dir)
+        th = d.select("doc_id", T.token_hashes(F.col("toks")).alias("th")).filter(
+            F.size("th") >= WIN_K + WIN_W - 1
+        )
+        th.persist()
+        grams = th.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, size(th) - {WIN_K}),"
+                f" i -> aggregate(slice(th, i + 1, {WIN_K}),"
+                f" 0L, (a, x) -> (a * 31 + x) % {P}))"
+            ).alias("grams"),
+        )
+        grams.persist()
+        return grams.select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(grams) - {WIN_W}),"
+                f" j -> array_min(slice(grams, j + 1, {WIN_W}))))"
+            ).alias("fps"),
+        )
+
+    return shared_df(spark, ("win_fps", sf_dir), build)
+
+
+def docs_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints + pairwise overlap detection.
+
+    The MOSS fingerprinting scheme: hash every ``WIN_K``-token gram, slide a
+    ``WIN_W``-gram window and keep each window's **minimum** gram hash; the
+    distinct window-minima are the document's fingerprints (guaranteed to
+    catch any shared substring of ≥ k+w-1 tokens).  The whole selection is
+    row-local higher-order-function work (sequence → slice-fold → window
+    array_min → distinct) — zero shuffle until fingerprints are exploded.
+
+    Cross-doc matching groups by fingerprint; hashes shared by more than
+    ``WIN_CAP`` docs are dropped as boilerplate (the standard bound that
+    keeps pair generation O(cap²·fps), never doc×doc).  Pairs sharing ≥
+    ``WIN_MIN_SHARED`` fingerprints are reported with an overlap score in
+    basis points (exact integer arithmetic)."""
+    fps = _win_fps(spark, sf_dir)
+    per_doc = fps.select("doc_id", F.size("fps").alias("n_fps"))
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    shared = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= WIN_CAP))
+    )
+    exs = ex.join(shared.select("fp"), "fp")
+    a, b = exs.alias("a"), exs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
+    na = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("fps_a"))
+    nb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("fps_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("fps_a").cast("long").alias("fps_a"),
+            F.col("fps_b").cast("long").alias("fps_b"),
+            F.expr("10000 * 2 * n_shared div (fps_a + fps_b)").alias("overlap_bp"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_WINNOW_SQL = f"""
+WITH {DOCS_T_SQL.strip()},
+th AS (
+  SELECT doc_id, {TOKEN_HASHES_SQL} AS th
+  FROM docs_t WHERE len(string_split(norm, ' ')) >= {WIN_K + WIN_W - 1}
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, len(th) - {WIN_K} - {WIN_W} + 1),
+           j -> list_min(list_transform(
+                  generate_series(j, j + {WIN_W} - 1),
+                  i -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT), th[i + 1 : i + {WIN_K}]),
+                         (a, x) -> (a * 31 + x) % {T.FINGERPRINT_PRIME})))
+         )) AS fps
+  FROM th
+),
+per_doc AS (SELECT doc_id, len(fps) AS n_fps FROM fps),
+ex AS (SELECT doc_id, t.fp FROM fps, UNNEST(fps) AS t(fp)),
+shared AS (
+  SELECT fp FROM ex GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= {WIN_CAP}
+),
+exs AS (SELECT e.doc_id, e.fp FROM ex e JOIN shared s ON e.fp = s.fp),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM exs a JOIN exs b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WIN_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(na.n_fps AS BIGINT) AS fps_a,
+       CAST(nb.n_fps AS BIGINT) AS fps_b,
+       (10000 * 2 * p.n_shared) // (na.n_fps + nb.n_fps) AS overlap_bp
+FROM pairs p
+JOIN per_doc na ON p.doc_a = na.doc_id
+JOIN per_doc nb ON p.doc_b = nb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["docs_winnowing_overlap"] = docs_winnowing_overlap
+ORACLE["docs_winnowing_overlap"] = _WINNOW_SQL

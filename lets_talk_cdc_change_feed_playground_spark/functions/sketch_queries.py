@@ -576,3 +576,185 @@ ORDER BY shard
 """
 
 QUERIES["lineitem_shard_stats"] = lineitem_shard_stats
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set operations (KMV union / intersection estimates)
+# ---------------------------------------------------------------------------
+
+THETA_K = 64  # minima kept per population sketch
+THETA_MIX = 2654435761  # Knuth 2^32/phi multiplier (re-mix finisher)
+THETA_BKTS = 16  # two-phase K-min buckets (no data-sized global window)
+
+
+def events_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinality estimates from mergeable KMV/theta sketches.
+
+    Populations: A = (user, day) pairs with a ``click`` that day, B = same
+    for ``purchase``.  Each population ships only its ``THETA_K`` smallest
+    distinct hashes; union cardinality comes from the merged sketch's k-th
+    minimum and intersection from the theta rule — matching hashes below
+    the union threshold, scaled by 1/θ (Dasgupta et al., the DataSketches
+    theta sketch).  Exact counts computed alongside audit the estimates —
+    at 100 TB only the two 64-row sketches move, the exact twin is the
+    full shuffle you are avoiding.
+
+    Determinism: the reference's 31-multiplier hash at the wide 2³¹-1
+    modulus, exact integer estimate arithmetic — value-identical on both
+    engines (no float, no RNG)."""
+    ev = load_events(spark, sf_dir)
+    elems = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", "A").otherwise("B").alias("side"),
+            (
+                hash31(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {DAY_MS}").cast("string"),
+                    ),
+                    mod=KMV_P,
+                )
+                # Knuth multiplicative finisher: the bare 31-fold is locally
+                # arithmetic (near-identical strings -> near-identical
+                # hashes), which skews K-min densities; one multiply
+                # re-mixes it.  Exact integer, identical in both engines.
+                * THETA_MIX
+                % KMV_P
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    # two-phase per-side K smallest: per-bucket rank, then rank over <= BKTS*K survivors
+    b = elems.withColumn("bkt", F.col("h") % THETA_BKTS)
+    w1 = W.partitionBy("side", "bkt").orderBy("h")
+    w2 = W.partitionBy("side").orderBy("h")
+    sk = (
+        b.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= THETA_K)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= THETA_K)
+        .select("side", "h")
+    )
+    side_stats = sk.groupBy("side").agg(
+        F.count(F.lit(1)).alias("sk_n"), F.max("h").alias("kth")
+    )
+    # union sketch: K smallest of the merged (<= 2K rows) sketch union
+    u = (
+        sk.select("h")
+        .distinct()
+        .withColumn("r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("r") <= THETA_K)
+    )
+    u_stats = u.agg(F.count(F.lit(1)).alias("u_n"), F.max("h").alias("kth_u"))
+    inter = (
+        sk.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("sides"))
+        .filter(F.col("sides") == 2)
+        .crossJoin(F.broadcast(u_stats))
+        .filter(F.col("h") < F.col("kth_u"))
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    exact = (
+        elems.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("side") == "A", 1).otherwise(0)).alias("inA"),
+            F.max(F.when(F.col("side") == "B", 1).otherwise(0)).alias("inB"),
+        )
+        .agg(
+            F.sum("inA").cast("long").alias("na_exact"),
+            F.sum("inB").cast("long").alias("nb_exact"),
+            F.count(F.lit(1)).cast("long").alias("union_exact"),
+            F.sum(F.expr("inA * inB")).cast("long").alias("inter_exact"),
+        )
+    )
+    a_stats = side_stats.filter(F.col("side") == "A").select(
+        F.col("sk_n").alias("a_n"), F.col("kth").alias("kth_a")
+    )
+    b_stats = side_stats.filter(F.col("side") == "B").select(
+        F.col("sk_n").alias("b_n"), F.col("kth").alias("kth_b")
+    )
+    est = (
+        exact.crossJoin(F.broadcast(a_stats))
+        .crossJoin(F.broadcast(b_stats))
+        .crossJoin(F.broadcast(u_stats))
+        .crossJoin(F.broadcast(inter))
+    )
+    K, P = THETA_K, KMV_P
+    return est.select(
+        F.lit(K).cast("long").alias("k"),
+        "na_exact",
+        "nb_exact",
+        "union_exact",
+        "inter_exact",
+        F.expr(f"CASE WHEN a_n >= {K} THEN {(K - 1) * P}L div kth_a ELSE a_n END").alias("est_a"),
+        F.expr(f"CASE WHEN b_n >= {K} THEN {(K - 1) * P}L div kth_b ELSE b_n END").alias("est_b"),
+        F.expr(f"CASE WHEN u_n >= {K} THEN {(K - 1) * P}L div kth_u ELSE u_n END").alias("est_union"),
+        F.expr(
+            f"CASE WHEN u_n >= {K} THEN CAST(n_match AS BIGINT) * {P} div kth_u"
+            " ELSE CAST(n_match AS BIGINT) END"
+        ).alias("est_inter"),
+    )
+
+
+# DuckDB twin: data-sized windows are fine for the oracle — semantics, not
+# plan shape, is what the hash compares.
+_THETA_HASH = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+    "for c in string_split(CAST(user_id AS VARCHAR) || ':' || "
+    f"CAST(epoch_ms(ts) // {DAY_MS} AS VARCHAR), '')]), "
+    f"(a, c) -> (a*31 + c) % {KMV_P}) * {{mix}}) % {KMV_P}".format(mix=2654435761)
+)
+
+ORACLE["events_theta_ops"] = f"""
+WITH elems AS (
+  SELECT DISTINCT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS side,
+         {_THETA_HASH} AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+sk AS (
+  SELECT side, h FROM (
+    SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS r
+    FROM elems
+  ) WHERE r <= {THETA_K}
+),
+side_stats AS (
+  SELECT side, count(*) AS sk_n, max(h) AS kth FROM sk GROUP BY side
+),
+u AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS r
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE r <= {THETA_K}
+),
+u_stats AS (SELECT count(*) AS u_n, max(h) AS kth_u FROM u),
+inter AS (
+  SELECT count(*) AS n_match FROM (
+    SELECT h FROM sk GROUP BY h HAVING count(*) = 2
+  ) m, u_stats WHERE m.h < kth_u
+),
+exact AS (
+  SELECT CAST(sum(inA) AS BIGINT) AS na_exact,
+         CAST(sum(inB) AS BIGINT) AS nb_exact,
+         CAST(count(*) AS BIGINT) AS union_exact,
+         CAST(sum(inA * inB) AS BIGINT) AS inter_exact
+  FROM (
+    SELECT h, max(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS inA,
+           max(CASE WHEN side = 'B' THEN 1 ELSE 0 END) AS inB
+    FROM elems GROUP BY h
+  )
+),
+a_stats AS (SELECT sk_n AS a_n, kth AS kth_a FROM side_stats WHERE side = 'A'),
+b_stats AS (SELECT sk_n AS b_n, kth AS kth_b FROM side_stats WHERE side = 'B')
+SELECT CAST({THETA_K} AS BIGINT) AS k,
+       na_exact, nb_exact, union_exact, inter_exact,
+       CASE WHEN a_n >= {THETA_K} THEN {(THETA_K - 1) * KMV_P} // kth_a ELSE a_n END AS est_a,
+       CASE WHEN b_n >= {THETA_K} THEN {(THETA_K - 1) * KMV_P} // kth_b ELSE b_n END AS est_b,
+       CASE WHEN u_n >= {THETA_K} THEN {(THETA_K - 1) * KMV_P} // kth_u ELSE u_n END AS est_union,
+       CASE WHEN u_n >= {THETA_K} THEN CAST(n_match AS BIGINT) * {KMV_P} // kth_u
+            ELSE CAST(n_match AS BIGINT) END AS est_inter
+FROM exact, a_stats, b_stats, u_stats, inter
+"""
+
+QUERIES["events_theta_ops"] = events_theta_ops

@@ -60,3 +60,28 @@ def test_knn_graph_invariants(spark):
     # reciprocal flag is exactly "reverse edge exists in the edge list"
     for r in rows:
         assert r["reciprocal"] == ((r["dst"], r["src"]) in edges)
+
+
+def test_winnowing_pairs_are_symmetric_and_thresholded(spark):
+    rows = R.docs_winnowing_overlap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_shared"] >= R.WIN_MIN_SHARED
+        assert 0 < r["overlap_bp"] <= 10000
+        assert r["n_shared"] <= min(r["fps_a"], r["fps_b"])
+
+
+def test_winnowing_shared_counts_match_recomputed_sets(spark):
+    # n_shared must equal |fps_a ∩ fps_b ∩ non-boilerplate| recomputed from
+    # the fingerprint frame directly (winnowing reports substring overlap,
+    # NOT MinHash set-similarity — a token-shuffled near-dup shares few
+    # contiguous runs, so the two detectors legitimately disagree)
+    from collections import Counter
+
+    fps = {r["doc_id"]: set(r["fps"]) for r in R._win_fps(spark, SF).collect()}
+    counts = Counter(fp for s in fps.values() for fp in s)
+    keep = {fp for fp, n in counts.items() if 2 <= n <= R.WIN_CAP}
+    for r in R.docs_winnowing_overlap(spark, SF).collect():
+        expect = len(fps[r["doc_a"]] & fps[r["doc_b"]] & keep)
+        assert r["n_shared"] == expect

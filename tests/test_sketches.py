@@ -79,3 +79,18 @@ def test_shard_stats_merge_is_lossless(spark):
     assert m["price_max"] == max(r["price_max"] for r in shards)
     # population variance is non-negative and bounded by (max-min)^2 / 4 * 1e6... loose sanity
     assert m["price_var_micro"] >= 0
+
+
+def test_theta_ops_estimates_and_audit(spark):
+    r = S.events_theta_ops(spark, SF).collect()[0]
+    assert r["union_exact"] <= r["na_exact"] + r["nb_exact"]
+    assert r["inter_exact"] == r["na_exact"] + r["nb_exact"] - r["union_exact"]
+    # estimates are either exact (unsaturated sketch) or within the 3-sigma
+    # KMV envelope ~ 3/sqrt(K)
+    for est, exact in (
+        (r["est_a"], r["na_exact"]),
+        (r["est_b"], r["nb_exact"]),
+        (r["est_union"], r["union_exact"]),
+    ):
+        assert abs(est - exact) <= max(3 * exact // 8, 2), (est, exact)
+    assert r["est_inter"] >= 0
