@@ -23,7 +23,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -649,3 +649,109 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shot detection over sampled video frames
+# ---------------------------------------------------------------------------
+
+SHOT_MIN_DIFF = 64  # frame-signature delta that opens a new shot
+
+
+def media_shot_detection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection: the frame-difference segmentation every video
+    curation pipeline runs before captioning/sampling.
+
+    The Arrow kernel stage (``sample_frames``) demuxes 1 video row → N frame
+    rows; everything after is declarative: per-frame integer signature
+    (byte-sum of the frame — the STUB stand-in for a color histogram), a
+    per-video ``lag`` window for frame deltas, boundary flags where the
+    delta ≥ ``SHOT_MIN_DIFF``, and a running-sum segment id — the same
+    gaps-and-islands shape as the VAD segmentation.  Output is one row per
+    video with shot counts and the longest shot, exact integers.
+
+    Scale: the only shuffle is the per-video frame window (keyed on
+    media_id — frames of one video co-locate); signatures are JVM-side
+    ``aggregate`` folds, no Python after the demux kernel."""
+    frames = sample_frames(media_from_documents(spark, sf_dir), every_ms=500)
+    sig = frames.select(
+        "media_id",
+        "frame_idx",
+        F.aggregate(
+            F.transform(F.split(F.decode("frame", "UTF-8"), ""), F.ascii),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sig"),
+    )
+    w = W.partitionBy("media_id").orderBy("frame_idx")
+    seg = sig.select(
+        "media_id",
+        "frame_idx",
+        F.when(
+            F.abs(F.col("sig") - F.lag("sig").over(w)) >= SHOT_MIN_DIFF, 1
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        "boundary",
+        (F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, 0)) + 1).alias("shot_id"),
+    )
+    shots = seg.groupBy("media_id", "shot_id").agg(
+        F.count(F.lit(1)).alias("shot_frames")
+    )
+    return (
+        shots.groupBy("media_id")
+        .agg(
+            F.sum("shot_frames").cast("long").alias("n_frames"),
+            F.count(F.lit(1)).cast("long").alias("n_shots"),
+            F.max("shot_frames").cast("long").alias("longest_shot"),
+        )
+        .orderBy("media_id")
+    )
+
+
+ORACLE["media_shot_detection"] = f"""
+{_MEDIA_SQL},
+v AS (
+  SELECT media_id, content_str,
+         CAST(1000 + media_id * 10 AS INT) AS duration_ms,
+         length(content_str) AS len
+  FROM m WHERE kind = 'video'
+),
+fr AS (
+  SELECT media_id, CAST(i AS INT) AS frame_idx,
+         substr(content_str, CAST((i * 16) % (len - 16) + 1 AS INT), 16) AS frame_str
+  FROM v CROSS JOIN UNNEST(range(greatest(1, duration_ms // 500))) AS t(i)
+),
+sig AS (
+  SELECT media_id, frame_idx,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(c) AS BIGINT) for c in string_split(frame_str, '')]),
+           (a, x) -> a + x) AS sig
+  FROM fr
+),
+seg AS (
+  SELECT media_id, frame_idx,
+         sum(boundary) OVER (PARTITION BY media_id ORDER BY frame_idx
+                             ROWS UNBOUNDED PRECEDING) + 1 AS shot_id
+  FROM (
+    SELECT media_id, frame_idx,
+           CASE WHEN abs(sig - lag(sig) OVER (PARTITION BY media_id ORDER BY frame_idx))
+                     >= {SHOT_MIN_DIFF} THEN 1 ELSE 0 END AS boundary
+    FROM sig
+  )
+),
+shots AS (
+  SELECT media_id, shot_id, count(*) AS shot_frames
+  FROM seg GROUP BY media_id, shot_id
+)
+SELECT media_id,
+       CAST(sum(shot_frames) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_shots,
+       CAST(max(shot_frames) AS BIGINT) AS longest_shot
+FROM shots GROUP BY media_id ORDER BY media_id
+"""
+
+QUERIES["media_shot_detection"] = media_shot_detection_query

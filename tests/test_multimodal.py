@@ -80,3 +80,24 @@ def test_resize_aspect_fit(media):
         assert len(bytes(r["thumb"])) == 32
         assert r["thumb_sha"] == bytes(r["thumb"]).hex()
         assert r["out_bytes"] == r["dst_w"] * r["dst_h"] * 3
+
+
+def test_shot_detection_segments_tile_frames(spark):
+    from lets_talk_cdc_change_feed_playground_spark.functions.multimodal import (
+        media_shot_detection_query,
+        sample_frames,
+        media_from_documents,
+    )
+
+    rows = media_shot_detection_query(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    frames = sample_frames(media_from_documents(spark, "/root/testdata/sf0.001"), every_ms=500)
+    per_video = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").count().withColumnRenamed("count", "n").collect()
+    }
+    for r in rows:
+        assert r["n_frames"] == per_video[r["media_id"]]  # shots tile all frames
+        assert 1 <= r["n_shots"] <= r["n_frames"]
+        assert r["longest_shot"] <= r["n_frames"]
+    assert max(r["n_shots"] for r in rows) > 1  # detector actually segments
