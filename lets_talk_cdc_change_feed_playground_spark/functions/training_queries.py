@@ -1299,3 +1299,106 @@ SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
 ) WHERE rank <= {TOPK}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style inference)
+# ---------------------------------------------------------------------------
+
+CLS_DIM = 1024  # hashed feature space
+CLS_MIX = 2654435761  # Knuth multiplier deriving the frozen "trained" weights
+CLS_WSPAN = 1000  # weights span [-1000, 1000] micro-units
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a hashed-bigram linear classifier
+    scored over the whole corpus — the fastText-style inference pass a
+    100 TB curation pipeline runs after the rule-based filters.
+
+    Features are token bigrams hashed into ``CLS_DIM`` buckets; the frozen
+    "model" maps bucket f to an integer micro-weight derived from the Knuth
+    multiplicative mix (a deterministic stand-in for trained weights — the
+    serving plumbing is the real subject: broadcast-free weight lookup as
+    pure expression, map-side feature aggregation, one shuffle on doc_id).
+    Score = Σ w(f)·tf(f) div n_features (mean activation, exact integers);
+    the decision is the linear score's sign (no transcendental sigmoid —
+    rank-equivalent and value-exact on both engines)."""
+    d = _docs_t(spark, sf_dir)
+    big = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> toks[i] || '_' || toks[i + 1])"
+            )
+        ).alias("bigram"),
+    )
+    feats = big.select(
+        "doc_id",
+        "lang",
+        (hash31(F.col("bigram"), mod=T.FINGERPRINT_PRIME) % CLS_DIM).alias("f"),
+    ).groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
+    scored = feats.withColumn(
+        "w",
+        F.expr(f"(f * {CLS_MIX}) % {T.FINGERPRINT_PRIME} % {2 * CLS_WSPAN + 1} - {CLS_WSPAN}"),
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.sum(F.expr("w * tf")).alias("act"),
+        F.sum("tf").alias("n_feat"),
+    )
+    doc_scores = per_doc.select(
+        "doc_id",
+        "lang",
+        F.expr("act div n_feat").alias("score_micro"),
+        (F.expr("act div n_feat") >= 0).alias("keep"),
+    )
+    return (
+        doc_scores.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_keep"),
+            F.min("score_micro").alias("score_min"),
+            F.max("score_micro").alias("score_max"),
+            F.sum("score_micro").cast("long").alias("score_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CLS_BIGRAM_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+    f"for c in string_split(bigram, '')]), (a, c) -> (a*31 + c) % {T.FINGERPRINT_PRIME})"
+)
+
+ORACLE["docs_quality_classifier"] = f"""
+WITH {DOCS_T_SQL.strip()},
+big AS (
+  SELECT doc_id, lang, toks[i + 1] || '_' || toks[i + 2] AS bigram
+  FROM docs_t CROSS JOIN UNNEST(range(len(toks) - 1)) AS t(i)
+),
+feats AS (
+  SELECT doc_id, lang, ({_CLS_BIGRAM_HASH}) % {CLS_DIM} AS f, count(*) AS tf
+  FROM big GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         sum(((f * {CLS_MIX}) % {T.FINGERPRINT_PRIME} % {2 * CLS_WSPAN + 1} - {CLS_WSPAN}) * tf) AS act,
+         sum(tf) AS n_feat
+  FROM feats GROUP BY doc_id, lang
+),
+ds AS (
+  SELECT doc_id, lang, act // n_feat AS score_micro,
+         act // n_feat >= 0 AS keep
+  FROM per_doc
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(min(score_micro) AS BIGINT) AS score_min,
+       CAST(max(score_micro) AS BIGINT) AS score_max,
+       CAST(sum(score_micro) AS BIGINT) AS score_sum
+FROM ds GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["docs_quality_classifier"] = docs_quality_classifier

@@ -173,3 +173,18 @@ def test_pq_adc_ranks_monotone(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, TOPK + 1))
         assert all(a.adc_dist <= b.adc_dist for a, b in zip(rs, rs[1:]))
         assert all(r.neighbor_id != q for r in rs)
+
+
+def test_quality_classifier_totals(spark):
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        docs_quality_classifier,
+    )
+
+    rows = docs_quality_classifier(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert r["score_min"] <= r["score_max"]
+    # the linear scores genuinely straddle the decision boundary somewhere
+    assert any(r["score_min"] < 0 for r in rows)
+    assert any(r["score_max"] >= 0 for r in rows)
