@@ -163,14 +163,13 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cols = ["seq", "t", "pk", "op", "event_type", "value", "props"]
+    # single pass over the feed: keep a row unless its key requested erasure
+    # AND it is a post-request write (broadcast flag join, no second scan)
+    req_flag = requested.withColumn("__req", F.lit(True))
     src2 = (
-        base.join(F.broadcast(requested), "pk", "left_anti")
+        base.join(F.broadcast(req_flag), "pk", "left")
+        .filter((F.col("t") <= F.col("t_req")) | F.col("__req").isNull())
         .select(*cols)
-        .unionByName(
-            base.join(F.broadcast(requested), "pk", "semi")
-            .filter(F.col("t") <= F.col("t_req"))
-            .select(*cols)
-        )
         .unionByName(tomb)
     )
     late = (
