@@ -1197,3 +1197,164 @@ ORACLE = {
     "cdc_heartbeat_liveness": _LIVENESS_SQL,
     "cdc_snapshot_chunking": _SNAPSHOT_CHUNK_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Cross-cluster mirroring with offset translation (MirrorMaker2 shape)
+# ---------------------------------------------------------------------------
+
+MIRROR_HORIZON_NUM, MIRROR_HORIZON_DEN = 3, 5  # checkpoint at 60% of delivery span
+
+
+def cdc_mirror_maker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cluster topic replication with offset translation — the
+    MirrorMaker2 problem: cluster B re-publishes A's delivered records in
+    delivery order, so B's offsets are dense and differ from A's (A has
+    gaps where the broker dropped); a consumer failing over from A to B
+    must translate its committed offset through the offset-sync table or
+    it replays/loses data.
+
+    Per partition the query reports both clusters' high watermarks, the
+    consumer group's committed offset on A (last record delivered by the
+    60%-of-span checkpoint horizon), its translated resume point on B, and
+    proves the handoff: the remaining-record counts AND an order-invariant
+    integer checksum of the remaining records match between clusters
+    (``handoff_ok``).
+
+    Scale shape: one per-partition dense sequence (two-phase bucketed, the
+    B1 pattern), the translation lookup is a same-partition equi-join, and
+    the verification is a pair of map-side-combinable aggregates."""
+    bus = pg.bus_feed(spark, sf_dir)
+    a = bus.filter(~F.col("dropped")).select(
+        "partition",
+        F.col("offset").alias("a_offset"),
+        "delivery_ts",
+        "pk",
+        "op",
+    )
+    b = with_global_seq(
+        a,
+        F.expr("delivery_ts div 3600000"),
+        ["delivery_ts", "a_offset"],
+        out_col="b_offset",
+        start=0,
+        partition_cols=("partition",),
+    )
+    span = b.agg(
+        F.min("delivery_ts").alias("d0"), F.max("delivery_ts").alias("d1")
+    ).select(
+        F.expr(
+            f"d0 + ((d1 - d0) * {MIRROR_HORIZON_NUM}) div {MIRROR_HORIZON_DEN}"
+        ).alias("horizon")
+    )
+    bh = b.crossJoin(F.broadcast(span))
+    committed = (
+        bh.filter(F.col("delivery_ts") <= F.col("horizon"))
+        .groupBy("partition")
+        .agg(
+            F.max("a_offset").alias("committed_a"),
+            F.max("b_offset").alias("committed_b"),
+        )
+    )
+    # remaining-record audit on both clusters, keyed by the same checksum
+    rem = (
+        bh.join(committed, "partition")
+        .select(
+            "partition",
+            "a_offset",
+            "b_offset",
+            "committed_a",
+            "committed_b",
+            hash31(F.concat_ws("|", "pk", "op")).alias("ck"),
+        )
+    )
+    # one conditional aggregation pass covers both clusters' audits AND the
+    # high watermarks (vs. two filtered aggregates + extra joins)
+    rem_agg = rem.groupBy("partition").agg(
+        F.max("a_offset").alias("a_high"),
+        F.max("b_offset").alias("b_high"),
+        F.count(F.lit(1)).cast("long").alias("replicated_n"),
+        F.sum(F.when(F.col("a_offset") > F.col("committed_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("remaining_a"),
+        F.sum(F.when(F.col("a_offset") > F.col("committed_a"), F.col("ck")).otherwise(0))
+        .cast("long")
+        .alias("ck_a"),
+        F.sum(F.when(F.col("b_offset") > F.col("committed_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("remaining_b"),
+        F.sum(F.when(F.col("b_offset") > F.col("committed_b"), F.col("ck")).otherwise(0))
+        .cast("long")
+        .alias("ck_b"),
+    )
+    return (
+        rem_agg.join(committed, "partition")
+        .select(
+            F.col("partition").cast("long").alias("partition"),
+            "a_high",
+            "b_high",
+            "replicated_n",
+            "committed_a",
+            "committed_b",
+            (F.col("committed_b") + 1).alias("resume_b"),
+            "remaining_a",
+            "remaining_b",
+            (
+                (F.col("remaining_a") == F.col("remaining_b"))
+                & (F.col("ck_a") == F.col("ck_b"))
+            ).alias("handoff_ok"),
+        )
+        .orderBy("partition")
+    )
+
+
+_MIRROR_CK = hash31_sql("pk || '|' || op")
+
+_MIRROR_SQL = (
+    _with(_bus_sql(int(pg.DROP_P * 100)))
+    + f"""
+, a AS (
+  SELECT "partition", "offset" AS a_offset, delivery_ts, pk, op
+  FROM bus WHERE NOT dropped
+),
+b AS (
+  SELECT a.*, row_number() OVER (PARTITION BY "partition"
+                                 ORDER BY delivery_ts, a_offset) - 1 AS b_offset
+  FROM a
+),
+span AS (
+  SELECT min(delivery_ts) + ((max(delivery_ts) - min(delivery_ts)) * {MIRROR_HORIZON_NUM})
+           // {MIRROR_HORIZON_DEN} AS horizon
+  FROM b
+),
+committed AS (
+  SELECT "partition", max(a_offset) AS committed_a, max(b_offset) AS committed_b
+  FROM b, span WHERE delivery_ts <= horizon GROUP BY "partition"
+),
+rem AS (
+  SELECT b.*, c.committed_a, c.committed_b, {_MIRROR_CK} AS ck
+  FROM b JOIN committed c USING ("partition")
+),
+rem_agg AS (
+  SELECT "partition",
+         max(a_offset) AS a_high, max(b_offset) AS b_high,
+         CAST(count(*) AS BIGINT) AS replicated_n,
+         CAST(sum(CASE WHEN a_offset > committed_a THEN 1 ELSE 0 END) AS BIGINT) AS remaining_a,
+         CAST(sum(CASE WHEN a_offset > committed_a THEN ck ELSE 0 END) AS BIGINT) AS ck_a,
+         CAST(sum(CASE WHEN b_offset > committed_b THEN 1 ELSE 0 END) AS BIGINT) AS remaining_b,
+         CAST(sum(CASE WHEN b_offset > committed_b THEN ck ELSE 0 END) AS BIGINT) AS ck_b
+  FROM rem GROUP BY "partition"
+)
+SELECT CAST(r."partition" AS BIGINT) AS "partition",
+       r.a_high, r.b_high, r.replicated_n,
+       c.committed_a, c.committed_b, c.committed_b + 1 AS resume_b,
+       r.remaining_a, r.remaining_b,
+       r.remaining_a = r.remaining_b AND r.ck_a = r.ck_b AS handoff_ok
+FROM rem_agg r
+JOIN committed c USING ("partition")
+ORDER BY "partition"
+"""
+)
+
+QUERIES["cdc_mirror_maker"] = cdc_mirror_maker
+ORACLE["cdc_mirror_maker"] = _MIRROR_SQL

@@ -182,3 +182,21 @@ def test_dblog_snapshot_converges(spark, sf_dir):
         if prev_high is not None:
             assert r.low_pk > prev_high
         prev_high = r.high_pk
+
+
+def test_mirror_maker_handoff(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries import (
+        cdc_mirror_maker,
+    )
+
+    rows = cdc_mirror_maker(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # B re-publishes densely: high watermark = replicated count - 1,
+        # while A's log keeps offset gaps where the broker dropped
+        assert r["b_high"] == r["replicated_n"] - 1
+        assert r["a_high"] >= r["b_high"]
+        assert r["committed_a"] >= r["committed_b"]
+        assert r["resume_b"] == r["committed_b"] + 1
+        assert r["handoff_ok"] is True  # failover loses/replays nothing
+        assert r["remaining_a"] == r["remaining_b"]
