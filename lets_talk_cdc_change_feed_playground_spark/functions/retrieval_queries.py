@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
+from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import hash31
 from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
     DOCS_T_SQL,
     K_IVF,
@@ -423,3 +424,165 @@ ORDER BY doc_a, doc_b
 
 QUERIES["docs_winnowing_overlap"] = docs_winnowing_overlap
 ORACLE["docs_winnowing_overlap"] = _WINNOW_SQL
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index shard build + IVF cell balance audit
+# ---------------------------------------------------------------------------
+
+IDX_SHARDS = 8  # term-hash index shards
+
+
+def docs_index_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index shard layout: postings partitioned by term hash.
+
+    The build side of ``docs_bm25_topk``'s read path: (term, doc) postings
+    with term frequencies are routed to ``IDX_SHARDS`` shards by the
+    deterministic term hash — one shuffle keyed exactly how the index will
+    be queried.  Per shard: distinct terms, postings count, total term
+    frequency, the heaviest term (most postings; ties to the smaller term)
+    and its postings count — the skew signal that decides when a hot term
+    needs its postings list split at scale."""
+    d = _docs_t(spark, sf_dir)
+    tok = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        (F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS)
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    terms = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("postings"), F.sum("tf").alias("total_tf")
+    ).withColumn(
+        "shard", hash31(F.col("term"), mod=T.FINGERPRINT_PRIME) % IDX_SHARDS
+    )
+    per_shard = terms.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("postings").cast("long").alias("n_postings"),
+        F.sum("total_tf").cast("long").alias("total_tf"),
+        F.max("postings").cast("long").alias("max_postings"),
+    )
+    top = (
+        terms.join(per_shard.select("shard", "max_postings"), "shard")
+        .filter(F.col("postings") == F.col("max_postings"))
+        .groupBy("shard")
+        .agg(F.min("term").alias("top_term"))
+    )
+    return (
+        per_shard.join(top, "shard")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_terms", "n_postings", "total_tf", "max_postings", "top_term",
+        )
+        .orderBy("shard")
+    )
+
+
+_INDEX_SHARDS_SQL = f"""
+WITH {DOCS_T_SQL.strip()},
+tok AS (
+  SELECT doc_id, t.term FROM docs_t, UNNEST(toks) AS t(term)
+  WHERE length(t.term) >= 3 AND t.term NOT IN ({_STOP_SQL})
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+terms AS (
+  SELECT term, count(*) AS postings, sum(tf) AS total_tf,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(term, '')]),
+            (a, c) -> (a*31 + c) % {T.FINGERPRINT_PRIME})) % {IDX_SHARDS} AS shard
+  FROM tf GROUP BY term
+),
+per_shard AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(postings) AS BIGINT) AS n_postings,
+         CAST(sum(total_tf) AS BIGINT) AS total_tf,
+         CAST(max(postings) AS BIGINT) AS max_postings
+  FROM terms GROUP BY shard
+),
+top AS (
+  SELECT t.shard, min(t.term) AS top_term
+  FROM terms t JOIN per_shard p ON t.shard = p.shard AND t.postings = p.max_postings
+  GROUP BY t.shard
+)
+SELECT CAST(p.shard AS BIGINT) AS shard, p.n_terms, p.n_postings, p.total_tf,
+       p.max_postings, top.top_term
+FROM per_shard p JOIN top ON p.shard = top.shard
+ORDER BY shard
+"""
+
+QUERIES["docs_index_shards"] = docs_index_shards
+ORACLE["docs_index_shards"] = _INDEX_SHARDS_SQL
+
+
+def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer balance audit + split plan.
+
+    Cell-size skew is what actually limits IVF tail latency at scale: a
+    query probing an oversized cell scans many times the average.  The
+    audit reports each cell's population, its load in basis points of a
+    balanced share, and the rebalancing plan — cells above 2× the average
+    are flagged for split with the split fan-out ``ceil(n / avg)`` (in
+    exact integers).  Same deterministic seed quantizer as the judged IVF
+    search queries, so this reads the exact index they probe."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.withColumn("nrm", T.l2_norm(F.col("v")))
+    cents = n.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = n.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", T.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    assign = (
+        scored.withColumn("crn", F.row_number().over(wv))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    cells = assign.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    tot = cells.agg(F.sum("n_vectors").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            F.expr(f"10000 * n_vectors * {K_IVF} div n_total").alias("load_bp"),
+            F.expr(f"n_vectors * {K_IVF} > 2 * n_total").alias("needs_split"),
+            F.expr(
+                f"CASE WHEN n_vectors * {K_IVF} > 2 * n_total"
+                f" THEN (n_vectors * {K_IVF} + n_total - 1) div n_total"
+                " ELSE 1 END"
+            ).alias("split_into"),
+        )
+        .orderBy("cell")
+    )
+
+
+_IVF_BALANCE_SQL = f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_NRM_SQL} AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {K_IVF}),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT n.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {_DOT_SQL.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
+                      c.cent_id) AS crn
+    FROM n CROSS JOIN c
+  ) WHERE crn = 1
+),
+cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM assign GROUP BY cell),
+tot AS (SELECT sum(n_vectors) AS n_total FROM cells)
+SELECT CAST(cell AS BIGINT) AS cell, n_vectors,
+       CAST((10000 * n_vectors * {K_IVF}) // n_total AS BIGINT) AS load_bp,
+       n_vectors * {K_IVF} > 2 * n_total AS needs_split,
+       CAST(CASE WHEN n_vectors * {K_IVF} > 2 * n_total
+                 THEN (n_vectors * {K_IVF} + n_total - 1) // n_total
+                 ELSE 1 END AS BIGINT) AS split_into
+FROM cells, tot
+ORDER BY cell
+"""
+
+QUERIES["emb_ivf_balance"] = emb_ivf_balance
+ORACLE["emb_ivf_balance"] = _IVF_BALANCE_SQL

@@ -85,3 +85,35 @@ def test_winnowing_shared_counts_match_recomputed_sets(spark):
     for r in R.docs_winnowing_overlap(spark, SF).collect():
         expect = len(fps[r["doc_a"]] & fps[r["doc_b"]] & keep)
         assert r["n_shared"] == expect
+
+
+def test_index_shards_account_for_all_postings(spark):
+    from pyspark.sql import functions as F
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import _docs_t
+
+    rows = R.docs_index_shards(spark, SF).collect()
+    assert 1 <= len(rows) <= R.IDX_SHARDS
+    d = _docs_t(spark, SF)
+    tok = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        (F.length("term") >= 3) & ~F.col("term").isin(*__import__(
+            "lets_talk_cdc_change_feed_playground_spark.functions.textops",
+            fromlist=["STOPWORDS"],
+        ).STOPWORDS)
+    )
+    n_postings = tok.select("doc_id", "term").distinct().count()
+    assert sum(r["n_postings"] for r in rows) == n_postings
+    for r in rows:
+        assert r["max_postings"] <= r["n_postings"]
+        assert r["top_term"]
+
+
+def test_ivf_balance_shares_sum(spark):
+    rows = R.emb_ivf_balance(spark, SF).collect()
+    total = sum(r["n_vectors"] for r in rows)
+    assert total > 0
+    for r in rows:
+        assert r["split_into"] >= 1
+        assert r["needs_split"] == (r["n_vectors"] * len(rows) > 2 * total) or len(rows) < 16
+    # loads are shares of a balanced allocation: mean load == 10000 bp
+    mean_bp = sum(r["load_bp"] for r in rows) / len(rows)
+    assert 9000 <= mean_bp <= 11000
