@@ -319,3 +319,220 @@ ORACLE = {
     "cdc_watermark_alignment": _WATERMARK_SQL,
     "cdc_gdpr_erasure": _GDPR_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy repair: Merkle-bucket divergence detection between replicas
+# ---------------------------------------------------------------------------
+
+AE_BUCKETS = 64  # keyspace checksum buckets (the "Merkle leaves")
+AE_LOST_MOD = 41  # replica B silently missed these keys' applies
+AE_STALE_MOD = 37  # replica B holds a corrupted payload for these keys
+AE_GHOST_MOD = 53  # replica B grew phantom rows for these (deleted) keys
+
+
+def cdc_anti_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy between two replicas the Dynamo/Cassandra way: compare
+    ``AE_BUCKETS`` per-bucket (count, checksum) summaries first, then
+    drill into the diverged buckets only — at 100 TB you exchange 64
+    integers, not the table; the full-outer compare touches only the
+    buckets that disagree (the reference's V8 convergence check made
+    scale-aware).
+
+    Replica A is the replay-fold of the C1 WAL; replica B is A with three
+    deterministic fault injections (missed applies, payload corruption,
+    phantom resurrections of deleted keys).  For every diverged bucket
+    the query reports both summaries and the drill-down's repair plan:
+    upserts for missing/corrupt rows, deletes for phantoms — exactly the
+    rows a repair stream would ship."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import diffs
+
+    wal = capture.log_capture(spark, sf_dir)
+    a = diffs.replay_state(wal, ["ts_ms", "lsn"]).select(
+        "pk", "event_type", "value", "props"
+    )
+    lost = hash31(F.concat(F.lit("lost:"), F.col("pk"))) % AE_LOST_MOD == 0
+    stale = hash31(F.concat(F.lit("stale:"), F.col("pk"))) % AE_STALE_MOD == 0
+    b_live = (
+        a.filter(~lost)
+        .select(
+            "pk",
+            "event_type",
+            "value",
+            F.when(stale, F.lit("corrupt")).otherwise(F.col("props")).alias("props"),
+        )
+    )
+    # phantom rows: deleted keys (in the WAL, absent from A) that B resurrected
+    deleted = wal.select("pk").distinct().join(a.select("pk"), "pk", "left_anti")
+    ghosts = deleted.filter(
+        hash31(F.concat(F.lit("ghost:"), F.col("pk"))) % AE_GHOST_MOD == 0
+    ).select(
+        "pk",
+        F.lit("ghost").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    b = b_live.unionByName(ghosts)
+
+    def summarize(df: DataFrame, side: str) -> DataFrame:
+        keyed = df.select(
+            (hash31(F.concat(F.lit("b:"), F.col("pk"))) % AE_BUCKETS).alias("bucket"),
+            hash31(
+                F.concat_ws(
+                    "|", "pk", "event_type", F.col("value").cast("string"), "props"
+                )
+            ).alias("ck"),
+        )
+        return keyed.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{side}_count"),
+            F.sum("ck").cast("long").alias(f"{side}_ck"),
+        )
+    sa, sb = summarize(a, "a"), summarize(b, "b")
+    diverged = (
+        sa.join(sb, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("a_count", F.lit(0)).alias("a_count"),
+            F.coalesce("b_count", F.lit(0)).alias("b_count"),
+            F.coalesce("a_ck", F.lit(0)).alias("a_ck"),
+            F.coalesce("b_ck", F.lit(0)).alias("b_ck"),
+        )
+        .filter((F.col("a_count") != F.col("b_count")) | (F.col("a_ck") != F.col("b_ck")))
+    )
+    # drill-down restricted to diverged buckets (broadcast semi on bucket id)
+    abkt = a.withColumn(
+        "bucket", hash31(F.concat(F.lit("b:"), F.col("pk"))) % AE_BUCKETS
+    ).join(F.broadcast(diverged.select("bucket")), "bucket")
+    bbkt = b.withColumn(
+        "bucket", hash31(F.concat(F.lit("b:"), F.col("pk"))) % AE_BUCKETS
+    ).join(F.broadcast(diverged.select("bucket")), "bucket")
+    drill = (
+        abkt.alias("x")
+        .join(bbkt.alias("y"), ["bucket", "pk"], "full")
+        .select(
+            "bucket",
+            "pk",
+            F.col("x.event_type").isNotNull().alias("in_a"),
+            F.col("y.event_type").isNotNull().alias("in_b"),
+            (
+                F.col("x.event_type").isNotNull()
+                & F.col("y.event_type").isNotNull()
+                & (
+                    (F.col("x.event_type") != F.col("y.event_type"))
+                    | (F.col("x.value") != F.col("y.value"))
+                    | ~(
+                        F.col("x.props").eqNullSafe(F.col("y.props"))
+                    )
+                )
+            ).alias("mismatch"),
+        )
+    )
+    plan = drill.groupBy("bucket").agg(
+        F.sum(F.when(F.col("in_a") & ~F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("missing_in_b"),
+        F.sum(F.when(~F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("phantom_in_b"),
+        F.sum(F.when(F.col("mismatch"), 1).otherwise(0)).cast("long").alias("corrupt_in_b"),
+    )
+    return (
+        diverged.join(plan, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "a_count",
+            "b_count",
+            "missing_in_b",
+            "phantom_in_b",
+            "corrupt_in_b",
+            (F.col("missing_in_b") + F.col("corrupt_in_b")).alias("repair_upserts"),
+            F.col("phantom_in_b").alias("repair_deletes"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _ae_hash(tag: str, mod: int) -> str:
+    expr = "'" + tag + ":' || pk"
+    return f"({hash31_sql(expr)}) % {mod}"
+
+
+
+
+_AE_ROW_CK = hash31_sql(
+    "pk || '|' || event_type || '|' || CAST(value AS VARCHAR) || '|' || COALESCE(props, '')"
+)
+
+_AE_SQL = (
+    _with(
+        WAL_SQL,
+        f"""
+a AS (
+  SELECT pk, after_event_type AS event_type, after_value AS value, after_props AS props
+  FROM (SELECT *, row_number() OVER (PARTITION BY pk ORDER BY ts_ms DESC, lsn DESC) AS rn FROM wal)
+  WHERE rn = 1 AND op <> 'd'
+),
+b AS (
+  SELECT pk, event_type, value,
+         CASE WHEN {_ae_hash("stale", AE_STALE_MOD)} = 0 THEN 'corrupt' ELSE props END AS props
+  FROM a WHERE {_ae_hash("lost", AE_LOST_MOD)} <> 0
+  UNION ALL
+  SELECT d.pk, 'ghost', 0.0, CAST(NULL AS VARCHAR)
+  FROM (SELECT DISTINCT pk FROM wal WHERE pk NOT IN (SELECT pk FROM a)) d
+  WHERE {_ae_hash("ghost", AE_GHOST_MOD)} = 0
+),
+sa AS (
+  SELECT ({_ae_hash("b", AE_BUCKETS)}) AS bucket,
+         CAST(count(*) AS BIGINT) AS a_count, CAST(sum({_AE_ROW_CK}) AS BIGINT) AS a_ck
+  FROM a GROUP BY 1
+),
+sb AS (
+  SELECT ({_ae_hash("b", AE_BUCKETS)}) AS bucket,
+         CAST(count(*) AS BIGINT) AS b_count, CAST(sum({_AE_ROW_CK}) AS BIGINT) AS b_ck
+  FROM b GROUP BY 1
+),
+diverged AS (
+  SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
+         COALESCE(a_count, 0) AS a_count, COALESCE(b_count, 0) AS b_count,
+         COALESCE(a_ck, 0) AS a_ck, COALESCE(b_ck, 0) AS b_ck
+  FROM sa FULL JOIN sb ON sa.bucket = sb.bucket
+  WHERE COALESCE(a_count, 0) <> COALESCE(b_count, 0) OR COALESCE(a_ck, 0) <> COALESCE(b_ck, 0)
+),
+abkt AS (
+  SELECT ({_ae_hash("b", AE_BUCKETS)}) AS bucket, a.* FROM a
+  WHERE ({_ae_hash("b", AE_BUCKETS)}) IN (SELECT bucket FROM diverged)
+),
+bbkt AS (
+  SELECT ({_ae_hash("b", AE_BUCKETS)}) AS bucket, b.* FROM b
+  WHERE ({_ae_hash("b", AE_BUCKETS)}) IN (SELECT bucket FROM diverged)
+),
+drill AS (
+  SELECT COALESCE(x.bucket, y.bucket) AS bucket,
+         x.event_type IS NOT NULL AS in_a,
+         y.event_type IS NOT NULL AS in_b,
+         x.event_type IS NOT NULL AND y.event_type IS NOT NULL
+           AND (x.event_type <> y.event_type OR x.value <> y.value
+                OR COALESCE(x.props, '<null>') <> COALESCE(y.props, '<null>')) AS mismatch
+  FROM abkt x FULL JOIN bbkt y ON x.bucket = y.bucket AND x.pk = y.pk
+),
+plan AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_b,
+         CAST(sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS phantom_in_b,
+         CAST(sum(CASE WHEN mismatch THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_in_b
+  FROM drill GROUP BY bucket
+)
+""",
+    )
+    + """
+SELECT CAST(d.bucket AS BIGINT) AS bucket, d.a_count, d.b_count,
+       p.missing_in_b, p.phantom_in_b, p.corrupt_in_b,
+       p.missing_in_b + p.corrupt_in_b AS repair_upserts,
+       p.phantom_in_b AS repair_deletes
+FROM diverged d JOIN plan p ON d.bucket = p.bucket
+ORDER BY bucket
+"""
+)
+
+QUERIES["cdc_anti_entropy"] = cdc_anti_entropy
+ORACLE["cdc_anti_entropy"] = _AE_SQL

@@ -59,3 +59,36 @@ def test_bitemporal_grid_monotone(spark):
     # the (100, 100) cell sees every key ever touched
     full = rows[(100, 100)]
     assert full["n_versions"] >= full["n_resident"] > 0
+
+
+def test_anti_entropy_detects_exactly_the_injected_faults(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators import capture, diffs
+    from lets_talk_cdc_change_feed_playground_spark.operators.governance_queries import (
+        AE_GHOST_MOD,
+        AE_LOST_MOD,
+        AE_STALE_MOD,
+        cdc_anti_entropy,
+    )
+
+    def h(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 9973
+        return acc
+
+    wal = capture.log_capture(spark, SF)
+    a_pks = {r["pk"] for r in diffs.replay_state(wal, ["ts_ms", "lsn"]).select("pk").collect()}
+    wal_pks = {r["pk"] for r in wal.select("pk").distinct().collect()}
+    lost = {p for p in a_pks if h(f"lost:{p}") % AE_LOST_MOD == 0}
+    stale = {p for p in a_pks - lost if h(f"stale:{p}") % AE_STALE_MOD == 0}
+    ghosts = {p for p in wal_pks - a_pks if h(f"ghost:{p}") % AE_GHOST_MOD == 0}
+
+    rows = cdc_anti_entropy(spark, SF).collect()
+    assert sum(r["missing_in_b"] for r in rows) == len(lost)
+    assert sum(r["corrupt_in_b"] for r in rows) == len(
+        {p for p in stale}  # corrupted keys that survive in B
+    )
+    assert sum(r["phantom_in_b"] for r in rows) == len(ghosts)
+    for r in rows:
+        assert r["repair_upserts"] == r["missing_in_b"] + r["corrupt_in_b"]
+        assert r["repair_deletes"] == r["phantom_in_b"]
