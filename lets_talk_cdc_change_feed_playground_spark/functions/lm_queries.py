@@ -30,7 +30,7 @@ in-memory trainer after its corpus scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import DOCS_T_SQL, _docs_t
@@ -500,3 +500,79 @@ ORACLE = {
     "docs_kneser_ney_lm": _KN_SQL,
     "docs_lm_score": _LM_SCORE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus bucketing (head / middle / tail by LM familiarity)
+# ---------------------------------------------------------------------------
+
+
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet recipe (Wenzek et al., 2020): split each language's corpus
+    into head / middle / tail terciles by LM score — head feeds training
+    as-is, middle gets filtered, tail is dropped or mined.  Ranking signal
+    is the judged ``docs_lm_score`` familiarity (linear-KN mean, exact
+    integers); terciles via ``ntile(3)`` over the per-language total order
+    (score desc, doc_id) — deterministic on both engines.
+
+    Output per (lang, bucket): doc count, token mass, score span — the
+    table a data-mixing config is written from."""
+    scores = docs_lm_score(spark, sf_dir).select("doc_id", "n_bigrams", "mean_p_micro")
+    langs = _docs_t(spark, sf_dir).select("doc_id", "lang")
+    ranked = (
+        scores.join(langs, "doc_id")
+        .withColumn(
+            "bucket",
+            F.ntile(3).over(
+                W.partitionBy("lang").orderBy(F.desc("mean_p_micro"), "doc_id")
+            ),
+        )
+        .withColumn(
+            "bucket_name",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("bucket")
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("lang", "bucket", "bucket_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_bigrams") + 1).cast("long").alias("n_tokens"),
+            F.max("mean_p_micro").alias("score_hi"),
+            F.min("mean_p_micro").alias("score_lo"),
+        )
+        .select(
+            "lang",
+            F.col("bucket").cast("int").alias("bucket"),
+            "bucket_name",
+            "n_docs",
+            "n_tokens",
+            "score_hi",
+            "score_lo",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# reuse the judged LM-score CTE chain (everything before its threshold CTE)
+_CCNET_SQL = _LM_SCORE_SQL.split("th AS")[0].rstrip().rstrip(",") + f""",
+ranked AS (
+  SELECT s.doc_id, s.n_bigrams, s.mean_p_micro, d.lang,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.mean_p_micro DESC, s.doc_id) AS bucket
+  FROM scored s JOIN docs_t d ON s.doc_id = d.doc_id
+)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams + 1) AS BIGINT) AS n_tokens,
+       CAST(max(mean_p_micro) AS BIGINT) AS score_hi,
+       CAST(min(mean_p_micro) AS BIGINT) AS score_lo
+FROM ranked
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+QUERIES["docs_ccnet_buckets"] = docs_ccnet_buckets
+ORACLE["docs_ccnet_buckets"] = _CCNET_SQL

@@ -57,3 +57,22 @@ def test_bpe_encode_compresses(spark, sf_dir):
         assert r["merge_hits"] == r["n_base_chars"] - r["n_tokens"]
     # the trained merges must actually fire somewhere in the corpus
     assert sum(r["merge_hits"] for r in rows) > 0
+
+
+def test_ccnet_buckets_tile_each_language(spark):
+    from lets_talk_cdc_change_feed_playground_spark.functions.lm_queries import (
+        docs_ccnet_buckets,
+    )
+
+    rows = docs_ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket_name"] for r in rs] == ["head", "middle", "tail"][: len(rs)]
+        # ntile balance: bucket sizes differ by at most 1
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        # head scores dominate tail scores
+        assert rs[0]["score_lo"] >= rs[-1]["score_hi"] or len(rs) == 1
