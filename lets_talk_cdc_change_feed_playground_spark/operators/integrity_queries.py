@@ -29,10 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lets_talk_cdc_change_feed_playground_spark.operators.playground_queries import (
+    _PCT,
+    _bus_sql,
+)
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_global_seq
+from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import _with
+from lets_talk_cdc_change_feed_playground_spark.operators import playground as pg2
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
     OPS_SQL,
     hash31,
     hash31_sql,
+    ops_feed,
 )
 from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
 
@@ -305,3 +313,143 @@ ORACLE = {
     "cdc_fk_ordering": _FK_SQL,
     "cdc_delivery_guarantees": _delivery_sql(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Optimistic-concurrency conflict detection (first-committer-wins)
+# ---------------------------------------------------------------------------
+
+OCC_WORKERS = 4  # concurrent writers (hash-assigned, deterministic)
+OCC_TXN = 3  # ops per transaction (per worker)
+OCC_PAGES = 32  # lock granularity: page = hash31(pk) % OCC_PAGES
+OCC_COMMIT_MS = 100  # commit latency appended to each txn interval
+
+
+def cdc_txn_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-write conflict audit under optimistic concurrency with
+    page-granularity validation: the feed is split across ``OCC_WORKERS``
+    deterministic concurrent writers (hash of seq — the events of one
+    logical timeline interleave across workers, so transactions genuinely
+    overlap in time); each worker groups its ops into ``OCC_TXN``-op
+    transactions; conflicts are overlapping [start, commit+latency]
+    intervals touching a common **page** (``hash31(pk) % OCC_PAGES`` —
+    page-level locks, the classic coarse-granularity OCC validation);
+    first-committer-wins aborts the later committer of each conflicting
+    pair (snapshot-isolation write rule, no SSI cascade).
+
+    Scale shape: per-worker dense sequence via the two-phase bucketed
+    pattern (never a data-sized single-task window); pair generation is
+    keyed on page — candidate pairs are Σ per-page |txns|², bounded by the
+    page fan-out, never all-txn-pairs."""
+    ops = ops_feed(spark, sf_dir).withColumn(
+        "worker", hash31(F.concat(F.lit("w:"), F.col("seq").cast("string"))) % OCC_WORKERS
+    )
+    ops = with_global_seq(
+        ops,
+        F.expr("t div 3600000"),
+        ["t", "seq"],
+        out_col="wseq",
+        start=0,
+        partition_cols=("worker",),
+    ).withColumn("txn_id", F.expr(f"worker * 1000000 + wseq div {OCC_TXN}"))
+    tx = ops.groupBy("txn_id").agg(
+        F.min("t").alias("start_ts"),
+        (F.max("t") + OCC_COMMIT_MS).alias("commit_ts"),
+        F.count_distinct("pk").cast("long").alias("n_keys"),
+    )
+    keys = ops.select(
+        "txn_id", (hash31(F.col("pk")) % OCC_PAGES).alias("page")
+    ).distinct()
+    a = keys.join(tx, "txn_id").select(
+        F.col("txn_id").alias("txn_a"), "page",
+        F.col("start_ts").alias("sa"), F.col("commit_ts").alias("ca"),
+    )
+    b = a.select(
+        F.col("txn_a").alias("txn_b"), F.col("page"),
+        F.col("sa").alias("sb"), F.col("ca").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "page")
+        .filter(
+            (F.col("txn_a") != F.col("txn_b"))
+            & (F.col("sa") <= F.col("cb"))
+            & (F.col("sb") <= F.col("ca"))
+        )
+        .select("txn_a", "txn_b", "ca", "cb")
+        .distinct()
+    )
+    agg = pairs.groupBy("txn_a", "ca").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conflicts"),
+        F.min("txn_b").alias("first_partner"),
+        F.max(
+            F.when(
+                (F.col("cb") < F.col("ca"))
+                | ((F.col("cb") == F.col("ca")) & (F.col("txn_b") < F.col("txn_a"))),
+                1,
+            ).otherwise(0)
+        ).alias("loses"),
+    )
+    return (
+        tx.join(agg.select("txn_a", "n_conflicts", "first_partner", "loses"),
+                tx.txn_id == agg.txn_a, "left")
+        .select(
+            "txn_id",
+            "start_ts",
+            "commit_ts",
+            "n_keys",
+            F.coalesce("n_conflicts", F.lit(0)).alias("n_conflicts"),
+            "first_partner",
+            (F.coalesce("loses", F.lit(0)) == 1).alias("aborted"),
+        )
+        .orderBy("txn_id")
+    )
+
+
+_OCC_WHASH = hash31_sql("'w:' || CAST(seq AS VARCHAR)")
+_OCC_PHASH = hash31_sql("pk")
+
+_OCC_SQL = (
+    _with()
+    + f"""
+, w AS (
+  SELECT src.*, ({_OCC_WHASH}) % {OCC_WORKERS} AS worker FROM src
+),
+ws AS (
+  SELECT w.*, row_number() OVER (PARTITION BY worker ORDER BY t, seq) - 1 AS wseq
+  FROM w
+),
+opst AS (SELECT ws.*, worker * 1000000 + wseq // {OCC_TXN} AS txn_id FROM ws),
+tx AS (
+  SELECT txn_id, min(t) AS start_ts, max(t) + {OCC_COMMIT_MS} AS commit_ts,
+         CAST(count(DISTINCT pk) AS BIGINT) AS n_keys
+  FROM opst GROUP BY txn_id
+),
+keys AS (SELECT DISTINCT txn_id, ({_OCC_PHASH}) % {OCC_PAGES} AS page FROM opst),
+ek AS (
+  SELECT k.txn_id, k.page, t.start_ts, t.commit_ts
+  FROM keys k JOIN tx t USING (txn_id)
+),
+pairs AS (
+  SELECT DISTINCT a.txn_id AS txn_a, b.txn_id AS txn_b,
+         a.commit_ts AS ca, b.commit_ts AS cb
+  FROM ek a JOIN ek b ON a.page = b.page AND a.txn_id <> b.txn_id
+  WHERE a.start_ts <= b.commit_ts AND b.start_ts <= a.commit_ts
+),
+agg AS (
+  SELECT txn_a,
+         CAST(count(*) AS BIGINT) AS n_conflicts,
+         min(txn_b) AS first_partner,
+         max(CASE WHEN cb < ca OR (cb = ca AND txn_b < txn_a) THEN 1 ELSE 0 END) AS loses
+  FROM pairs GROUP BY txn_a
+)
+SELECT t.txn_id, t.start_ts, t.commit_ts, t.n_keys,
+       COALESCE(a.n_conflicts, 0) AS n_conflicts,
+       a.first_partner,
+       COALESCE(a.loses, 0) = 1 AS aborted
+FROM tx t LEFT JOIN agg a ON t.txn_id = a.txn_a
+ORDER BY t.txn_id
+"""
+)
+
+QUERIES["cdc_txn_conflicts"] = cdc_txn_conflicts
+ORACLE["cdc_txn_conflicts"] = _OCC_SQL

@@ -192,3 +192,27 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         assert g[op]["n"] == w[op]["n"]
         assert g[op]["max_t"] == w[op]["max_t"]
         assert abs(g[op]["sum_value"] - w[op]["sum_value"]) < 1e-6
+
+
+def test_occ_conflicts_first_committer_wins(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators.integrity_queries import (
+        cdc_txn_conflicts,
+    )
+
+    rows = cdc_txn_conflicts(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_id = {r["txn_id"]: r for r in rows}
+    n_aborted = sum(1 for r in rows if r["aborted"])
+    n_conf = sum(1 for r in rows if r["n_conflicts"] > 0)
+    assert 0 < n_aborted < len(rows)
+    assert n_aborted <= n_conf
+    for r in rows:
+        assert r["start_ts"] <= r["commit_ts"]
+        if r["aborted"]:
+            assert r["n_conflicts"] > 0
+        if r["n_conflicts"] == 0:
+            assert not r["aborted"] and r["first_partner"] is None
+        else:
+            # a conflicting pair never has BOTH sides survive:
+            p = by_id[r["first_partner"]]
+            assert p["n_conflicts"] > 0
