@@ -1,0 +1,273 @@
+"""Data-layout planning: Z-order clustering + small-file compaction.
+
+The two maintenance jobs every 100 TB lakehouse schedules nightly:
+
+- ``lineitem_zorder_plan`` — Z-ORDER layout audit: interleave the bits of
+  the two most-filtered dimensions (customer-ish ``l_orderkey`` ranges and
+  ``l_partkey``) into a Z-address, range-partition rows into target files
+  by Z-address, and measure what the layout buys: per-file min/max spans
+  of BOTH columns and the fraction of files a representative conjunctive
+  predicate can skip (min-max pruning) under Z-order vs. the naive
+  insertion order.  All integer arithmetic — bit interleave via shifts —
+  so the oracle is value-exact.
+- ``orders_compaction_plan`` — small-file compaction planning: given the
+  per-(day) file fragments a streaming ingest leaves behind (size = row
+  count per ingest bucket), greedily bin-pack fragments in day order into
+  jobs of ≤ ``COMPACT_TARGET`` rows via a prefix-sum bucket id (exact
+  integers, two-phase-friendly), and report per-job fragment counts, row
+  totals, and the before/after file-count reduction.
+
+Scale shape: the Z-audit is one projection (bit math) + one range
+aggregation; file ids come from ``ntile``-free integer division over the
+Z-rank (two-phase bucketed sequence).  The compaction plan is a prefix sum
+over day-fragments (fragment count ≪ rows) — plan rows, not data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_global_seq
+from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+Z_BITS = 10  # bits per dimension interleaved into the Z-address
+Z_FILES = 64  # target file count for the re-layout
+# representative conjunctive predicate: a 1/8 range on each dimension
+Z_PRED_NUM, Z_PRED_DEN = 1, 8
+
+COMPACT_TARGET = 4000  # rows per compacted file
+DAY_MS = 86_400_000
+
+
+def _zaddr(a: str, b: str) -> F.Column:
+    """Interleave the low Z_BITS of scaled ranks a and b (a gets even bits)."""
+    expr = " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(Z_BITS)
+    )
+    return F.expr(expr)
+
+
+def lineitem_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs insertion-order min-max pruning audit (see module doc).
+
+    Ranks are scaled to ``2^Z_BITS`` buckets by exact integer division of
+    the key ranges; files are equal-row slices of the Z-ordered (resp.
+    insertion-ordered) sequence; the audit predicate keeps the lowest
+    1/8 of each dimension and counts files whose min-max span excludes it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    rng = li.agg(
+        F.min("l_orderkey").alias("o0"), F.max("l_orderkey").alias("o1"),
+        F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    scaled = li.crossJoin(F.broadcast(rng)).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "n_rows",
+        F.expr(f"((l_orderkey - o0) * {2 ** Z_BITS - 1}) div greatest(o1 - o0, 1)").alias("ra"),
+        F.expr(f"((l_partkey - p0) * {2 ** Z_BITS - 1}) div greatest(p1 - p0, 1)").alias("rb"),
+    )
+    z = scaled.withColumn("zaddr", _zaddr("ra", "rb"))
+    z = with_global_seq(
+        z, F.expr("zaddr div 16384"), ["zaddr", "l_orderkey", "l_partkey", "l_linenumber"],
+        out_col="zrank", start=0,
+    )
+    naive = with_global_seq(
+        z, F.expr("l_orderkey div 4096"), ["l_orderkey", "l_linenumber", "l_partkey"],
+        out_col="nrank", start=0,
+    )
+    files = naive.select(
+        "ra",
+        "rb",
+        F.expr(f"zrank * {Z_FILES} div n_rows").alias("zfile"),
+        F.expr(f"nrank * {Z_FILES} div n_rows").alias("nfile"),
+    )
+
+    def audit(df: DataFrame, file_col: str, layout: str) -> DataFrame:
+        cut = (2 ** Z_BITS - 1) * Z_PRED_NUM // Z_PRED_DEN
+        per_file = df.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.min("ra").alias("a_min"), F.max("ra").alias("a_max"),
+            F.min("rb").alias("b_min"), F.max("rb").alias("b_max"),
+        )
+        agg = per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("rows").cast("long").alias("n_rows"),
+            F.sum(
+                F.when((F.col("a_min") > cut) | (F.col("b_min") > cut), 1).otherwise(0)
+            ).cast("long").alias("files_skipped"),
+            # exact integer mean (double avg + cast would round vs truncate
+            # differently across engines)
+            F.sum(
+                (F.col("a_max") - F.col("a_min")) + (F.col("b_max") - F.col("b_min"))
+            ).alias("span_sum"),
+        )
+        return agg.withColumn("mean_span", F.expr("span_sum div n_files")).drop("span_sum")
+
+    return (
+        audit(files, "zfile", "zorder")
+        .unionByName(audit(files, "nfile", "insertion"))
+        .select(
+            "layout",
+            "n_files",
+            "n_rows",
+            "files_skipped",
+            F.expr("10000 * files_skipped div n_files").alias("skip_bp"),
+            "mean_span",
+        )
+        .orderBy("layout")
+    )
+
+
+def _z_sql() -> str:
+    inter = " + ".join(
+        f"(((ra >> {i}) & 1) << {2 * i}) + (((rb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(Z_BITS)
+    )
+    cut = (2 ** Z_BITS - 1) * Z_PRED_NUM // Z_PRED_DEN
+    return f"""
+WITH rng AS (
+  SELECT min(l_orderkey) AS o0, max(l_orderkey) AS o1,
+         min(l_partkey) AS p0, max(l_partkey) AS p1,
+         count(*) AS n_rows
+  FROM lineitem
+),
+scaled AS (
+  SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, r.n_rows,
+         ((l.l_orderkey - r.o0) * {2 ** Z_BITS - 1}) // greatest(r.o1 - r.o0, 1) AS ra,
+         ((l.l_partkey - r.p0) * {2 ** Z_BITS - 1}) // greatest(r.p1 - r.p0, 1) AS rb
+  FROM lineitem l CROSS JOIN rng r
+),
+z AS (SELECT scaled.*, {inter} AS zaddr FROM scaled),
+ranked AS (
+  SELECT z.*,
+         row_number() OVER (ORDER BY zaddr, l_orderkey, l_partkey, l_linenumber) - 1 AS zrank,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey) - 1 AS nrank
+  FROM z
+),
+files AS (
+  SELECT ra, rb,
+         zrank * {Z_FILES} // n_rows AS zfile,
+         nrank * {Z_FILES} // n_rows AS nfile
+  FROM ranked
+),
+za AS (
+  SELECT file_id, count(*) AS rows_, min(ra) a_min, max(ra) a_max, min(rb) b_min, max(rb) b_max
+  FROM (SELECT zfile AS file_id, ra, rb FROM files) GROUP BY file_id
+),
+na AS (
+  SELECT file_id, count(*) AS rows_, min(ra) a_min, max(ra) a_max, min(rb) b_min, max(rb) b_max
+  FROM (SELECT nfile AS file_id, ra, rb FROM files) GROUP BY file_id
+),
+res AS (
+  SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(rows_) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN a_min > {cut} OR b_min > {cut} THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+         CAST(sum((a_max - a_min) + (b_max - b_min)) // count(*) AS BIGINT) AS mean_span
+  FROM za
+  UNION ALL
+  SELECT 'insertion', CAST(count(*) AS BIGINT), CAST(sum(rows_) AS BIGINT),
+         CAST(sum(CASE WHEN a_min > {cut} OR b_min > {cut} THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum((a_max - a_min) + (b_max - b_min)) // count(*) AS BIGINT)
+  FROM na
+)
+SELECT layout, n_files, n_rows, files_skipped,
+       CAST(10000 * files_skipped // n_files AS BIGINT) AS skip_bp,
+       mean_span
+FROM res ORDER BY layout
+"""
+
+
+def orders_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy small-file compaction plan via prefix-sum bin packing.
+
+    Fragments = per-(order-day, priority) ingest slices (what a
+    micro-batching writer leaves); jobs = consecutive fragments packed
+    until ``COMPACT_TARGET`` rows by integer prefix-sum division.  Output
+    one row per compaction job with fragment/row totals plus the global
+    reduction ratio in basis points."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div 1000 div {DAY_MS}").alias("day"),
+        "o_orderpriority",
+    )
+    frags = o.groupBy("day", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("rows")
+    )
+    wp = W.orderBy("day", "o_orderpriority")
+    planned = frags.select(
+        "day",
+        "rows",
+        # fragment list is bounded (days × priorities) — plan-sized window
+        ((F.sum("rows").over(W.orderBy("day", "o_orderpriority").rowsBetween(W.unboundedPreceding, 0)) - F.col("rows"))
+         / F.lit(1)).cast("long").alias("prefix"),
+    ).select(
+        "day", "rows", F.expr(f"prefix div {COMPACT_TARGET}").alias("job_id")
+    )
+    jobs = planned.groupBy("job_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fragments"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.min("day").alias("day_lo"),
+        F.max("day").alias("day_hi"),
+    )
+    tot = jobs.agg(
+        F.sum("n_fragments").alias("frags_before"),
+        F.count(F.lit(1)).alias("files_after"),
+    )
+    return (
+        jobs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("job_id").cast("long").alias("job_id"),
+            "n_fragments",
+            "n_rows",
+            "day_lo",
+            "day_hi",
+            F.expr("10000 * files_after div frags_before").alias("reduction_bp"),
+        )
+        .orderBy("job_id")
+    )
+
+
+_COMPACT_SQL = f"""
+WITH o AS (
+  SELECT epoch_ms(o_orderdate) // {DAY_MS} AS day, o_orderpriority
+  FROM orders
+),
+frags AS (
+  SELECT day, o_orderpriority, CAST(count(*) AS BIGINT) AS rows_
+  FROM o GROUP BY day, o_orderpriority
+),
+planned AS (
+  SELECT day, rows_,
+         (sum(rows_) OVER (ORDER BY day, o_orderpriority
+                           ROWS UNBOUNDED PRECEDING) - rows_) // {COMPACT_TARGET} AS job_id
+  FROM frags
+),
+jobs AS (
+  SELECT job_id, CAST(count(*) AS BIGINT) AS n_fragments,
+         CAST(sum(rows_) AS BIGINT) AS n_rows,
+         min(day) AS day_lo, max(day) AS day_hi
+  FROM planned GROUP BY job_id
+),
+tot AS (SELECT sum(n_fragments) AS frags_before, count(*) AS files_after FROM jobs)
+SELECT CAST(j.job_id AS BIGINT) AS job_id, j.n_fragments, j.n_rows, j.day_lo, j.day_hi,
+       CAST(10000 * t.files_after // t.frags_before AS BIGINT) AS reduction_bp
+FROM jobs j CROSS JOIN tot t
+ORDER BY job_id
+"""
+
+
+QUERIES = {
+    "lineitem_zorder_plan": lineitem_zorder_plan,
+    "orders_compaction_plan": orders_compaction_plan,
+}
+
+ORACLE = {
+    "lineitem_zorder_plan": _z_sql(),
+    "orders_compaction_plan": _COMPACT_SQL,
+}

@@ -28,6 +28,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # not exist — an ImportError raised INSIDE an existing module (typo,
     # missing dependency) must propagate, not silently shrink coverage.
     for mod_name in (
+        "lets_talk_cdc_change_feed_playground_spark.plans.layout_queries",
         "lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries",
         "lets_talk_cdc_change_feed_playground_spark.operators.playground_queries",
         "lets_talk_cdc_change_feed_playground_spark.operators.reliability_queries",

@@ -26,3 +26,34 @@ def test_no_cartesian_product(spark, sf_dir, name):
     fn = entry.queries()[name]
     plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_zorder_beats_insertion_layout(spark):
+    from lets_talk_cdc_change_feed_playground_spark.plans.layout_queries import (
+        lineitem_zorder_plan,
+    )
+
+    rows = {r["layout"]: r for r in lineitem_zorder_plan(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"zorder", "insertion"}
+    z, n = rows["zorder"], rows["insertion"]
+    assert z["n_rows"] == n["n_rows"]
+    assert z["mean_span"] < n["mean_span"]  # clustering tightens min-max spans
+    assert z["files_skipped"] >= n["files_skipped"]
+
+
+def test_compaction_plan_conserves_rows_and_reduces_files(spark):
+    from lets_talk_cdc_change_feed_playground_spark.plans.layout_queries import (
+        COMPACT_TARGET,
+        orders_compaction_plan,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    rows = orders_compaction_plan(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n_rows"] for r in rows)
+    assert total == load_table(spark, "/root/testdata/sf0.001", "orders").count()
+    frags = sum(r["n_fragments"] for r in rows)
+    assert len(rows) <= frags
+    for r in rows:
+        assert r["day_lo"] <= r["day_hi"]
+        # greedy prefix packing: a job only exceeds target by its last fragment
+        assert r["n_rows"] < 2 * COMPACT_TARGET or r["n_fragments"] == 1
