@@ -1743,3 +1743,146 @@ def _stream_scd2_sql() -> str:
 
 QUERIES["stream_scd2"] = stream_scd2
 ORACLE["stream_scd2"] = _stream_scd2_sql()
+
+
+# ---------------------------------------------------------------------------
+# Streaming inverted-index maintenance
+# ---------------------------------------------------------------------------
+
+
+def _doc_text_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents (id + normalized text) as 3 arrival chunks."""
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, "doctext")
+    if key in _staged:
+        return _staged[key]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+    )
+    cuts = d.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    out = tempfile.mkdtemp(prefix="sg_doctext_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = d
+        if lo is not None:
+            chunk = chunk.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("doc_id") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    _staged[key] = flat
+    return flat
+
+
+class _IndexSink:
+    """``foreachBatch`` target maintaining term statistics (df, total tf) as
+    versioned parquet — incremental inverted-index maintenance: each batch
+    contributes per-term deltas (docs are immutable, so deltas only add),
+    merged into the running index by a term-keyed aggregate."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.path)
+            if d.startswith("v=") and d.split("=")[1].isdigit()
+        )
+
+    def current(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v={vs[-1]}"))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
+
+        tok = batch_df.select(
+            "doc_id", F.explode(F.split("norm", " ")).alias("term")
+        ).filter((F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS))
+        delta = (
+            tok.groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("total_tf"),
+            )
+        )
+        prior = self.current()
+        if prior is not None:
+            delta = (
+                prior.unionByName(delta)
+                .groupBy("term")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("total_tf").cast("long").alias("total_tf"),
+                )
+            )
+        vs = self._versions()
+        nxt = (vs[-1] + 1) if vs else 0
+        delta.write.mode("overwrite").parquet(os.path.join(self.path, f"v={nxt}"))
+
+
+def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted index maintained INCREMENTALLY by a streaming job: doc
+    chunks arrive one micro-batch at a time; ``foreachBatch`` merges each
+    batch's per-term (df, tf) deltas into the versioned index state.  The
+    final index must hash-equal the batch postings aggregation over the
+    whole corpus — document frequencies only compose across batches if no
+    doc is double-counted and no term delta is lost.
+
+    Scale notes: per batch one term-keyed aggregate (map-side combinable)
+    + a term-keyed merge with the prior state — exactly a Delta MERGE on
+    the index table; state versioning is the upsert-sink miniature."""
+    src = (
+        spark.readStream.schema("doc_id BIGINT, norm STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_doc_text_chunks(spark, sf_dir))
+    )
+    sink = _IndexSink(spark, tempfile.mkdtemp(prefix="sg_index_store_"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = src.writeStream.outputMode("append").foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.current().select("term", "df", "total_tf").orderBy("term")
+
+
+def _stream_index_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import (
+        DOCS_T_SQL,
+        _STOP_LIST,
+    )
+
+    return f"""
+WITH {DOCS_T_SQL},
+tok AS (
+  SELECT doc_id, t.term FROM docs_t, UNNEST(toks) AS t(term)
+  WHERE length(t.term) >= 3 AND t.term NOT IN ({_STOP_LIST})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term ORDER BY term
+"""
+
+
+QUERIES["stream_index_maintenance"] = stream_index_maintenance
+ORACLE["stream_index_maintenance"] = _stream_index_sql()

@@ -75,3 +75,23 @@ def test_stream_scd2_interval_tiling(spark):
         for a, b in zip(rs, rs[1:]):
             if a["valid_to_ms"] is not None:
                 assert a["valid_to_ms"] <= b["valid_from_ms"]
+
+
+def test_stream_index_matches_batch_postings(spark):
+    from pyspark.sql import functions as F
+    from lets_talk_cdc_change_feed_playground_spark.functions import textops as T
+    from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries import _docs_t
+
+    idx = {r["term"]: (r["df"], r["total_tf"]) for r in SQ.stream_index_maintenance(spark, SF).collect()}
+    d = _docs_t(spark, SF)
+    tok = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        (F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS)
+    )
+    tf = tok.groupBy("doc_id", "term").count()
+    batch = {
+        r["term"]: (r["df"], r["total_tf"])
+        for r in tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("count").alias("total_tf"))
+        .collect()
+    }
+    assert idx == batch
