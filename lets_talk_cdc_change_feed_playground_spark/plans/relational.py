@@ -2140,3 +2140,201 @@ ORACLE = {
     "events_hopping_stats": EVENTS_HOPPING_SQL,
     "cdc_snapshot_read": CDC_SNAPSHOT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Customer-analytics classics: RFM segmentation + ABC (Pareto) classification
+# ---------------------------------------------------------------------------
+
+
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since last order),
+    frequency (order count) and monetary (decimal-exact total spend) are
+    quartile-scored with ``ntile(4)`` over deterministic total orders
+    (metric, then custkey); the 3-digit RFM code rolls up to segment
+    counts — the classic CRM cut, here as one pass + three bounded
+    windows over the per-customer aggregate (never over raw orders)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").alias("od_ms"),
+    )
+    mx = o.agg(F.max("od_ms").alias("now_ms"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("od_ms").alias("last_ms"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.expr("(now_ms - last_ms) div 86400000").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    # quartile = equal-width rank bucket ((rank-1)*4 div n)+1 — rank via the
+    # two-phase bucketed sequence, so no customer-sized single-task window
+    # (ntile would force one); identical closed form on both engines.
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_global_seq,
+    )
+
+    n_c = per_cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    ranked = with_global_seq(
+        per_cust, "recency_days", ["recency_days", "o_custkey"], out_col="rk_r"
+    )
+    ranked = with_global_seq(
+        ranked, F.expr("-frequency"), ["o_custkey"], out_col="rk_f"
+    )
+    ranked = with_global_seq(
+        ranked,
+        F.expr("-cast(monetary * 100 as decimal(38,0)) div 100000"),
+        [F.desc("monetary"), "o_custkey"],
+        out_col="rk_m",
+    )
+    scored = ranked.crossJoin(F.broadcast(n_c)).select(
+        "o_custkey",
+        F.expr("cast((rk_r - 1) * 4 div n_cust + 1 as int)").alias("r"),
+        F.expr("cast((rk_f - 1) * 4 div n_cust + 1 as int)").alias("f"),
+        F.expr("cast((rk_m - 1) * 4 div n_cust + 1 as int)").alias("m"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary").cast("decimal(38,2)").cast("string").alias("segment_value"),
+        )
+        .select(
+            F.expr("cast(r * 100 + f * 10 + m as int)").alias("rfm_code"),
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+            "n_customers",
+            "segment_value",
+        )
+        .orderBy("rfm_code")
+    )
+
+
+RFM_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice, epoch_ms(o_orderdate) AS od_ms FROM orders
+),
+mx AS (SELECT max(od_ms) AS now_ms FROM o),
+per_cust AS (
+  SELECT o_custkey,
+         (now_ms - max(od_ms)) // 86400000 AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS monetary
+  FROM o, mx GROUP BY o_custkey, now_ms
+),
+nc AS (SELECT count(*) AS n_cust FROM per_cust),
+scored AS (
+  SELECT o_custkey, monetary,
+         CAST((row_number() OVER (ORDER BY recency_days ASC, o_custkey) - 1) * 4 // n_cust + 1 AS INT) AS r,
+         CAST((row_number() OVER (ORDER BY frequency DESC, o_custkey) - 1) * 4 // n_cust + 1 AS INT) AS f,
+         CAST((row_number() OVER (ORDER BY monetary DESC, o_custkey) - 1) * 4 // n_cust + 1 AS INT) AS m
+  FROM per_cust, nc
+)
+SELECT CAST(r * 100 + f * 10 + m AS INT) AS rfm_code,
+       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(CAST(sum(monetary) AS DECIMAL(38,2)) AS VARCHAR) AS segment_value
+FROM scored GROUP BY r, f, m
+ORDER BY rfm_code
+"""
+
+
+def parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: cumulative revenue
+    share in basis points over the revenue-ranked part list buckets parts
+    into A (top 70%), B (to 90%), C (tail).  The running share uses the
+    two-phase prefix pattern over the per-part aggregate (bounded rows) —
+    the raw lineitem scan contributes one map-side-combinable aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(l_extendedprice * (1 - l_discount) as decimal(38,6))").alias("rev"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("rev").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+    tot = per_part.agg(F.sum("revenue").alias("tot_rev"))
+    # running revenue via the two-phase prefix pattern (bucket = coarse
+    # negated-revenue band, a monotone coarsening of the desc ordering) —
+    # no part-sized single-task window
+    from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+        with_prefix_aggs,
+    )
+
+    pref = with_prefix_aggs(
+        per_part,
+        F.expr("-cast(revenue * 1000000 as decimal(38,0)) div 1000000000"),
+        [F.desc("revenue"), "l_partkey"],
+        sums={"cum_rev": "revenue"},
+    )
+    ranked = pref.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        "n_lines",
+        F.expr(
+            "cast(10000 * cast(cum_rev * 1000000 as decimal(38,0))"
+            " div cast(tot_rev * 1000000 as decimal(38,0)) as bigint)"
+        ).alias("cum_share_bp"),
+    )
+    classed = ranked.select(
+        "l_partkey",
+        F.when(F.col("cum_share_bp") <= 7000, "A")
+        .when(F.col("cum_share_bp") <= 9000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "revenue",
+        "n_lines",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("revenue").cast("decimal(38,6)").cast("string").alias("class_revenue"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS revenue,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(revenue) AS tot_rev FROM per_part),
+ranked AS (
+  SELECT l_partkey, revenue, n_lines,
+         CAST((10000 * CAST(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 AS HUGEINT))
+              // CAST(tot_rev * 1000000 AS HUGEINT) AS BIGINT) AS cum_share_bp
+  FROM per_part, tot
+),
+classed AS (
+  SELECT l_partkey, revenue, n_lines,
+         CASE WHEN cum_share_bp <= 7000 THEN 'A'
+              WHEN cum_share_bp <= 9000 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(CAST(sum(revenue) AS DECIMAL(38,6)) AS VARCHAR) AS class_revenue,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+QUERIES["customers_rfm_segments"] = customers_rfm_segments
+QUERIES["parts_abc_classes"] = parts_abc_classes
+ORACLE["customers_rfm_segments"] = RFM_SQL
+ORACLE["parts_abc_classes"] = ABC_SQL

@@ -117,3 +117,36 @@ def test_anomaly_windows_no_cartesian(spark, sf_dir):
     plan = R.events_anomaly_windows(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_rfm_quartiles_partition_customers(spark):
+    from lets_talk_cdc_change_feed_playground_spark.plans.relational import (
+        customers_rfm_segments,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
+
+    rows = customers_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    n_customers = sum(r["n_customers"] for r in rows)
+    active = (
+        load_table(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert n_customers == active
+    for r in rows:
+        assert 1 <= r["r"] <= 4 and 1 <= r["f"] <= 4 and 1 <= r["m"] <= 4
+        assert r["rfm_code"] == r["r"] * 100 + r["f"] * 10 + r["m"]
+
+
+def test_abc_classes_follow_pareto(spark):
+    from lets_talk_cdc_change_feed_playground_spark.plans.relational import (
+        parts_abc_classes,
+    )
+
+    rows = {r["abc_class"]: r for r in parts_abc_classes(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    # Pareto shape: A holds >= B's and C's per-part revenue density
+    if {"A", "C"} <= set(rows):
+        a, c = rows["A"], rows["C"]
+        dens_a = float(a["class_revenue"]) / a["n_parts"]
+        dens_c = float(c["class_revenue"]) / c["n_parts"]
+        assert dens_a > dens_c
