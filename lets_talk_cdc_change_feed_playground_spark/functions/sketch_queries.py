@@ -758,3 +758,147 @@ FROM exact, a_stats, b_stats, u_stats, inter
 """
 
 QUERIES["events_theta_ops"] = events_theta_ops
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing + burst/drop alerting over hourly event-type series
+# ---------------------------------------------------------------------------
+
+EWMA_NUM, EWMA_DEN = 1, 8  # alpha = 1/8 as an exact rational
+EWMA_HI_NUM, EWMA_HI_DEN = 2, 1  # burst: count > 2x smoothed level
+EWMA_LO_NUM, EWMA_LO_DEN = 1, 2  # drop:  count < level/2
+HOUR_MS = 3_600_000
+
+
+def events_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly rate per event type with burst/drop alerts — the
+    metrics-smoothing layer an alerting pipeline runs over lane counters
+    (the reference's dashboards smooth exactly these counts).
+
+    The recurrence ``e_t = (n_t·M + (DEN-NUM)·e_{t-1}) div DEN`` runs in
+    exact integer micro-units, so both engines produce bit-identical
+    levels.  EWMA is inherently sequential, but only over the **bounded
+    hourly aggregate** (≤ hours×types rows): the raw scan reduces
+    map-side to hourly counts; the fold happens per type over a collected,
+    sorted array of its hours (a few hundred elements), then explodes
+    back to rows.  Alerts compare each hour against the PRIOR hour's
+    level: burst when ``n > 2·level``, drop when ``2·n < level``."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {HOUR_MS}").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    M = 1_000_000
+    folded = hourly.groupBy("event_type").agg(
+        F.expr(
+            f"""
+            aggregate(
+              array_sort(collect_list(struct(hour, n))),
+              struct(
+                cast(array() as array<struct<hour:bigint,n:bigint,prev_level:bigint,level:bigint>>) as acc,
+                cast(-1 as bigint) as lvl
+              ),
+              (s, x) -> struct(
+                array_append(
+                  s.acc,
+                  struct(
+                    x.hour as hour, x.n as n,
+                    s.lvl as prev_level,
+                    CASE WHEN s.lvl < 0 THEN x.n * {M}
+                         ELSE (x.n * {M} * {EWMA_NUM} + {EWMA_DEN - EWMA_NUM} * s.lvl) div {EWMA_DEN}
+                    END as level
+                  )
+                ) as acc,
+                CASE WHEN s.lvl < 0 THEN x.n * {M}
+                     ELSE (x.n * {M} * {EWMA_NUM} + {EWMA_DEN - EWMA_NUM} * s.lvl) div {EWMA_DEN}
+                END as lvl
+              ),
+              s -> s.acc
+            )
+            """
+        ).alias("series")
+    )
+    rows = folded.select("event_type", F.explode("series").alias("s")).select(
+        "event_type",
+        F.col("s.hour").alias("hour"),
+        F.col("s.n").alias("n"),
+        F.col("s.level").alias("level_micro"),
+        F.when(
+            (F.col("s.prev_level") >= 0)
+            & (F.col("s.n") * M * EWMA_HI_DEN > EWMA_HI_NUM * F.col("s.prev_level")),
+            F.lit("burst"),
+        )
+        .when(
+            (F.col("s.prev_level") >= 0)
+            & (F.col("s.n") * M * EWMA_LO_DEN < EWMA_LO_NUM * F.col("s.prev_level")),
+            F.lit("drop"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("alert"),
+    )
+    return (
+        rows.groupBy("event_type", "alert")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.min("hour").alias("first_hour"),
+            F.max("level_micro").alias("level_hi"),
+            F.min("level_micro").alias("level_lo"),
+        )
+        .orderBy("event_type", "alert")
+    )
+
+
+_EWMA_M = 1_000_000
+
+ORACLE["events_ewma_alerts"] = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // {HOUR_MS} AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+folded AS (
+  SELECT event_type,
+         list_reduce(
+           list_prepend(
+             [STRUCT_PACK(hour := CAST(-1 AS BIGINT), n := CAST(0 AS BIGINT),
+                          prev_level := CAST(-1 AS BIGINT), level := CAST(-1 AS BIGINT))],
+             list_transform(
+               list_sort(list(STRUCT_PACK(hour := hour, n := n))),
+               x -> [STRUCT_PACK(hour := x.hour, n := x.n,
+                                 prev_level := CAST(-1 AS BIGINT), level := CAST(-1 AS BIGINT))]
+             )
+           ),
+           (acc, x) -> list_append(
+             acc,
+             STRUCT_PACK(
+               hour := x[1].hour, n := x[1].n,
+               prev_level := acc[-1].level,
+               level := CASE WHEN acc[-1].level < 0 THEN x[1].n * {_EWMA_M}
+                             ELSE (x[1].n * {_EWMA_M} * {EWMA_NUM} + {EWMA_DEN - EWMA_NUM} * acc[-1].level) // {EWMA_DEN}
+                        END
+             )
+           )
+         ) AS series
+  FROM hourly GROUP BY event_type
+),
+rows_ AS (
+  SELECT event_type, s.hour, s.n, s.level AS level_micro,
+         CASE WHEN s.prev_level >= 0 AND s.n * {_EWMA_M} * {EWMA_HI_DEN} > {EWMA_HI_NUM} * s.prev_level THEN 'burst'
+              WHEN s.prev_level >= 0 AND s.n * {_EWMA_M} * {EWMA_LO_DEN} < {EWMA_LO_NUM} * s.prev_level THEN 'drop'
+              ELSE 'ok' END AS alert
+  FROM folded, UNNEST(series) AS t(s)
+  WHERE s.hour >= 0
+)
+SELECT event_type, alert,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       min(hour) AS first_hour,
+       max(level_micro) AS level_hi,
+       min(level_micro) AS level_lo
+FROM rows_ GROUP BY event_type, alert
+ORDER BY event_type, alert
+"""
+
+QUERIES["events_ewma_alerts"] = events_ewma_alerts

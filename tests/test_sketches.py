@@ -94,3 +94,29 @@ def test_theta_ops_estimates_and_audit(spark):
     ):
         assert abs(est - exact) <= max(3 * exact // 8, 2), (est, exact)
     assert r["est_inter"] >= 0
+
+
+def test_ewma_alert_classes_partition_hours(spark):
+    rows = S.events_ewma_alerts(spark, SF).collect()
+    assert rows
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, SF)
+    hours = (
+        ev.select(
+            "event_type",
+            F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {S.HOUR_MS}").alias("h"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    per_type = {r["event_type"]: r["count"] for r in hours}
+    got = {}
+    for r in rows:
+        got[r["event_type"]] = got.get(r["event_type"], 0) + r["n_hours"]
+        assert r["level_lo"] <= r["level_hi"]
+        assert r["alert"] in ("burst", "drop", "ok")
+    assert got == per_type  # every (type, hour) classified exactly once
