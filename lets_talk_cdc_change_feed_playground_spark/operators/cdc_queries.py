@@ -1364,3 +1364,92 @@ SELECT *, (n_mismatched = 0) AS converged FROM (
 )
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget accounting over consumer apply lag
+# ---------------------------------------------------------------------------
+
+SLO_LAG_TARGET_MS = 120_000  # apply-lag objective per delivery tick hour
+SLO_GOOD_BP = 9900  # 99% of hours must meet the lag target
+_SLO_HOUR = 3_600_000
+
+
+def cdc_slo_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE-style SLO error-budget accounting over the playground consumer's
+    apply lag (M7 timeline: latest delivered commit − last applied commit):
+    an hour is *bad* when its worst tick lag exceeds the objective; budget
+    = hours × (1 − SLO); burn reported in basis points of budget with the
+    breach verdict.  Lag spikes come from the commit-floor hold-back under
+    drift — exactly what an on-call pages on.
+
+    Scale shape: the timeline is one row per delivery tick; the hourly
+    max is a map-side-combinable aggregate over it — summary rows end to
+    end."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import (
+        playground_queries as pq,
+    )
+
+    tl = pq.cdc_consumer_timeline(spark, sf_dir)
+    hourly = (
+        tl.select(F.expr(f"tick_ms div {_SLO_HOUR}").alias("hour"), "lag_ms")
+        .groupBy("hour")
+        .agg(F.max("lag_ms").alias("max_lag_ms"))
+    )
+    flagged = hourly.select(
+        "hour", "max_lag_ms", (F.col("max_lag_ms") > SLO_LAG_TARGET_MS).alias("bad")
+    )
+    return (
+        flagged.groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hours_total"),
+            F.sum(F.col("bad").cast("int")).cast("long").alias("hours_bad"),
+            F.max("max_lag_ms").alias("worst_lag_ms"),
+        )
+        .select(
+            "hours_total",
+            "hours_bad",
+            "worst_lag_ms",
+            F.expr(f"hours_total * {10000 - SLO_GOOD_BP} div 10000").alias("budget_hours"),
+            F.expr(
+                f"CASE WHEN hours_total * {10000 - SLO_GOOD_BP} div 10000 = 0 THEN"
+                f" CASE WHEN hours_bad = 0 THEN 0L ELSE 1000000L END"
+                f" ELSE 10000 * hours_bad div (hours_total * {10000 - SLO_GOOD_BP} div 10000) END"
+            ).alias("burn_bp"),
+            F.expr(
+                f"10000 * (hours_total - hours_bad) div hours_total >= {SLO_GOOD_BP}"
+            ).alias("slo_met"),
+        )
+    )
+
+
+def _slo_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators import (
+        playground_queries as pq,
+    )
+
+    base = pq.ORACLE["cdc_consumer_timeline"]
+    bud = f"hours_total * {10000 - SLO_GOOD_BP} // 10000"
+    return f"""
+WITH tl AS (SELECT * FROM ({base})),
+hourly AS (
+  SELECT tick_ms // {_SLO_HOUR} AS hour, max(lag_ms) AS max_lag_ms
+  FROM tl GROUP BY 1
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS hours_total,
+         CAST(sum(CASE WHEN max_lag_ms > {SLO_LAG_TARGET_MS} THEN 1 ELSE 0 END) AS BIGINT) AS hours_bad,
+         max(max_lag_ms) AS worst_lag_ms
+  FROM hourly
+)
+SELECT hours_total, hours_bad, worst_lag_ms,
+       CAST({bud} AS BIGINT) AS budget_hours,
+       CAST(CASE WHEN {bud} = 0 THEN CASE WHEN hours_bad = 0 THEN 0 ELSE 1000000 END
+            ELSE 10000 * hours_bad // ({bud}) END AS BIGINT) AS burn_bp,
+       10000 * (hours_total - hours_bad) // hours_total >= {SLO_GOOD_BP} AS slo_met
+FROM agg
+"""
+
+
+QUERIES["cdc_slo_budget"] = cdc_slo_budget
+ORACLE["cdc_slo_budget"] = _slo_sql()

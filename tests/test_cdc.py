@@ -207,3 +207,18 @@ def test_scd2_intervals_tile(spark, sf_dir, ops):
     # current rows == final alive state
     alive = diffs.source_state(ops).count()
     assert hist.filter("is_current").count() == alive
+
+
+def test_slo_budget_accounting(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import (
+        SLO_GOOD_BP,
+        cdc_slo_budget,
+    )
+
+    r = cdc_slo_budget(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 <= r["hours_bad"] <= r["hours_total"]
+    assert r["budget_hours"] == r["hours_total"] * (10000 - SLO_GOOD_BP) // 10000
+    met = 10000 * (r["hours_total"] - r["hours_bad"]) // r["hours_total"] >= SLO_GOOD_BP
+    assert r["slo_met"] == met
+    if r["budget_hours"] > 0:
+        assert r["burn_bp"] == 10000 * r["hours_bad"] // r["budget_hours"]
