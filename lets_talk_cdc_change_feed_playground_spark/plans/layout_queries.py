@@ -271,3 +271,124 @@ ORACLE = {
     "lineitem_zorder_plan": _z_sql(),
     "orders_compaction_plan": _COMPACT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style data-quality constraint scorecard
+# ---------------------------------------------------------------------------
+
+
+def orders_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite data quality audit (the Deequ/Great-Expectations
+    shape): each rule is a declarative aggregate over one scan of its
+    table — completeness (nulls), domain bounds, referential integrity
+    (anti-join counts), uniqueness (duplicate key groups) — emitted as a
+    scorecard row with checked/violations/pass.  At 100 TB every rule
+    stays map-side combinable except the two keyed checks (FK anti-join,
+    duplicate groupBy), which shuffle on exactly the audited key."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def row(rule: str, scope: str, checked, violations) -> DataFrame:
+        return (
+            checked.crossJoin(F.broadcast(violations))
+            if isinstance(violations, DataFrame)
+            else checked
+        ).select(
+            F.lit(rule).alias("rule"),
+            F.lit(scope).alias("scope"),
+            F.col("checked").cast("long").alias("checked"),
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("pass"),
+        )
+
+    o_scan = o.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v_null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_price"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        ).alias("v_status"),
+    )
+    li_scan = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("v_disc"),
+    )
+    fk = (
+        # customer scales with SF — no forced broadcast, AQE picks the strategy
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    o_n = o.agg(F.count(F.lit(1)).alias("checked"))
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("checked"),
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("violations"),
+        )
+    )
+    rows = [
+        row("completeness:o_custkey", "orders", o_scan.select("checked", F.col("v_null_cust").alias("violations")), None),
+        row("domain:o_totalprice>0", "orders", o_scan.select("checked", F.col("v_price").alias("violations")), None),
+        row("domain:o_orderstatus", "orders", o_scan.select("checked", F.col("v_status").alias("violations")), None),
+        row("domain:l_quantity:1..50", "lineitem", li_scan.select("checked", F.col("v_qty").alias("violations")), None),
+        row("domain:l_discount:0..0.1", "lineitem", li_scan.select("checked", F.col("v_disc").alias("violations")), None),
+        row("fk:orders->customer", "orders", o_n, fk),
+        row("unique:(l_orderkey,l_linenumber)", "lineitem", dup, None),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rule")
+
+
+_DQ_SQL = """
+WITH o_scan AS (
+  SELECT count(*) AS checked,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null_cust,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_status
+  FROM orders
+),
+li_scan AS (
+  SELECT count(*) AS checked,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_disc
+  FROM lineitem
+),
+fk AS (
+  SELECT count(*) AS violations FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+o_n AS (SELECT count(*) AS checked FROM orders),
+dup AS (
+  SELECT count(*) AS checked,
+         sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS violations
+  FROM (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2)
+),
+rows_ AS (
+  SELECT 'completeness:o_custkey' AS rule, 'orders' AS scope, checked, v_null_cust AS violations FROM o_scan
+  UNION ALL SELECT 'domain:o_totalprice>0', 'orders', checked, v_price FROM o_scan
+  UNION ALL SELECT 'domain:o_orderstatus', 'orders', checked, v_status FROM o_scan
+  UNION ALL SELECT 'domain:l_quantity:1..50', 'lineitem', checked, v_qty FROM li_scan
+  UNION ALL SELECT 'domain:l_discount:0..0.1', 'lineitem', checked, v_disc FROM li_scan
+  UNION ALL SELECT 'fk:orders->customer', 'orders', o_n.checked, fk.violations FROM o_n, fk
+  UNION ALL SELECT 'unique:(l_orderkey,l_linenumber)', 'lineitem', checked, violations FROM dup
+)
+SELECT rule, scope, CAST(checked AS BIGINT) AS checked,
+       CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS pass
+FROM rows_ ORDER BY rule
+"""
+
+QUERIES["orders_dq_scorecard"] = orders_dq_scorecard
+ORACLE["orders_dq_scorecard"] = _DQ_SQL

@@ -57,3 +57,20 @@ def test_compaction_plan_conserves_rows_and_reduces_files(spark):
         assert r["day_lo"] <= r["day_hi"]
         # greedy prefix packing: a job only exceeds target by its last fragment
         assert r["n_rows"] < 2 * COMPACT_TARGET or r["n_fragments"] == 1
+
+
+def test_dq_scorecard_rules(spark):
+    from lets_talk_cdc_change_feed_playground_spark.plans.layout_queries import (
+        orders_dq_scorecard,
+    )
+
+    rows = {r["rule"]: r for r in orders_dq_scorecard(spark, "/root/testdata/sf0.001").collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r["pass"] == (r["violations"] == 0)
+        assert 0 <= r["violations"] <= r["checked"]
+    # the synthetic feed genuinely violates line-number uniqueness — the
+    # scorecard must surface it (a constraint suite that always passes
+    # proves nothing)
+    assert rows["unique:(l_orderkey,l_linenumber)"]["pass"] is False
+    assert rows["fk:orders->customer"]["pass"] is True
