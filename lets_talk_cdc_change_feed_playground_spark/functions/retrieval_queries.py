@@ -43,6 +43,7 @@ from lets_talk_cdc_change_feed_playground_spark.functions.pipeline_queries impor
     DOCS_T_SQL,
     K_IVF,
     TOKEN_HASHES_SQL,
+    TOPK,
     TOPK_QUERIES,
     _DOT_SQL,
     _docs_t,
@@ -586,3 +587,161 @@ ORDER BY cell
 
 QUERIES["emb_ivf_balance"] = emb_ivf_balance
 ORACLE["emb_ivf_balance"] = _IVF_BALANCE_SQL
+
+
+NPROBE_LEVELS = (1, 2, 4, 8)
+
+
+def emb_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: recall@k and candidate cost as a function of
+    ``nprobe`` — the measurement that picks an ANN deployment's operating
+    point.  One pass computes every level: query-to-cell ranks up to
+    max(nprobe) join the cell-assigned corpus once; each sweep level
+    filters that pair set (probe rank ≤ nprobe), takes its per-query
+    top-k by exact cosine, and scores hits against the brute-force truth.
+    Exact integer recall in basis points; candidates counted per level.
+
+    Scale: the swept levels share one cell-keyed join — cost is the
+    max-nprobe candidate set, not levels × join."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    n = e.withColumn("nrm", T.l2_norm(F.col("v")))
+    cents = n.filter(F.col("vec_id") < K_IVF).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = n.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", T.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    ranked = scored.withColumn("crn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("crn") == 1).select(
+        "vec_id", "v", "nrm", F.col("cent_id").alias("cell")
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < TOPK_QUERIES) & (F.col("crn") <= max(NPROBE_LEVELS))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("cell"),
+        F.col("crn").alias("probe_rank"),
+    )
+    pairs = assign.alias("a").join(
+        F.broadcast(probe.alias("p")),
+        (F.col("a.cell") == F.col("p.cell")) & (F.col("a.vec_id") != F.col("p.query_id")),
+    ).select(
+        "p.query_id",
+        F.col("a.vec_id").alias("neighbor_id"),
+        "p.probe_rank",
+        (T.dot(F.col("p.qv"), F.col("a.v")) / (F.col("p.qn") * F.col("a.nrm"))).alias("cosine"),
+    )
+    levels = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in NPROBE_LEVELS])).alias("nprobe")
+    )
+    swept = pairs.join(F.broadcast(levels), F.col("probe_rank") <= F.col("nprobe"))
+    w = W.partitionBy("nprobe", "query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    approx = swept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOPK)
+    # brute-force truth
+    q = n.filter(F.col("vec_id") < TOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    ex_pairs = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    we = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    exact = (
+        ex_pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    cand = swept.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    denom = TOPK_QUERIES * TOPK
+    return (
+        cand.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_candidates",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.expr(f"10000 * coalesce(hits, 0) div {denom}").alias("recall_bp"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+_NPROBE_LIST = ", ".join(str(x) for x in NPROBE_LEVELS)
+
+_NPROBE_SQL = f"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_NRM_SQL} AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < {K_IVF}),
+ranked AS (
+  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {_DOT_SQL.format(a="n.v", b="c.cv")} / (n.nrm * c.cn) DESC,
+                    c.cent_id) AS crn
+  FROM n CROSS JOIN c
+),
+assign AS (SELECT vec_id, v, nrm, cent_id AS cell FROM ranked WHERE crn = 1),
+probe AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS cell, crn AS probe_rank
+  FROM ranked WHERE vec_id < {TOPK_QUERIES} AND crn <= {max(NPROBE_LEVELS)}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.probe_rank,
+         {_DOT_SQL.format(a="p.qv", b="a.v")} / (p.qn * a.nrm) AS cosine
+  FROM assign a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+swept AS (
+  SELECT pr.*, lv.nprobe
+  FROM pairs pr JOIN (SELECT UNNEST([{_NPROBE_LIST}]) AS nprobe) lv
+    ON pr.probe_rank <= lv.nprobe
+),
+approx AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM swept
+  ) WHERE rn <= {TOPK}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DOT_SQL.format(a="q.v", b="x.v")} / (q.nrm * x.nrm) DESC,
+                      x.vec_id) AS rn
+    FROM n q JOIN n x ON x.vec_id <> q.vec_id
+    WHERE q.vec_id < {TOPK_QUERIES}
+  ) WHERE rn <= {TOPK}
+),
+hits AS (
+  SELECT a.nprobe, CAST(count(*) AS BIGINT) AS hits
+  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY a.nprobe
+),
+cand AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM swept GROUP BY nprobe
+)
+SELECT CAST(c.nprobe AS INT) AS nprobe, c.n_candidates,
+       COALESCE(h.hits, 0) AS hits,
+       CAST(10000 * COALESCE(h.hits, 0) // {TOPK_QUERIES * TOPK} AS BIGINT) AS recall_bp
+FROM cand c LEFT JOIN hits h ON c.nprobe = h.nprobe
+ORDER BY nprobe
+"""
+
+QUERIES["emb_nprobe_curve"] = emb_nprobe_curve
+ORACLE["emb_nprobe_curve"] = _NPROBE_SQL

@@ -117,3 +117,12 @@ def test_ivf_balance_shares_sum(spark):
     # loads are shares of a balanced allocation: mean load == 10000 bp
     mean_bp = sum(r["load_bp"] for r in rows) / len(rows)
     assert 9000 <= mean_bp <= 11000
+
+
+def test_nprobe_curve_monotone(spark):
+    rows = sorted(R.emb_nprobe_curve(spark, SF).collect(), key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == list(R.NPROBE_LEVELS)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] <= b["n_candidates"]  # more probes, more cost
+        assert a["recall_bp"] <= b["recall_bp"]  # ...and no worse recall
+    assert rows[-1]["recall_bp"] >= 5000  # probing half the cells finds most truth
