@@ -536,3 +536,152 @@ ORDER BY bucket
 
 QUERIES["cdc_anti_entropy"] = cdc_anti_entropy
 ORACLE["cdc_anti_entropy"] = _AE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Hash-chained audit-log integrity (tamper-evident WAL)
+# ---------------------------------------------------------------------------
+
+CHAIN_SEG_MS = 3_600_000  # chain segment = one hour of WAL
+CHAIN_TAMPER_MOD = 997  # deterministic tamper injection: one record flipped
+
+
+def cdc_wal_hashchain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident WAL: every record folds into an hour-segment hash
+    chain; segment digests fold into a top-level anchor chain — the
+    two-level design that keeps verification parallel (segments verify
+    independently, only the digest chain is sequential, and it is one row
+    per hour).  A deterministically tampered copy (one record's payload
+    flipped) is verified against the clean chain: the audit must flag
+    EXACTLY the tampered segment and, because digests chain forward, every
+    anchor from that segment on.
+
+    Output: one row per segment — clean digest, tampered digest, per-
+    segment match, anchor match (divergence propagates), and the located
+    tamper segment flag."""
+    wal = capture.log_capture(spark, sf_dir)
+    rec = wal.select(
+        F.expr(f"ts_ms div {CHAIN_SEG_MS}").alias("seg"),
+        "lsn",
+        hash31(
+            F.concat_ws("|", "pk", "op", F.col("after_value").cast("string")),
+            mod=2_147_483_647,
+        ).alias("rh"),
+    )
+    n_rec = rec.agg(F.max("lsn").alias("max_lsn"))
+    tampered = rec.crossJoin(F.broadcast(n_rec)).select(
+        "seg",
+        "lsn",
+        F.when(
+            F.col("lsn") == F.expr(f"max_lsn div 2 div {CHAIN_TAMPER_MOD} * {CHAIN_TAMPER_MOD} + 1"),
+            (F.col("rh") + 1) % 2_147_483_647,
+        )
+        .otherwise(F.col("rh"))
+        .alias("rh"),
+    )
+
+    def seg_digest(df: DataFrame, out: str) -> DataFrame:
+        # per-segment chain: fold record hashes in LSN order (bounded rows
+        # per segment); segments verify in parallel
+        return df.groupBy("seg").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(lsn, rh))),"
+                " cast(0 as bigint),"
+                " (acc, x) -> (acc * 31 + x.rh) % 2147483647)"
+            ).alias(out),
+            F.count(F.lit(1)).cast("long").alias(f"{out}_n"),
+        )
+
+    clean = seg_digest(rec, "d_clean")
+    tamp = seg_digest(tampered, "d_tamp")
+    segs = clean.join(tamp, "seg")
+    # anchor chain over segment digests — one row per hour, bounded window
+    wseg = W.orderBy("seg").rowsBetween(W.unboundedPreceding, 0)
+    chained = segs.select(
+        "seg",
+        "d_clean",
+        "d_tamp",
+        (F.col("d_clean") == F.col("d_tamp")).alias("segment_ok"),
+        F.expr(
+            "aggregate(collect_list(struct(seg, d_clean))"
+            " over (order by seg rows between unbounded preceding and current row),"
+            " cast(0 as bigint), (acc, x) -> (acc * 31 + x.d_clean) % 2147483647)"
+        ).alias("anchor_clean"),
+        F.expr(
+            "aggregate(collect_list(struct(seg, d_tamp))"
+            " over (order by seg rows between unbounded preceding and current row),"
+            " cast(0 as bigint), (acc, x) -> (acc * 31 + x.d_tamp) % 2147483647)"
+        ).alias("anchor_tamp"),
+    )
+    return chained.select(
+        "seg",
+        "d_clean",
+        "d_tamp",
+        "segment_ok",
+        (F.col("anchor_clean") == F.col("anchor_tamp")).alias("anchor_ok"),
+        (~F.col("segment_ok")).alias("tampered_here"),
+    ).orderBy("seg")
+
+
+# BIGINT-safe 31-fold at the wide modulus (the shared hash31_sql accumulates
+# in INT32, which overflows once acc*31 can pass 2^31)
+_CHAIN_RH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+    "for c in string_split(concat_ws('|', pk, op, CAST(after_value AS VARCHAR)), '')]), "
+    "(a, c) -> (a*31 + c) % 2147483647)"
+)
+
+_HASHCHAIN_SQL = (
+    _with(
+        WAL_SQL,
+        f"""
+rec AS (
+  SELECT ts_ms // {CHAIN_SEG_MS} AS seg, lsn, {_CHAIN_RH} AS rh FROM wal
+),
+mx AS (SELECT max(lsn) AS max_lsn FROM rec),
+tampered AS (
+  SELECT seg, lsn,
+         CASE WHEN lsn = (max_lsn // 2 // {CHAIN_TAMPER_MOD}) * {CHAIN_TAMPER_MOD} + 1
+              THEN (rh + 1) % 2147483647 ELSE rh END AS rh
+  FROM rec, mx
+),
+clean AS (
+  SELECT seg,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_sort(list(STRUCT_PACK(lsn := lsn, rh := rh))), x -> x.rh)),
+           (acc, h) -> (acc * 31 + h) % 2147483647) AS d_clean
+  FROM rec GROUP BY seg
+),
+tamp AS (
+  SELECT seg,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_sort(list(STRUCT_PACK(lsn := lsn, rh := rh))), x -> x.rh)),
+           (acc, h) -> (acc * 31 + h) % 2147483647) AS d_tamp
+  FROM tampered GROUP BY seg
+),
+segs AS (SELECT c.seg, c.d_clean, t.d_tamp FROM clean c JOIN tamp t USING (seg)),
+chained AS (
+  SELECT seg, d_clean, d_tamp,
+         d_clean = d_tamp AS segment_ok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_sort(list(STRUCT_PACK(seg := seg, d := d_clean))
+             OVER (ORDER BY seg ROWS UNBOUNDED PRECEDING)), x -> x.d)),
+           (acc, h) -> (acc * 31 + h) % 2147483647) AS anchor_clean,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_sort(list(STRUCT_PACK(seg := seg, d := d_tamp))
+             OVER (ORDER BY seg ROWS UNBOUNDED PRECEDING)), x -> x.d)),
+           (acc, h) -> (acc * 31 + h) % 2147483647) AS anchor_tamp
+  FROM segs
+)
+""",
+    )
+    + """
+SELECT seg, d_clean, d_tamp, segment_ok,
+       anchor_clean = anchor_tamp AS anchor_ok,
+       NOT segment_ok AS tampered_here
+FROM chained ORDER BY seg
+"""
+)
+
+QUERIES["cdc_wal_hashchain"] = cdc_wal_hashchain
+ORACLE["cdc_wal_hashchain"] = _HASHCHAIN_SQL

@@ -92,3 +92,18 @@ def test_anti_entropy_detects_exactly_the_injected_faults(spark):
     for r in rows:
         assert r["repair_upserts"] == r["missing_in_b"] + r["corrupt_in_b"]
         assert r["repair_deletes"] == r["phantom_in_b"]
+
+
+def test_hashchain_localizes_tamper_and_propagates(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators.governance_queries import (
+        cdc_wal_hashchain,
+    )
+
+    rows = sorted(cdc_wal_hashchain(spark, SF).collect(), key=lambda r: r["seg"])
+    tampered = [r for r in rows if r["tampered_here"]]
+    assert len(tampered) == 1  # exactly the injected record's segment
+    t_seg = tampered[0]["seg"]
+    for r in rows:
+        assert r["segment_ok"] == (not r["tampered_here"])
+        # anchors chain forward: clean before the tamper, diverged after
+        assert r["anchor_ok"] == (r["seg"] < t_seg)
