@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_global_seq
 from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_table
 
 Z_BITS = 10  # bits per dimension interleaved into the Z-address
@@ -69,23 +68,22 @@ def lineitem_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_linenumber",
         "n_rows",
+        "o0",
+        "o1",
         F.expr(f"((l_orderkey - o0) * {2 ** Z_BITS - 1}) div greatest(o1 - o0, 1)").alias("ra"),
         F.expr(f"((l_partkey - p0) * {2 ** Z_BITS - 1}) div greatest(p1 - p0, 1)").alias("rb"),
     )
+    # value-range file assignment (what OPTIMIZE ZORDER's range partitioner
+    # does): zero global ranks, one projection — file counts may be uneven,
+    # which the audit reports
     z = scaled.withColumn("zaddr", _zaddr("ra", "rb"))
-    z = with_global_seq(
-        z, F.expr("zaddr div 16384"), ["zaddr", "l_orderkey", "l_partkey", "l_linenumber"],
-        out_col="zrank", start=0,
-    )
-    naive = with_global_seq(
-        z, F.expr("l_orderkey div 4096"), ["l_orderkey", "l_linenumber", "l_partkey"],
-        out_col="nrank", start=0,
-    )
-    files = naive.select(
+    files = z.select(
         "ra",
         "rb",
-        F.expr(f"zrank * {Z_FILES} div n_rows").alias("zfile"),
-        F.expr(f"nrank * {Z_FILES} div n_rows").alias("nfile"),
+        F.expr(f"zaddr * {Z_FILES} div {2 ** (2 * Z_BITS)}").alias("zfile"),
+        F.expr(
+            f"((l_orderkey - o0) * {Z_FILES}) div greatest(o1 - o0 + 1, 1)"
+        ).alias("nfile"),
     )
 
     def audit(df: DataFrame, file_col: str, layout: str) -> DataFrame:
@@ -144,18 +142,15 @@ scaled AS (
          ((l.l_partkey - r.p0) * {2 ** Z_BITS - 1}) // greatest(r.p1 - r.p0, 1) AS rb
   FROM lineitem l CROSS JOIN rng r
 ),
-z AS (SELECT scaled.*, {inter} AS zaddr FROM scaled),
-ranked AS (
-  SELECT z.*,
-         row_number() OVER (ORDER BY zaddr, l_orderkey, l_partkey, l_linenumber) - 1 AS zrank,
-         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey) - 1 AS nrank
-  FROM z
+z AS (
+  SELECT scaled.*, o0, o1, {inter} AS zaddr
+  FROM scaled CROSS JOIN rng
 ),
 files AS (
   SELECT ra, rb,
-         zrank * {Z_FILES} // n_rows AS zfile,
-         nrank * {Z_FILES} // n_rows AS nfile
-  FROM ranked
+         zaddr * {Z_FILES} // {2 ** (2 * Z_BITS)} AS zfile,
+         ((l_orderkey - o0) * {Z_FILES}) // greatest(o1 - o0 + 1, 1) AS nfile
+  FROM z
 ),
 za AS (
   SELECT file_id, count(*) AS rows_, min(ra) a_min, max(ra) a_max, min(rb) b_min, max(rb) b_max
