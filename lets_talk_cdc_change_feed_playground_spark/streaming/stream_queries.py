@@ -1886,3 +1886,165 @@ FROM tf GROUP BY term ORDER BY term
 
 QUERIES["stream_index_maintenance"] = stream_index_maintenance
 ORACLE["stream_index_maintenance"] = _stream_index_sql()
+
+
+# ---------------------------------------------------------------------------
+# Streaming erasure propagation (GDPR tombstones through the live path)
+# ---------------------------------------------------------------------------
+
+
+def _erasure_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the erased feed (pre-request ops + erasure tombstones, the
+    same modified feed as the batch ``cdc_gdpr_erasure``) as time-split
+    chunks; the tombstones land in the final chunk."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.governance_queries import (
+        GDPR_MOD,
+    )
+    from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
+        hash31,
+        ops_feed,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "erasure")
+    if key in _staged:
+        return _staged[key]
+    ops = ops_feed(spark, sf_dir)
+    mx = ops.agg(
+        F.min("t").alias("tmin"), F.max("t").alias("tmax"), F.max("seq").alias("smax")
+    ).select("*", F.expr("tmin + ((tmax - tmin) * 3) div 4").alias("t_req"))
+    base = ops.crossJoin(F.broadcast(mx))
+    requested = (
+        base.filter(
+            (hash31(F.concat(F.lit("gdpr:"), F.col("pk"))) % GDPR_MOD == 0)
+            & (F.col("t") <= F.col("t_req"))
+        )
+        .select("pk")
+        .distinct()
+    )
+    tomb = requested.crossJoin(F.broadcast(mx)).select(
+        (F.col("smax") + F.row_number().over(W.orderBy("pk"))).alias("seq"),
+        (F.col("t_req") + 1).alias("t"),
+        "pk",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    cols = ["seq", "t", "pk", "op", "event_type", "value", "props"]
+    req_flag = requested.withColumn("__req", F.lit(True))
+    kept = (
+        base.join(F.broadcast(req_flag), "pk", "left")
+        .filter((F.col("t") <= F.col("t_req")) | F.col("__req").isNull())
+        .select(*cols)
+    )
+    t_req = mx.select("t_req").first()["t_req"]
+    qs = [1 / 3, 2 / 3]
+    cuts = kept.filter(F.col("t") <= t_req).approxQuantile("t", qs, 0.001)
+    out = tempfile.mkdtemp(prefix="sg_erasure_chunks_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = kept
+        if lo is not None:
+            chunk = chunk.filter(F.col("t") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("t") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        lo = hi
+    # erasure tombstones arrive as their own final micro-batch
+    tdir = os.path.join(out, "t")
+    tomb.coalesce(1).write.parquet(tdir)
+    part = next(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+    os.rename(os.path.join(tdir, part), os.path.join(flat, "99.parquet"))
+    _staged[key] = flat
+    return flat
+
+
+def stream_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure through the LIVE path (18th judged streaming job): the
+    erased feed streams through the keyed-state C1 capture into the
+    ``foreachBatch`` upsert sink; the tombstone micro-batch arrives last
+    and must purge every requested key from the materialized state — the
+    streaming counterpart of the batch ``cdc_gdpr_erasure`` log-lane
+    verdict.  The final sink table must hash-equal the batch replay fold
+    of the erased feed (no requested key present), which only holds if
+    per-key state ordering and the MERGE's delete branch both work across
+    micro-batch boundaries."""
+    import tempfile as _tf
+
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply import UpsertSink
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_erasure_chunks(spark, sf_dir))
+    )
+    sink = UpsertSink(spark, _tf.mkdtemp(prefix="sg_erasure_store_"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            log_capture_stream(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        sink.current()
+        .select("pk", "event_type", "value", "props")
+        .orderBy("pk")
+    )
+
+
+def _stream_erasure_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.governance_queries import (
+        GDPR_MOD,
+        _REQ_HASH,
+    )
+
+    return (
+        "WITH "
+        + OPS_SQL
+        + f"""
+, mx AS (SELECT max(seq) AS smax,
+              min(t) + ((max(t) - min(t)) * 3) // 4 AS t_req
+       FROM src),
+req AS (
+  SELECT DISTINCT pk FROM src, mx
+  WHERE t <= t_req AND ({_REQ_HASH}) % {GDPR_MOD} = 0
+),
+src2 AS (
+  SELECT s.seq, s.t, s.pk, s.op, s.event_type, s.value, s.props
+  FROM src s, mx
+  WHERE s.t <= mx.t_req OR s.pk NOT IN (SELECT pk FROM req)
+  UNION ALL
+  SELECT mx.smax + row_number() OVER (ORDER BY pk), mx.t_req + 1, pk, 'delete',
+         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+  FROM req, mx
+)
+SELECT pk,
+       CASE WHEN op <> 'delete' THEN event_type END AS event_type,
+       CASE WHEN op <> 'delete' THEN value END AS value,
+       CASE WHEN op <> 'delete' THEN props END AS props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY t DESC, seq DESC) AS rn
+  FROM src2
+)
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""
+    )
+
+
+QUERIES["stream_erasure_propagation"] = stream_erasure_propagation
+ORACLE["stream_erasure_propagation"] = _stream_erasure_sql()

@@ -95,3 +95,21 @@ def test_stream_index_matches_batch_postings(spark):
         .collect()
     }
     assert idx == batch
+
+
+def test_stream_erasure_purges_requested_keys(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators.governance_queries import (
+        GDPR_MOD,
+    )
+
+    def h(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 9973
+        return acc
+
+    final = SQ.stream_erasure_propagation(spark, SF)
+    resident = {r["pk"] for r in final.collect()}
+    # no requested key survives in the materialized state
+    assert not {p for p in resident if h(f"gdpr:{p}") % GDPR_MOD == 0}
+    assert resident  # non-requested keys do survive
