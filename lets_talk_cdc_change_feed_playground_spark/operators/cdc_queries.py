@@ -1423,12 +1423,12 @@ def cdc_slo_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _slo_sql() -> str:
-    from lets_talk_cdc_change_feed_playground_spark.operators import (
-        playground_queries as pq,
-    )
+def _slo_sql(base: str) -> str:
+    """Oracle for ``cdc_slo_budget``; ``base`` = the consumer-timeline SQL.
 
-    base = pq.ORACLE["cdc_consumer_timeline"]
+    Registered from ``playground_queries`` (which owns that SQL) — building
+    it here at import time would read the half-initialized module when
+    import order starts from ``playground_queries`` (circular import)."""
     bud = f"hours_total * {10000 - SLO_GOOD_BP} // 10000"
     return f"""
 WITH tl AS (SELECT * FROM ({base})),
@@ -1452,4 +1452,3 @@ FROM agg
 
 
 QUERIES["cdc_slo_budget"] = cdc_slo_budget
-ORACLE["cdc_slo_budget"] = _slo_sql()

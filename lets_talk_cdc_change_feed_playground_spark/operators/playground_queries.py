@@ -394,3 +394,10 @@ WHERE op IN ('c', 'u')
   AND lower(concat_ws(' ', pk, COALESCE(after_event_type, ''), tx_id)) LIKE '%purchase%'
 """,
 }
+
+
+# registered here (not in cdc_queries) to avoid a circular import at module
+# init: the SLO oracle wraps this module's consumer-timeline SQL
+from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import _slo_sql  # noqa: E402
+
+ORACLE["cdc_slo_budget"] = _slo_sql(ORACLE["cdc_consumer_timeline"])
