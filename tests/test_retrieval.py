@@ -126,3 +126,15 @@ def test_nprobe_curve_monotone(spark):
         assert a["n_candidates"] <= b["n_candidates"]  # more probes, more cost
         assert a["recall_bp"] <= b["recall_bp"]  # ...and no worse recall
     assert rows[-1]["recall_bp"] >= 5000  # probing half the cells finds most truth
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    rows = sorted(R.docs_dedup_threshold_sweep(spark, SF).collect(), key=lambda r: r["thr_bp"])
+    assert [r["thr_bp"] for r in rows] == list(R.SWEEP_BP)
+    cands = {r["n_candidates"] for r in rows}
+    assert len(cands) == 1  # one shared candidate set across levels
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]  # higher threshold, fewer pairs
+    for r in rows:
+        assert 0 <= r["n_pairs"] <= r["n_candidates"]
+        assert r["below_lsh_point"] == (r["thr_bp"] < 7100)
