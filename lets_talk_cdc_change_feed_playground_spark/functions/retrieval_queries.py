@@ -918,3 +918,103 @@ ORDER BY thr_bp
 
 QUERIES["docs_dedup_threshold_sweep"] = docs_dedup_threshold_sweep
 ORACLE["docs_dedup_threshold_sweep"] = _sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift detection (term-distribution shift between two snapshots)
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP = 20  # most-drifted terms reported
+
+
+def docs_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots (docs split
+    by id parity — the stand-in for yesterday's vs today's crawl): per-term
+    two-sample drift scores ``1e6·(o1·n2 − o2·n1)² div (n1·n2·(o1+o2))``
+    (the χ²-statistic's per-cell form cleared to exact integers), the
+    ``DRIFT_TOP`` most drifted terms ranked, plus each term's per-mille
+    rate in both snapshots — what a data-quality monitor pages on when an
+    ingest source changes underneath the pipeline.
+
+    Scale: one tokenize+count pass per snapshot (map-side combinable),
+    a term-keyed full-outer join of two term-histograms, top-k by window.
+    Corpus scalars broadcast."""
+    d = _docs_t(spark, sf_dir)
+    tok = d.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode("toks").alias("term"),
+    ).filter((F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS))
+    hist = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("o1"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("o2"),
+    )
+    tot = hist.agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"))
+    scored = hist.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "o1",
+        "o2",
+        F.expr("1000 * o1 div n1").alias("rate_a_pm"),
+        F.expr("1000 * o2 div n2").alias("rate_b_pm"),
+        # decimal(38) arithmetic: the squared cross term overflows BIGINT at
+        # corpus scale (DuckDB auto-promotes to HUGEINT; Spark must be told)
+        F.expr(
+            "cast(cast(1000000 as decimal(38,0))"
+            " * cast(o1 * n2 - o2 * n1 as decimal(38,0))"
+            " * cast(o1 * n2 - o2 * n1 as decimal(38,0))"
+            " div (cast(n1 as decimal(38,0)) * n2 * (o1 + o2)) as bigint)"
+        ).alias("drift_micro"),
+    )
+    w = W.orderBy(F.desc("drift_micro"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DRIFT_TOP)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("o1").cast("long").alias("o1"),
+            F.col("o2").cast("long").alias("o2"),
+            "rate_a_pm",
+            "rate_b_pm",
+            "drift_micro",
+        )
+        .orderBy("rank")
+    )
+
+
+_DRIFT_SQL = f"""
+WITH {DOCS_T_SQL},
+tok AS (
+  SELECT (doc_id % 2 = 0) AS is_a, t.term
+  FROM docs_t, UNNEST(toks) AS t(term)
+  WHERE length(t.term) >= 3 AND t.term NOT IN ({_STOP_SQL})
+),
+hist AS (
+  SELECT term,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS o1,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS o2
+  FROM tok GROUP BY term
+),
+tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2 FROM hist),
+scored AS (
+  SELECT term, o1, o2,
+         CAST(1000 * o1 // n1 AS BIGINT) AS rate_a_pm,
+         CAST(1000 * o2 // n2 AS BIGINT) AS rate_b_pm,
+         CAST(CAST(1000000 AS HUGEINT)
+              * CAST(o1 * n2 - o2 * n1 AS HUGEINT)
+              * CAST(o1 * n2 - o2 * n1 AS HUGEINT)
+              // (CAST(n1 AS HUGEINT) * n2 * (o1 + o2)) AS BIGINT) AS drift_micro
+  FROM hist CROSS JOIN tot
+)
+SELECT CAST(rank AS INT) AS rank, term,
+       CAST(o1 AS BIGINT) AS o1, CAST(o2 AS BIGINT) AS o2,
+       rate_a_pm, rate_b_pm, drift_micro
+FROM (
+  SELECT *, row_number() OVER (ORDER BY drift_micro DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= {DRIFT_TOP}
+ORDER BY rank
+"""
+
+QUERIES["docs_corpus_drift"] = docs_corpus_drift
+ORACLE["docs_corpus_drift"] = _DRIFT_SQL

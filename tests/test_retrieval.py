@@ -138,3 +138,13 @@ def test_dedup_threshold_sweep_monotone(spark):
     for r in rows:
         assert 0 <= r["n_pairs"] <= r["n_candidates"]
         assert r["below_lsh_point"] == (r["thr_bp"] < 7100)
+
+
+def test_corpus_drift_ranks_and_rates(spark):
+    rows = sorted(R.docs_corpus_drift(spark, SF).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    drifts = [r["drift_micro"] for r in rows]
+    assert drifts == sorted(drifts, reverse=True)
+    for r in rows:
+        assert r["o1"] + r["o2"] > 0
+        assert 0 <= r["rate_a_pm"] <= 1000 and 0 <= r["rate_b_pm"] <= 1000
