@@ -33,8 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from lets_talk_cdc_change_feed_playground_spark.operators.cdc_queries import WAL_SQL, _with
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
     OPS_SQL,
+    hash31,
+    hash31_sql,
     ops_feed,
 )
 
@@ -274,3 +277,142 @@ ORACLE = {
     "cdc_geo_lww": _GEO_SQL,
     "cdc_crdt_counter": _CRDT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Replica promotion: RPO audit at failover
+# ---------------------------------------------------------------------------
+
+RPO_BASE_MS = 60_000  # replication base latency (congested async link)
+RPO_JITTER_MS = 3_600_000  # per-record deterministic jitter span (up to 1 h)
+RPO_FAIL_NUM, RPO_FAIL_DEN = 9, 10  # primary fails at 90% of the timeline
+
+
+def cdc_replica_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failover audit for an asynchronous replica: each WAL record ships
+    with a deterministic replication delay; the replica applies strictly
+    in LSN order, so its applied position at the failure instant is the
+    longest prefix fully arrived (one late record holds back everything
+    after it — the classic async-replication gotcha).  The audit reports
+    RPO in both units (committed-but-unreplicated events and the time
+    window they span), the lost-key count, and the promoted replica's
+    final applied LSN — the numbers a failover runbook needs.
+
+    Scale shape: the prefix position is a min-aggregate over late
+    records (no ordered scan); loss accounting is two conditional
+    aggregates over the WAL."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import capture
+
+    wal = capture.log_capture(spark, sf_dir)
+    rec = wal.select(
+        "lsn",
+        "pk",
+        "ts_ms",
+        (
+            F.col("ts_ms")
+            + RPO_BASE_MS
+            + hash31(F.concat(F.lit("rep:"), F.col("lsn").cast("string")), mod=2_147_483_647)
+            % RPO_JITTER_MS
+        ).alias("arrival_ms"),
+    )
+    tf = rec.agg(
+        F.expr(
+            f"min(ts_ms) + ((max(ts_ms) - min(ts_ms)) * {RPO_FAIL_NUM}) div {RPO_FAIL_DEN}"
+        ).alias("t_fail")
+    )
+    r = rec.crossJoin(F.broadcast(tf))
+    # replica applied position: longest prefix with every arrival <= t_fail
+    gap = r.filter(F.col("arrival_ms") > F.col("t_fail")).agg(
+        F.min("lsn").alias("first_missing")
+    )
+    audit = (
+        r.crossJoin(F.broadcast(gap))
+        .withColumn(
+            "applied_upto",
+            F.coalesce(F.col("first_missing") - 1, F.expr("9223372036854775807")),
+        )
+        .groupBy("t_fail", "applied_upto")
+        .agg(
+            F.max(F.when(F.col("ts_ms") <= F.col("t_fail"), F.col("lsn"))).alias(
+                "primary_lsn"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("ts_ms") <= F.col("t_fail"))
+                    & (F.col("lsn") > F.col("applied_upto")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rpo_events"),
+            F.count_distinct(
+                F.when(
+                    (F.col("ts_ms") <= F.col("t_fail"))
+                    & (F.col("lsn") > F.col("applied_upto")),
+                    F.col("pk"),
+                )
+            )
+            .cast("long")
+            .alias("rpo_keys"),
+            F.max(
+                F.when(F.col("lsn") <= F.col("applied_upto"), F.col("ts_ms"))
+            ).alias("replica_ts"),
+            F.max(F.when(F.col("ts_ms") <= F.col("t_fail"), F.col("ts_ms"))).alias(
+                "primary_ts"
+            ),
+        )
+    )
+    return audit.select(
+        "t_fail",
+        "primary_lsn",
+        F.col("applied_upto").alias("replica_lsn"),
+        "rpo_events",
+        "rpo_keys",
+        (F.col("primary_ts") - F.col("replica_ts")).alias("rpo_ms"),
+        (F.col("rpo_events") == 0).alias("zero_loss"),
+    )
+
+
+# BIGINT-safe 31-fold at the wide modulus (jitter needs more entropy than the
+# reference's 9973-mod hash can give; INT32 accumulators would overflow)
+_RPO_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+    "for c in string_split('rep:' || CAST(lsn AS VARCHAR), '')]), "
+    "(a, c) -> (a*31 + c) % 2147483647)"
+)
+
+_RPO_SQL = (
+    _with(
+        WAL_SQL,
+        f"""
+rec AS (
+  SELECT lsn, pk, ts_ms,
+         ts_ms + {RPO_BASE_MS} + ({_RPO_HASH}) % {RPO_JITTER_MS} AS arrival_ms
+  FROM wal
+),
+tf AS (
+  SELECT min(ts_ms) + ((max(ts_ms) - min(ts_ms)) * {RPO_FAIL_NUM}) // {RPO_FAIL_DEN} AS t_fail
+  FROM rec
+),
+gap AS (
+  SELECT COALESCE(min(lsn) - 1, 9223372036854775807) AS applied_upto
+  FROM rec, tf WHERE arrival_ms > t_fail
+)
+""",
+    )
+    + """
+SELECT t_fail,
+       max(CASE WHEN ts_ms <= t_fail THEN lsn END) AS primary_lsn,
+       applied_upto AS replica_lsn,
+       CAST(sum(CASE WHEN ts_ms <= t_fail AND lsn > applied_upto THEN 1 ELSE 0 END) AS BIGINT) AS rpo_events,
+       CAST(count(DISTINCT CASE WHEN ts_ms <= t_fail AND lsn > applied_upto THEN pk END) AS BIGINT) AS rpo_keys,
+       max(CASE WHEN ts_ms <= t_fail THEN ts_ms END)
+         - max(CASE WHEN lsn <= applied_upto THEN ts_ms END) AS rpo_ms,
+       sum(CASE WHEN ts_ms <= t_fail AND lsn > applied_upto THEN 1 ELSE 0 END) = 0 AS zero_loss
+FROM rec, tf, gap
+GROUP BY t_fail, applied_upto
+"""
+)
+
+QUERIES["cdc_replica_promotion"] = cdc_replica_promotion
+ORACLE["cdc_replica_promotion"] = _RPO_SQL

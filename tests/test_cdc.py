@@ -222,3 +222,18 @@ def test_slo_budget_accounting(spark):
     assert r["slo_met"] == met
     if r["budget_hours"] > 0:
         assert r["burn_bp"] == 10000 * r["hours_bad"] // r["budget_hours"]
+
+
+def test_replica_promotion_rpo_accounting(spark):
+    from lets_talk_cdc_change_feed_playground_spark.operators.replication_queries import (
+        cdc_replica_promotion,
+    )
+
+    r = cdc_replica_promotion(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["replica_lsn"] <= r["primary_lsn"]
+    assert r["rpo_events"] == r["primary_lsn"] - r["replica_lsn"]  # dense LSNs
+    assert r["rpo_keys"] <= r["rpo_events"]
+    assert r["zero_loss"] == (r["rpo_events"] == 0)
+    # with an hour of jitter against minutes of event spacing, the async
+    # replica genuinely trails at failover
+    assert r["rpo_events"] > 0 and r["rpo_ms"] > 0
