@@ -52,6 +52,7 @@ from lets_talk_cdc_change_feed_playground_spark.operators.playground_queries imp
     _PCT,
     _bus_sql,
 )
+from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
 
 GDPR_MOD = 7  # ~1/7 of keys request erasure: hash31('gdpr:'||pk) % 7 == 0
 
@@ -164,13 +165,19 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["seq", "t", "pk", "op", "event_type", "value", "props"]
     # single pass over the feed: keep a row unless its key requested erasure
-    # AND it is a post-request write (broadcast flag join, no second scan)
+    # AND it is a post-request write (broadcast flag join, no second scan).
+    # Session-shared: all three capture lanes below consume this frame, so
+    # materialize it once instead of rebuilding per lane.
     req_flag = requested.withColumn("__req", F.lit(True))
-    src2 = (
-        base.join(F.broadcast(req_flag), "pk", "left")
-        .filter((F.col("t") <= F.col("t_req")) | F.col("__req").isNull())
-        .select(*cols)
-        .unionByName(tomb)
+    src2 = shared_df(
+        spark,
+        ("gdpr_src2", sf_dir),
+        lambda: (
+            base.join(F.broadcast(req_flag), "pk", "left")
+            .filter((F.col("t") <= F.col("t_req")) | F.col("__req").isNull())
+            .select(*cols)
+            .unionByName(tomb)
+        ),
     )
     late = (
         base.join(F.broadcast(requested), "pk", "semi")
@@ -180,27 +187,32 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_req = requested.agg(F.count(F.lit(1)).cast("long").alias("n_requested"))
 
     def lane_stats(events: DataFrame, method: str, order_col: str, has_d: bool) -> DataFrame:
+        # one aggregation pass per lane — tombstone and resident counters come
+        # out of the same scan, so each capture plan is evaluated exactly once
         ev = events.join(F.broadcast(requested), "pk", "semi")
-        tombs = ev.filter(F.col("op") == "d") if has_d else ev.filter(F.lit(False))
         if has_d:
             w = W.partitionBy("pk").orderBy(F.desc(order_col))
-            resident = (
-                ev.withColumn("__rn", F.row_number().over(w))
-                .filter((F.col("__rn") == 1) & (F.col("op") != "d"))
+            stats = ev.withColumn("__rn", F.row_number().over(w)).agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("op") == "d", 1)), F.lit(0)
+                ).cast("long").alias("tombstones_emitted"),
+                F.coalesce(
+                    F.sum(F.when((F.col("__rn") == 1) & (F.col("op") != "d"), 1)),
+                    F.lit(0),
+                ).cast("long").alias("resident_after"),
             )
         else:
             # polling (hard deletes invisible): a key stays resident in the
             # sink as soon as it was ever emitted
-            resident = ev.select("pk").distinct()
-        return (
-            tombs.agg(F.count(F.lit(1)).cast("long").alias("tombstones_emitted"))
-            .crossJoin(resident.agg(F.count(F.lit(1)).cast("long").alias("resident_after")))
-            .select(
-                F.lit(method).alias("method"),
-                "tombstones_emitted",
-                "resident_after",
-                (F.col("resident_after") == 0).alias("erasure_complete"),
+            stats = ev.agg(
+                F.lit(0).cast("long").alias("tombstones_emitted"),
+                F.count_distinct(F.col("pk")).cast("long").alias("resident_after"),
             )
+        return stats.select(
+            F.lit(method).alias("method"),
+            "tombstones_emitted",
+            "resident_after",
+            (F.col("resident_after") == 0).alias("erasure_complete"),
         )
 
     wal = capture.log_capture_ops(src2)

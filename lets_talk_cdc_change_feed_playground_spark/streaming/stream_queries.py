@@ -1346,11 +1346,14 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch query exactly (same oracle), which proves the maintained state
     never drifts from the recomputed truth across batch boundaries.
 
-    Scale notes: state lives in parquet keyed by the same columns the batch
-    variant shuffles on (pk / event_type); per batch the dim-side deltas are
-    broadcast and only scalar stats reach the driver.  At 100 TB the state
-    dirs become Delta tables and the memory accumulators a metrics sink —
-    the foreachBatch body is unchanged."""
+    Scale notes: the fact-side R state lives in parquet keyed by the same
+    column the batch variant shuffles on (pk) and is read ONCE per batch
+    (persisted across its three consumers); the dim side S is one row per
+    event type — bounded, not data-sized — so it rides in the driver between
+    batches exactly like a broadcast variable, and its deltas enter the
+    delta-rule joins as broadcasts.  Only scalar stats reach the driver.  At
+    100 TB the R state dir becomes a Delta table and the memory accumulators
+    a metrics sink — the foreachBatch body is unchanged."""
     from lets_talk_cdc_change_feed_playground_spark.operators import ivm_queries as IVM
 
     ops = ops_feed(spark, sf_dir)
@@ -1363,41 +1366,62 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["event_type"] for r in ops.select("event_type").distinct().collect()
     ]
 
-    # stage one chunk file per maintenance epoch, oldest-first
+    # stage one chunk file per maintenance epoch, oldest-first — a single
+    # partitionBy pass (one scan) instead of one filtered scan per epoch
     key = (spark.sparkContext.applicationId, sf_dir, "ivm")
     if key not in _staged:
         out = tempfile.mkdtemp(prefix="sg_ivm_chunks_")
         flat = os.path.join(out, "flat")
         os.makedirs(flat)
+        pdir = os.path.join(out, "by_epoch")
+        # partitionBy lifts its column out of the data files, so write a
+        # throwaway copy and keep `epoch` itself inside every row
+        (
+            opse.withColumn("epoch_dir", F.col("epoch"))
+            .repartition("epoch_dir")
+            .write.partitionBy("epoch_dir")
+            .parquet(pdir)
+        )
         for i, e in enumerate(epochs):
-            cdir = os.path.join(out, f"c{i}")
-            opse.filter(F.col("epoch") == e).coalesce(1).write.parquet(cdir)
-            part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-            os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+            cdir = os.path.join(pdir, f"epoch_dir={e}")
+            parts = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+            for j, part in enumerate(parts):
+                os.rename(
+                    os.path.join(cdir, part), os.path.join(flat, f"{i:02d}_{j}.parquet")
+                )
         _staged[key] = flat
 
     state_root = tempfile.mkdtemp(prefix="sg_ivm_state_")
     results: list[tuple] = []
-    running = {"view_rows": 0, "r_dir": None, "s_dir": None}
+    # The dim side S is tiny by construction (one row per event type), so its
+    # state rides in the driver between batches exactly like a broadcast
+    # variable — only the arbitrarily large fact side R is parquet-versioned.
+    running = {"view_rows": 0, "r_dir": None, "s_state": {}}
 
     r_schema = "pk string, et string, val double"
     s_schema = "et string, present boolean, bucket long"
 
     def maintain(bdf: DataFrame, bid: int) -> None:
         sp = bdf.sparkSession
-        epoch = bdf.agg(F.min("epoch").alias("e")).collect()[0]["e"]
+        # one pass over the micro-batch covers the epoch id AND the dense
+        # per-type op counts (two collects merged into one)
+        count_rows = (
+            bdf.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("epoch").alias("e"))
+            .collect()
+        )
+        epoch = min(r["e"] for r in count_rows)
+        # fact-side state feeds three plans this batch (R-delta join, the
+        # delta-rule term 2 and the anti-join rewrite) — read parquet once
         r_old = (
-            sp.read.parquet(running["r_dir"])
+            sp.read.parquet(running["r_dir"]).persist()
             if running["r_dir"]
             else sp.createDataFrame([], r_schema)
         )
-        s_old = (
-            sp.read.parquet(running["s_dir"])
-            if running["s_dir"]
-            else sp.createDataFrame([], s_schema)
-        )
+        olds = running["s_state"]
 
         # -- R delta: batch-final state per touched key vs held state --
+        # persisted: it feeds the delta join here AND the state rewrite below
         last = bdf.groupBy("pk").agg(
             F.max_by(
                 F.struct(
@@ -1407,7 +1431,7 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("seq"),
             ).alias("st")
-        )
+        ).persist()
         oldr = r_old.select(
             F.col("pk").alias("opk"), F.col("et").alias("oet"), F.col("val").alias("oval")
         )
@@ -1438,10 +1462,7 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         # -- S delta: dense per-type hot state of THIS epoch vs held state --
-        counts = {
-            r["event_type"]: r["n"]
-            for r in bdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        counts = {r["event_type"]: r["n"] for r in count_rows}
         total = sum(counts.values())
         s_new_rows = [
             (
@@ -1452,9 +1473,6 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for et in sorted(all_types)
         ]
         s_new = sp.createDataFrame(s_new_rows, s_schema)
-        olds = {
-            r["et"]: (r["present"], r["bucket"]) for r in s_old.collect()
-        }
         ds_rows = []
         for et, present, bucket in s_new_rows:
             p_present, p_bucket = olds.get(et, (False, None))
@@ -1467,7 +1485,10 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_s = sp.createDataFrame(ds_rows, "det string, w long, bucket long")
 
         # -- the three delta-rule terms, one action via union --
-        s_old_hot = s_old.filter("present").select(F.col("et").alias("het"))
+        s_old_hot = sp.createDataFrame(
+            [(et,) for et, (present, _b) in sorted(olds.items()) if present],
+            "het string",
+        )
         t1 = d_r.join(F.broadcast(s_old_hot), F.col("et") == F.col("het")).select(
             F.col("w").cast("long").alias("wv")
         )
@@ -1480,16 +1501,20 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(d_s), F.col("ret") == F.col("det"))
             .select((F.col("rw") * F.col("w")).cast("long").alias("wv"))
         )
-        dv_net = int(
-            t1.unionByName(t2).unionByName(t3)
+        # the net-delta sum and the gross insert/delete counters share one
+        # action (two single-row aggregates cross-joined)
+        dv_agg = (
+            t1.unionByName(t2)
+            .unionByName(t3)
             .agg(F.coalesce(F.sum("wv"), F.lit(0)).alias("v"))
-            .collect()[0]["v"]
         )
-        gross = d_r.agg(
+        gross_agg = d_r.agg(
             F.coalesce(F.sum(F.when(F.col("w") == 1, 1)), F.lit(0)).alias("i"),
             F.coalesce(F.sum(F.when(F.col("w") == -1, 1)), F.lit(0)).alias("d"),
-        ).collect()[0]
-        d_r_ins, d_r_del = gross["i"], gross["d"]
+        )
+        stats = dv_agg.crossJoin(gross_agg).collect()[0]
+        dv_net = int(stats["v"])
+        d_r_ins, d_r_del = stats["i"], stats["d"]
         d_s_ins = sum(1 for r in ds_rows if r[1] == 1)
         d_s_del = sum(1 for r in ds_rows if r[1] == -1)
 
@@ -1503,9 +1528,7 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         r_dir = os.path.join(state_root, f"r{bid}")
-        s_dir = os.path.join(state_root, f"s{bid}")
         r_new.write.parquet(r_dir)
-        s_new.write.parquet(s_dir)
 
         # -- recompute audit on the NEW state --
         direct = (
@@ -1517,8 +1540,14 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
         d_r.unpersist()
+        last.unpersist()
+        if running["r_dir"]:
+            r_old.unpersist()
         running["view_rows"] += dv_net
-        running["r_dir"], running["s_dir"] = r_dir, s_dir
+        running["r_dir"] = r_dir
+        running["s_state"] = {
+            et: (present, bucket) for et, present, bucket in s_new_rows
+        }
         results.append(
             (
                 int(epoch), int(d_r_ins), int(d_r_del), int(d_s_ins), int(d_s_del),
