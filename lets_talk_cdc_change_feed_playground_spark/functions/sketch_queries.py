@@ -902,3 +902,164 @@ ORDER BY event_type, alert
 """
 
 QUERIES["events_ewma_alerts"] = events_ewma_alerts
+
+
+# ---------------------------------------------------------------------------
+# HLL-style register sketch (register-max mergeable distinct count)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (6 index bits)
+HLL_W = 25  # value bits left of the index at the 2^31-1 hash modulus
+HLL_RMAX = HLL_W + 1  # register ceiling: rho(0-valued remainder)
+#: alpha_64 = 0.709 (Flajolet et al. 2007, m = 64) as an exact rational so
+#: the bias-corrected estimate is pure integer arithmetic on both engines.
+HLL_ALPHA_NUM = 709
+HLL_ALPHA_DEN = 1000
+#: alpha*m^2*2^RMAX — the estimate numerator, precomputed exactly in Python.
+_HLL_EST_NUM = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RMAX)
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users via an HLL-style register sketch + exact merge.
+
+    The third mergeable-sketch family next to KMV (k-min order statistics)
+    and theta (threshold sampling): HLL keeps, per register ``j = h mod 64``,
+    the MAX leading-zero rank ``rho`` of the remaining hash bits — so the
+    per-day shard sketches merge into the global sketch by register-wise
+    ``max``, the same lossless-merge contract a 1000-executor fleet needs
+    (ship 64 small ints per shard, never re-scan).  The day = -1 row is
+    built **only** from the per-day registers, proving the merge.
+
+    Determinism: the reference's 31-fold hash re-mixed by the Knuth
+    multiplier (both exact integers), ``rho`` from the binary-string length
+    (no float log2), and the alpha_64 bias correction applied as an exact
+    rational — value-identical on Spark and DuckDB.  The float-free price:
+    no small-range linear-counting correction (reported ``abs_err_pm``
+    audits the raw estimator against the exact distinct count).
+
+    Scale: one groupBy(day, j) over the events scan, then all arithmetic on
+    <= 64 rows per shard; the exact audit twin is the full count_distinct
+    shuffle the sketch path avoids at 100 TB.
+    """
+    ev = load_events(spark, sf_dir)
+    keyed = ev.select(
+        F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {DAY_MS}").alias("day"),
+        (
+            (hash31(F.col("user_id").cast("string"), mod=KMV_P) * THETA_MIX) % KMV_P
+        ).alias("h"),
+        F.col("user_id"),
+    )
+    regs = keyed.select(
+        "day",
+        (F.col("h") % HLL_M).alias("j"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    ).select(
+        "day",
+        "j",
+        F.when(F.col("w") == 0, F.lit(HLL_RMAX))
+        .otherwise(F.lit(HLL_RMAX) - F.length(F.expr("bin(w)")))
+        .alias("rho"),
+    )
+    day_regs = regs.groupBy("day", "j").agg(F.max("rho").alias("m"))
+    # global sketch from the shard sketches only (register-wise max)
+    merged = (
+        day_regs.groupBy("j")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit(-1).cast("long").alias("day"), "j", "m")
+    )
+    allregs = day_regs.unionByName(merged)
+    # S = sum over all 64 registers of 2^(RMAX - M[j]); absent registers
+    # carry M = 0. Exact BIGINT: S <= 64 * 2^26.
+    est = (
+        allregs.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nonzero_registers"),
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - m)")).alias("s_present"),
+        )
+        .select(
+            "day",
+            "nonzero_registers",
+            (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.col("nonzero_registers")) * F.lit(1 << HLL_RMAX)
+            ).alias("s_scaled"),
+        )
+        .select(
+            "day",
+            "nonzero_registers",
+            "s_scaled",
+            F.expr(f"cast({_HLL_EST_NUM} as bigint) div ({HLL_ALPHA_DEN} * s_scaled)").alias("hll_est"),
+        )
+    )
+    exact_day = keyed.groupBy("day").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_distinct")
+    )
+    exact_all = keyed.agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_distinct")
+    ).select(F.lit(-1).cast("long").alias("day"), "exact_distinct")
+    exact = exact_day.unionByName(exact_all)
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "nonzero_registers",
+            "s_scaled",
+            "hll_est",
+            "exact_distinct",
+            F.expr("abs(hll_est - exact_distinct) * 1000 div exact_distinct").alias("abs_err_pm"),
+        )
+        .orderBy("day")
+    )
+
+
+_HLL_HASH = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) "
+    "for c in string_split(CAST(user_id AS VARCHAR), '')]), "
+    f"(a, c) -> (a*31 + c) % {KMV_P}) * {THETA_MIX}) % {KMV_P}"
+)
+
+ORACLE["events_hll_distinct"] = f"""
+WITH keyed AS (
+  SELECT epoch_ms(ts) // {DAY_MS} AS day, {_HLL_HASH} AS h, user_id
+  FROM events
+),
+regs AS (
+  SELECT day, h % {HLL_M} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN {HLL_RMAX}
+              ELSE {HLL_RMAX} - length(bin(h // {HLL_M})) END AS rho
+  FROM keyed
+),
+day_regs AS (SELECT day, j, max(rho) AS m FROM regs GROUP BY day, j),
+merged AS (
+  SELECT CAST(-1 AS BIGINT) AS day, j, max(m) AS m FROM day_regs GROUP BY j
+),
+allregs AS (
+  SELECT day, j, m FROM day_regs UNION ALL SELECT day, j, m FROM merged
+),
+est AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS nonzero_registers,
+         sum(1::BIGINT << ({HLL_RMAX} - m))
+           + ({HLL_M} - count(*)) * {1 << HLL_RMAX} AS s_scaled
+  FROM allregs GROUP BY day
+),
+est2 AS (
+  SELECT day, nonzero_registers, CAST(s_scaled AS BIGINT) AS s_scaled,
+         CAST({_HLL_EST_NUM} AS BIGINT) // ({HLL_ALPHA_DEN} * CAST(s_scaled AS BIGINT)) AS hll_est
+  FROM est
+),
+exact_day AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM keyed GROUP BY day
+),
+exact AS (
+  SELECT day, exact_distinct FROM exact_day
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT) FROM keyed
+)
+SELECT e.day, nonzero_registers, s_scaled, hll_est, exact_distinct,
+       abs(hll_est - exact_distinct) * 1000 // exact_distinct AS abs_err_pm
+FROM est2 e JOIN exact x ON e.day = x.day
+ORDER BY e.day
+"""
+
+QUERIES["events_hll_distinct"] = events_hll_distinct

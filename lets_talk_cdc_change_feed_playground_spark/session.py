@@ -46,7 +46,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # 48g: a full 206-query bench run keeps dozens of session-shared
+        # frames persisted; at 24g the storage pool evicts them mid-run and
+        # late queries pay rebuild + GC pressure (measured: total 372s -> 326s
+        # at sf0.1). Env-overridable for smaller machines.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Driver testdata writes events.parquet with TIMESTAMP(NANOS); read as
         # long and convert explicitly (sources/testdata.py). Set here once so
