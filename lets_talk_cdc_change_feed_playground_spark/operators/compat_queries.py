@@ -62,7 +62,15 @@ def cdc_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("t", "seq")).alias("first"),
         F.max(F.struct("t", "seq")).alias("last"),
     )
-    ops = cols.select("table", "t", "seq").distinct()
+    # every event carries the two always-present columns, so the distinct
+    # (table, t, seq) op set IS the events projection (event_id is unique) —
+    # a plain scan instead of a distinct shuffle over the exploded frame
+    ev = load_events(spark, sf_dir)
+    ops = ev.select(
+        F.col("event_type").alias("table"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"),
+        F.col("event_id").alias("seq"),
+    )
     tbl = ops.groupBy("table").agg(
         F.min(F.struct("t", "seq")).alias("t0"), F.count(F.lit(1)).alias("n_ops")
     )
