@@ -416,3 +416,190 @@ GROUP BY t_fail, applied_upto
 
 QUERIES["cdc_replica_promotion"] = cdc_replica_promotion
 ORACLE["cdc_replica_promotion"] = _RPO_SQL
+
+
+# ---------------------------------------------------------------------------
+# Quorum reads: R+W>N intersection audit + read-repair backlog
+# ---------------------------------------------------------------------------
+
+QR_N = 3  # replicas per key
+#: fraction of writes that also reach the third replica (the async straggler)
+QR_FULL_NUM, QR_FULL_DEN = 7, 10
+
+
+def cdc_quorum_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamo-style quorum consistency audit over the change feed.
+
+    Every write lands synchronously on W = 2 of N = 3 replicas (primary =
+    ``hash(pk) mod 3`` and its successor); the third replica receives it
+    asynchronously and only ``QR_FULL_NUM/QR_FULL_DEN`` of writes have
+    arrived there.  Reads pick a deterministic per-key read set and the
+    audit counts stale answers at two read sizes:
+
+    - ``stale_reads_r1`` (R = 1): reads that hit the straggler replica
+      while it is behind — R + W = 3 = N does NOT guarantee intersection;
+    - ``stale_reads_r2`` (R = 2): any 2-subset of 3 replicas intersects any
+      write quorum, so the max version visible across the read set is
+      always current — ``quorum_holds`` asserts zero stale reads, the
+      R + W > N theorem as a data test.
+
+    Per-replica rows report hosting counts and the read-repair backlog
+    (keys where the replica's version trails the key's latest) — what an
+    anti-entropy pass (see ``cdc_anti_entropy``) must reconcile.
+
+    Scale: one fan-out to (replica, write) rows (bounded x3), two keyed
+    aggregations and pk-equi-joins; no data-sized windows, no RNG
+    (replica choice and async arrival are hash-derived, reproducible).
+    """
+    ops = ops_feed(spark, sf_dir)
+    writes = ops.select(
+        "pk",
+        "seq",
+        (hash31(F.col("pk")) % QR_N).alias("p0"),
+        (
+            hash31(F.concat(F.lit("w:"), F.col("seq").cast("string"))) % QR_FULL_DEN
+            < QR_FULL_NUM
+        ).alias("full_rep"),
+    )
+    landed = (
+        writes.select("pk", "seq", F.col("p0").alias("replica"))
+        .unionByName(writes.select("pk", "seq", ((F.col("p0") + 1) % QR_N).alias("replica")))
+        .unionByName(
+            writes.filter("full_rep").select(
+                "pk", "seq", ((F.col("p0") + 2) % QR_N).alias("replica")
+            )
+        )
+    )
+    rstate = landed.groupBy("replica", "pk").agg(F.max("seq").alias("rv"))
+    latest = ops.groupBy("pk").agg(F.max("seq").alias("latest")).select(
+        "pk",
+        "latest",
+        (hash31(F.concat(F.lit("r:"), F.col("pk"))) % QR_N).alias("r1"),
+    )
+    a = rstate.select(F.col("pk").alias("apk"), F.col("replica").alias("ar"), F.col("rv").alias("v1"))
+    b = rstate.select(F.col("pk").alias("bpk"), F.col("replica").alias("br"), F.col("rv").alias("v2"))
+    reads = (
+        latest.join(a, (F.col("apk") == F.col("pk")) & (F.col("ar") == F.col("r1")), "left")
+        .join(
+            b,
+            (F.col("bpk") == F.col("pk")) & (F.col("br") == (F.col("r1") + 1) % QR_N),
+            "left",
+        )
+        .select(
+            "pk",
+            "latest",
+            F.coalesce("v1", F.lit(-1)).alias("v1"),
+            F.greatest(F.coalesce("v1", F.lit(-1)), F.coalesce("v2", F.lit(-1))).alias("v12"),
+        )
+    )
+    stale = reads.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.coalesce(F.sum(F.when(F.col("v1") < F.col("latest"), 1)), F.lit(0))
+        .cast("long")
+        .alias("stale_reads_r1"),
+        F.coalesce(F.sum(F.when(F.col("v12") < F.col("latest"), 1)), F.lit(0))
+        .cast("long")
+        .alias("stale_reads_r2"),
+    )
+    per_replica = (
+        rstate.join(latest.select("pk", "latest"), "pk")
+        .groupBy(F.col("replica").cast("long").alias("replica"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("keys_hosted"),
+            F.coalesce(F.sum(F.when(F.col("rv") < F.col("latest"), 1)), F.lit(0))
+            .cast("long")
+            .alias("keys_behind"),
+        )
+        .select(
+            "replica",
+            "keys_hosted",
+            "keys_behind",
+            F.lit(None).cast("long").alias("stale_reads_r1"),
+            F.lit(None).cast("long").alias("stale_reads_r2"),
+            F.lit(None).cast("boolean").alias("quorum_holds"),
+        )
+    )
+    behind_total = (
+        rstate.join(latest.select("pk", "latest"), "pk")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("rv") < F.col("latest"), 1)), F.lit(0))
+            .cast("long")
+            .alias("keys_behind")
+        )
+    )
+    verdict = stale.crossJoin(behind_total).select(
+        F.lit(-1).cast("long").alias("replica"),
+        F.col("n_keys").alias("keys_hosted"),
+        "keys_behind",
+        "stale_reads_r1",
+        "stale_reads_r2",
+        (F.col("stale_reads_r2") == 0).alias("quorum_holds"),
+    )
+    return per_replica.unionByName(verdict).orderBy("replica")
+
+
+_H_W = hash31_sql("'w:' || CAST(seq AS VARCHAR)")
+_H_R = hash31_sql("'r:' || pk")
+_H_PK = hash31_sql("pk")
+
+_QUORUM_SQL = (
+    _with()
+    + f"""
+, writes AS (
+  SELECT pk, seq, ({_H_PK}) % {QR_N} AS p0,
+         ({_H_W}) % {QR_FULL_DEN} < {QR_FULL_NUM} AS full_rep
+  FROM src
+),
+landed AS (
+  SELECT pk, seq, p0 AS replica FROM writes
+  UNION ALL SELECT pk, seq, (p0 + 1) % {QR_N} FROM writes
+  UNION ALL SELECT pk, seq, (p0 + 2) % {QR_N} FROM writes WHERE full_rep
+),
+rstate AS (SELECT replica, pk, max(seq) AS rv FROM landed GROUP BY 1, 2),
+latest AS (
+  SELECT pk, max(seq) AS latest, ({_H_R}) % {QR_N} AS r1
+  FROM src GROUP BY pk
+),
+reads AS (
+  SELECT l.pk, l.latest,
+         COALESCE(a.rv, -1) AS v1,
+         greatest(COALESCE(a.rv, -1), COALESCE(b.rv, -1)) AS v12
+  FROM latest l
+  LEFT JOIN rstate a ON a.pk = l.pk AND a.replica = l.r1
+  LEFT JOIN rstate b ON b.pk = l.pk AND b.replica = (l.r1 + 1) % {QR_N}
+),
+stale AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(count(*) FILTER (WHERE v1 < latest) AS BIGINT) AS stale_reads_r1,
+         CAST(count(*) FILTER (WHERE v12 < latest) AS BIGINT) AS stale_reads_r2
+  FROM reads
+),
+joined AS (
+  SELECT r.replica, r.rv, l.latest
+  FROM rstate r JOIN latest l ON r.pk = l.pk
+),
+per_replica AS (
+  SELECT CAST(replica AS BIGINT) AS replica,
+         CAST(count(*) AS BIGINT) AS keys_hosted,
+         CAST(count(*) FILTER (WHERE rv < latest) AS BIGINT) AS keys_behind
+  FROM joined GROUP BY 1
+),
+behind AS (
+  SELECT CAST(count(*) FILTER (WHERE rv < latest) AS BIGINT) AS keys_behind
+  FROM joined
+)
+SELECT replica, keys_hosted, keys_behind,
+       CAST(NULL AS BIGINT) AS stale_reads_r1,
+       CAST(NULL AS BIGINT) AS stale_reads_r2,
+       CAST(NULL AS BOOLEAN) AS quorum_holds
+FROM per_replica
+UNION ALL
+SELECT CAST(-1 AS BIGINT), n_keys, behind.keys_behind,
+       stale_reads_r1, stale_reads_r2, stale_reads_r2 = 0
+FROM stale, behind
+ORDER BY replica
+"""
+)
+
+QUERIES["cdc_quorum_reads"] = cdc_quorum_reads
+ORACLE["cdc_quorum_reads"] = _QUORUM_SQL
