@@ -86,7 +86,10 @@ def _capture_group(
         exists, ev, val, props = False, None, None, None
 
     out: list[dict] = []
-    for pdf in pdf_iter:
+    # a key's batch slice can arrive as multiple Arrow frames — sort the
+    # concatenated slice, never per frame (the fold is order-sensitive)
+    pdfs = list(pdf_iter)
+    for pdf in pdfs[:1] if len(pdfs) == 1 else [pd.concat(pdfs, ignore_index=True)]:
         pdf = pdf.sort_values(["t", "seq"])
         for row in pdf.itertuples(index=False):
             op = row.op

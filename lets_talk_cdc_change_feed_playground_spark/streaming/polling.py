@@ -99,7 +99,10 @@ def _poll_group_factory(poll_ms: int, include_soft_deletes: bool):
                 }
             )
 
-        for pdf in pdf_iter:
+        # concat before sorting: a key's slice may span Arrow frames and the
+        # poll-window fold is order-sensitive
+        pdfs = list(pdf_iter)
+        for pdf in pdfs if len(pdfs) <= 1 else [pd.concat(pdfs, ignore_index=True)]:
             for row in pdf.sort_values(["t", "seq"]).itertuples(index=False):
                 poll_id = row.t // poll_ms
                 if dirty and poll_id > pending:
@@ -178,7 +181,9 @@ def _trigger_group_factory(overhead_ms: int):
             has_data, ev, val, props = False, None, None, None
 
         out: list[dict] = []
-        for pdf in pdf_iter:
+        # concat before sorting (order-sensitive fold across Arrow frames)
+        pdfs = list(pdf_iter)
+        for pdf in pdfs if len(pdfs) <= 1 else [pd.concat(pdfs, ignore_index=True)]:
             for row in pdf.sort_values(["t", "seq"]).itertuples(index=False):
                 commit = row.t + overhead_ms
                 before = (ev, val, props) if has_data else (None, None, None)

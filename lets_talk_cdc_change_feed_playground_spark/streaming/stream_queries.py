@@ -1293,7 +1293,13 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (part,) = key
         u = state.get[0] if state.exists else None
         out: list[dict] = []
-        for pdf in pdf_iter:
+        # Arrow delivers a key's batch slice as MULTIPLE frames once it
+        # exceeds maxRecordsPerBatch — sort the whole slice, never per frame
+        # (per-frame sorting silently breaks the running-max recurrence the
+        # first time a group passes ~10k rows; found by the sf0.1 sweep).
+        pdfs = list(pdf_iter)
+        whole = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        for pdf in [whole]:
             pdf = pdf.sort_values(["delivery_ts", "lsn"])
             for row in pdf.itertuples(index=False):
                 base = (row.delivery_ts // tick_ms) * _RATE_PER_TICK

@@ -51,6 +51,9 @@ AUDITED = [
     ("cdc_wal_hashchain", "segment chains fold in parallel per hour; the only sequential chain is one row per segment"),
     ("cdc_anti_entropy", "bucket summaries first; the full-outer drill-down joins only diverged buckets (broadcast)"),
     ("cdc_mirror_maker", "per-partition dense offsets two-phase; one conditional-aggregation audit pass"),
+    ("events_hll_distinct", "sketch math on <=64 register rows per shard; global sketch merged from registers only"),
+    ("cdc_barrier_snapshot", "zone classification is one projection over the shared bus; all three recovery diffs from a single per-pk master join + one aggregation"),
+    ("cdc_quorum_reads", "bounded x3 replica fan-out, pk-equi-joins, verdict in one conditional aggregation"),
 ]
 
 
