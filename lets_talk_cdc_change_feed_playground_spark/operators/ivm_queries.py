@@ -114,6 +114,9 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_r.select("pk", "epoch", F.explode(F.array("ins", "del")).alias("d"))
         .filter(F.col("d").isNotNull())
         .select("pk", "epoch", F.col("d.w").alias("w"), F.col("d.et").alias("et"), F.col("d.val").alias("val"))
+        # session-persisted: three consumers (term1, term3, gross counters)
+        # would otherwise re-derive the per-(pk, epoch) fold from the scan
+        .persist()
     )
 
     # R state versions with validity [epoch, next active epoch) — feeds the
@@ -122,6 +125,7 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_chain.withColumn("valid_to", F.lead("epoch").over(wpk))
         .filter(F.col("st.alive"))
         .select("pk", F.col("epoch").alias("valid_from"), "valid_to", F.col("st.et").alias("et"))
+        .persist()  # consumed by term2 and the recompute audit
     )
 
     # ---- S state per (epoch, type), DENSE over the epoch x type grid ----
@@ -148,6 +152,9 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("cnt"), F.lit(0)) * HOT_DEN >= F.col("total")).alias("present"),
             F.expr("coalesce(cnt, 0) * 1000 div total").alias("bucket"),
         )
+        # epochs x types rows; consumed by s_chain, s_asof and the audit's
+        # hot set — persisting avoids re-deriving from the ops scan thrice
+        .persist()
     )
     wet = W.partitionBy("et").orderBy("sbe")
     s_chain = (
@@ -170,6 +177,7 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sbe", "et", F.explode(F.array("ins", "del")).alias("d"))
         .filter(F.col("d").isNotNull())
         .select("sbe", "et", F.col("d.w").alias("w"), F.col("d.bucket").alias("bucket"))
+        .persist()  # consumed by ds_prev/term3 and the gross counters
     )
 
     # S state as-of the PREVIOUS maintenance batch, per (echain epoch, type)
