@@ -2174,6 +2174,9 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # base of three chained rank passes — persist so each pass starts
+        # from the customer-grain aggregate, not the orders scan
+        .persist()
     )
     # quartile = equal-width rank bucket ((rank-1)*4 div n)+1 — rank via the
     # two-phase bucketed sequence, so no customer-sized single-task window
