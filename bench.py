@@ -1,8 +1,11 @@
 """Benchmark harness: times every registered query at the bench scale factor.
 
-Prints ONE machine-parseable JSON line:
+Prints ONE compact machine-parseable JSON line as the FINAL stdout line:
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "sf": 0.1, "n_queries": N, "detail": "BENCH_DETAIL.json"}
+The per-query timing map (~6 KB for 209 queries) is written to
+BENCH_DETAIL.json next to this script and echoed to stderr — the driver
+captures only a ~2 KB stdout tail, so the final line must stay small.
 
 Each query is fully materialized through the noop sink (forces execution of
 the whole plan — ``count()`` alone would let Catalyst prune unreferenced
@@ -123,7 +126,7 @@ def main() -> int:
             failures[name] = str(e).split("\n")[0][:200]
         print(f"# {name}: {timings.get(name, 'FAIL')}", file=sys.stderr, flush=True)
 
-    result = {
+    detail = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -132,8 +135,27 @@ def main() -> int:
         "n_queries": len(timings),
     }
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result), flush=True)
+        detail["failures"] = failures
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+
+    # Compact final stdout line (<200 bytes) — the driver's tail capture is
+    # ~2 KB, so the per-query map must NOT be on stdout (round 1 + 3 lesson).
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": detail["n_queries"],
+        "n_failures": len(failures),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary), flush=True)
     return 0 if not failures else 1
 
 
