@@ -454,7 +454,10 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_SCORE_SQL = f"""
+# Shared CTE prefix up through the per-doc `scored` frame — composed by BOTH
+# _LM_SCORE_SQL and _CCNET_SQL (no post-hoc string surgery on one to build
+# the other, which silently broke on any CTE rename).
+_LM_SCORED_CTES = f"""
 WITH {DOCS_T_SQL},
 bi AS (
   SELECT doc_id, toks[i] AS x, toks[i + 1] AS y
@@ -478,7 +481,9 @@ scored AS (
          CAST(sum(m.p_micro) // count(*) AS BIGINT) AS mean_p_micro
   FROM bi b JOIN model m ON b.x = m.x AND b.y = m.y
   GROUP BY b.doc_id
-),
+)"""
+
+_LM_SCORE_SQL = f"""{_LM_SCORED_CTES},
 th AS (SELECT percentile_disc({LM_LOW_BP / 10000}) WITHIN GROUP (ORDER BY mean_p_micro) AS cut FROM scored)
 SELECT s.doc_id, s.n_bigrams, s.mean_p_micro,
        s.mean_p_micro <= t.cut AS low_quality_flag
@@ -555,8 +560,8 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# reuse the judged LM-score CTE chain (everything before its threshold CTE)
-_CCNET_SQL = _LM_SCORE_SQL.split("th AS")[0].rstrip().rstrip(",") + f""",
+# reuse the judged LM-score CTE chain (everything through `scored`)
+_CCNET_SQL = _LM_SCORED_CTES + f""",
 ranked AS (
   SELECT s.doc_id, s.n_bigrams, s.mean_p_micro, d.lang,
          ntile(3) OVER (PARTITION BY d.lang

@@ -2174,10 +2174,14 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
-        # base of three chained rank passes — persist so each pass starts
-        # from the customer-grain aggregate, not the orders scan
-        .persist()
     )
+    # base of three chained rank passes — shared-persist so each pass starts
+    # from the customer-grain aggregate, not the orders scan, and repeated
+    # invocations reuse one cache entry instead of leaking persists
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    per_cust_plan = per_cust
+    per_cust = shared_df(spark, ("rfm_per_cust", sf_dir), lambda: per_cust_plan)
     # quartile = equal-width rank bucket ((rank-1)*4 div n)+1 — rank via the
     # two-phase bucketed sequence, so no customer-sized single-task window
     # (ntile would force one); identical closed form on both engines.

@@ -12,6 +12,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory(target_gb: int = 48) -> str:
+    """min(target, 70% of system RAM), floor 2g — the bench wants 48g for its
+    shared-frame pool, but a blind 48g default fails JVM startup or thrashes
+    on smaller hosts. SPARK_DRIVER_MEMORY overrides unconditionally."""
+    try:
+        total_b = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        cap_gb = max(2, int(total_b * 0.7 / (1 << 30)))
+    except (ValueError, OSError, AttributeError):
+        cap_gb = target_gb
+    return f"{min(target_gb, cap_gb)}g"
+
+
 def get_spark(
     app_name: str = "lets-talk-cdc-spark",
     master: str | None = None,
@@ -46,11 +58,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        # 48g: a full 206-query bench run keeps dozens of session-shared
+        # Target 48g: a full 209-query bench run keeps dozens of session-shared
         # frames persisted; at 24g the storage pool evicts them mid-run and
         # late queries pay rebuild + GC pressure (measured: total 372s -> 326s
-        # at sf0.1). Env-overridable for smaller machines.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # at sf0.1). Clamped to ~70% of detected system RAM so the default
+        # doesn't OOM-kill smaller hosts; SPARK_DRIVER_MEMORY overrides both.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Driver testdata writes events.parquet with TIMESTAMP(NANOS); read as
         # long and convert explicitly (sources/testdata.py). Set here once so

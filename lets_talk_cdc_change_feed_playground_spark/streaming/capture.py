@@ -89,7 +89,9 @@ def _capture_group(
     # a key's batch slice can arrive as multiple Arrow frames — sort the
     # concatenated slice, never per frame (the fold is order-sensitive)
     pdfs = list(pdf_iter)
-    for pdf in pdfs[:1] if len(pdfs) == 1 else [pd.concat(pdfs, ignore_index=True)]:
+    # <=1 guard: a timeout invocation delivers an EMPTY iterator, and
+    # pd.concat([]) raises — unreachable under NoTimeout but latent
+    for pdf in pdfs if len(pdfs) <= 1 else [pd.concat(pdfs, ignore_index=True)]:
         pdf = pdf.sort_values(["t", "seq"])
         for row in pdf.itertuples(index=False):
             op = row.op

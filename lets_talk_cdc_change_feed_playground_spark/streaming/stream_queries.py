@@ -31,6 +31,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -1298,6 +1299,8 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (per-frame sorting silently breaks the running-max recurrence the
         # first time a group passes ~10k rows; found by the sf0.1 sweep).
         pdfs = list(pdf_iter)
+        if not pdfs:  # timeout invocations deliver an empty iterator
+            return
         whole = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
         for pdf in [whole]:
             pdf = pdf.sort_values(["delivery_ts", "lsn"])
@@ -1388,13 +1391,21 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.partitionBy("epoch_dir")
             .parquet(pdir)
         )
+        # FileStreamSource orders files by modification time (path only breaks
+        # ties), and os.rename preserves each part file's task-write mtime —
+        # parallel task completions spanning >1ms would deliver epochs out of
+        # order into the order-sensitive maintenance fold. Pin oldest-first
+        # delivery explicitly with strictly increasing synthetic mtimes.
+        base = int(time.time())
+        n = 0
         for i, e in enumerate(epochs):
             cdir = os.path.join(pdir, f"epoch_dir={e}")
             parts = sorted(f for f in os.listdir(cdir) if f.endswith(".parquet"))
             for j, part in enumerate(parts):
-                os.rename(
-                    os.path.join(cdir, part), os.path.join(flat, f"{i:02d}_{j}.parquet")
-                )
+                dst = os.path.join(flat, f"{i:02d}_{j}.parquet")
+                os.rename(os.path.join(cdir, part), dst)
+                os.utime(dst, (base + n, base + n))
+                n += 1
         _staged[key] = flat
 
     state_root = tempfile.mkdtemp(prefix="sg_ivm_state_")

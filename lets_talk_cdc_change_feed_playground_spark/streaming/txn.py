@@ -65,6 +65,8 @@ def _assemble_group(
 ) -> Iterator[pd.DataFrame]:
     (tx_id,) = key
     pdfs = list(pdf_iter)
+    if not pdfs:  # timeout invocations deliver an empty iterator
+        return
     new = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
 
     # Fast path — the overwhelmingly common case at volume: the transaction
