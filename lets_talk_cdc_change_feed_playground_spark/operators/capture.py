@@ -71,10 +71,10 @@ def _merged_state(payload_col: str, keep_on_delete: bool):
     the row (``keep_on_delete=False``, LogEngine) or keeps its data under a
     soft-delete flag (``True``, TriggerEngine/PollingEngine).
 
-    Folds the key's event prefix per row — O(k²) work per key, intended for
-    scenario/fixture replay where feeds are tiny patches. High-volume feeds
-    (the driver tables, Debezium topics) carry full row images, where the
-    plain column path is exact and linear.
+    Catalyst prefix-fold formulation: folds the key's event prefix per row —
+    O(k²) work per key. Kept ONLY as the cross-check twin for
+    :func:`_merged_state_frame` (the linear production path); a hot key with
+    10⁵ patch events makes this 10¹⁰ struct copies.
     """
     wpk = W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, 0)
     prefix = F.collect_list(F.struct(F.col("op"), F.col(payload_col).alias("d"))).over(
@@ -90,6 +90,55 @@ def _merged_state(payload_col: str, keep_on_delete: bool):
         )
 
     return F.aggregate(prefix, _null_map(), step)
+
+
+def _merged_state_frame(
+    ops: DataFrame, payload_col: str, keep_on_delete: bool
+) -> DataFrame:
+    """Linear per-key row-store fold: ``(seq, t, pk, op, __st)`` where ``__st``
+    is the engine's post-image map after each event (same semantics as
+    :func:`_merged_state`, O(k) per key instead of O(k²)).
+
+    One ``applyInPandas`` pass grouped on pk — the same shuffle the window
+    formulation needs, but each key's slice is walked once with dict merges
+    instead of materializing every event prefix. Key order inside each merged
+    map reproduces ``merge_maps`` exactly: acc keys not in the patch (acc
+    order) then patch keys (patch order) — the JS ``{...cur, ...patch}``
+    spread with overridden keys repositioned (`sim/engines/LogEngine.ts:25-131`).
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    src = ops.select("seq", "t", "pk", "op", F.col(payload_col).alias("__d"))
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["t", "seq"], ignore_index=True)
+        cur = None  # None = key absent from the row store
+        states = []
+        for op, d in zip(pdf["op"], pdf["__d"]):
+            if op == "insert":
+                cur = None if d is None else dict(d)
+            elif op == "update":
+                base = (
+                    {}
+                    if cur is None
+                    else {k: v for k, v in cur.items() if d is None or k not in d}
+                )
+                if d:
+                    base.update(d)
+                cur = base
+            else:  # delete
+                if keep_on_delete:
+                    cur = {} if cur is None else dict(cur)
+                else:
+                    cur = None
+            states.append(cur if cur is None else dict(cur))
+        out = pdf.drop(columns=["__d"])
+        out["__st"] = states
+        return out
+
+    return src.groupBy("pk").applyInPandas(
+        fold, "seq long, t long, pk string, op string, __st map<string,string>"
+    )
 
 
 def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> DataFrame:
@@ -125,9 +174,7 @@ def log_capture_ops(
     wpk = W.partitionBy("pk").orderBy("t", "seq")
     if merge_payload:
         (c,) = payload
-        st = ops.select(
-            "seq", "t", "pk", "op", _merged_state(c, keep_on_delete=False).alias("__st")
-        )
+        st = _merged_state_frame(ops, c, keep_on_delete=False)
         df = st.select(
             "seq",
             "t",
@@ -187,60 +234,61 @@ def _polling_capture_merge(
     (version back to 1), update is a NO-OP on missing/deleted rows else a
     merge, delete is a NO-OP on missing rows else a soft-delete flag that
     keeps the data. Only ops that changed the store (``updated_at_ms`` moved)
-    surface; each poll window then emits the key's latest changed state."""
-    wupto = W.partitionBy("pk").orderBy("t", "seq").rowsBetween(W.unboundedPreceding, 0)
-    prefix = F.collect_list(
-        F.struct(F.col("op"), F.col(c).alias("d"), F.col("t"), F.col("seq"))
-    ).over(wupto)
-    init = F.struct(
-        F.lit(False).alias("exists"),
-        F.lit(False).alias("deleted"),
-        F.lit(0).cast("long").alias("version"),
-        _null_map().alias("data"),
-        # NULL sentinel: a no-op prefix never equals a real seq (not even -1)
-        F.lit(None).cast("long").alias("upd_seq"),
-    )
+    surface; each poll window then emits the key's latest changed state.
 
-    def step(acc, e):
-        inserted = F.struct(
-            F.lit(True).alias("exists"),
-            F.lit(False).alias("deleted"),
-            F.lit(1).cast("long").alias("version"),
-            e["d"].alias("data"),
-            e["seq"].alias("upd_seq"),
-        )
-        updated = F.struct(
-            F.lit(True).alias("exists"),
-            F.lit(False).alias("deleted"),
-            (acc["version"] + 1).alias("version"),
-            _merge_maps(acc["data"], e["d"]).alias("data"),
-            e["seq"].alias("upd_seq"),
-        )
-        softdel = F.struct(
-            F.lit(True).alias("exists"),
-            F.lit(True).alias("deleted"),
-            acc["version"].alias("version"),
-            acc["data"].alias("data"),
-            e["seq"].alias("upd_seq"),
-        )
-        return (
-            F.when(e["op"] == "insert", inserted)
-            .when(
-                e["op"] == "update",
-                F.when(~acc["exists"] | acc["deleted"], acc).otherwise(updated),
+    Linear per-key fold (one ``applyInPandas`` pass over each key's slice in
+    event order) — same shuffle as the window formulation it replaced, O(k)
+    per key instead of the O(k²) per-row prefix materialization."""
+    src = ops.select("seq", "t", "pk", "op", F.col(c).alias("__d"))
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["t", "seq"], ignore_index=True)
+        exists, deleted, version, data = False, False, 0, None
+        rows = []
+        for seq, t, op, d in zip(pdf["seq"], pdf["t"], pdf["op"], pdf["__d"]):
+            if op == "insert":
+                exists, deleted, version = True, False, 1
+                data = None if d is None else dict(d)
+            elif op == "update":
+                if not exists or deleted:
+                    continue  # NO-OP on missing/deleted rows (updated_at unmoved)
+                version += 1
+                base = (
+                    {}
+                    if data is None
+                    else {k: v for k, v in data.items() if d is None or k not in d}
+                )
+                if d:
+                    base.update(d)
+                data = base
+            else:  # delete
+                if not exists:
+                    continue  # NO-OP on missing rows
+                deleted = True  # keeps version + data (soft-delete flag)
+            rows.append(
+                (
+                    pdf["pk"].iloc[0],
+                    t,
+                    seq,
+                    deleted,
+                    version,
+                    None if data is None else dict(data),
+                )
             )
-            .otherwise(F.when(~acc["exists"], acc).otherwise(softdel))
+        import pandas as pd
+
+        return pd.DataFrame(
+            rows, columns=["pk", "t", "seq", "deleted", "version", "data"]
         )
 
-    st = ops.select("seq", "t", "pk", F.aggregate(prefix, init, step).alias("__st"))
-    eff = st.filter(F.col("__st.upd_seq") == F.col("seq")).select(
-        "pk",
-        "t",
-        "seq",
-        F.expr(f"t div {poll_ms}").alias("poll_id"),
-        F.col("__st.deleted").alias("deleted"),
-        F.col("__st.version").alias("version"),
-        F.col("__st.data").alias("data"),
+    eff = (
+        src.groupBy("pk")
+        .applyInPandas(
+            fold,
+            "pk string, t long, seq long, deleted boolean, version long,"
+            " data map<string,string>",
+        )
+        .withColumn("poll_id", F.expr(f"t div {poll_ms}"))
     )
     wpoll = W.partitionBy("pk", "poll_id").orderBy(F.desc("t"), F.desc("seq"))
     latest = eff.withColumn("__rn", F.row_number().over(wpoll)).filter(F.col("__rn") == 1)
@@ -376,9 +424,7 @@ def trigger_capture_ops(
     wpk = W.partitionBy("pk").orderBy("t", "seq")
     if merge_payload:
         (c,) = payload
-        st = ops.select(
-            "seq", "t", "pk", "op", _merged_state(c, keep_on_delete=True).alias("__st")
-        )
+        st = _merged_state_frame(ops, c, keep_on_delete=True)
         prev = F.lag("__st").over(wpk)
         df = st.select(
             "seq",
