@@ -1,0 +1,454 @@
+"""C4-live — schema-change capture through the STREAMING path.
+
+The reference emits ``SCHEMA_ADD_COL`` control events inline with the data
+stream in all three live capture modes (``src/modes/logBased.ts:103-134``,
+``queryBased.ts:109-138``) and its sink sniffs unknown payload columns and
+ALTERs the target table mid-stream (``scenarios/01-canonical-reference/
+sink/consumer.mjs:179-232``).  Spark-first mapping:
+
+- **Schema registry** (:class:`SchemaRegistry`): per micro-batch, the new
+  columns are detected with a *distributed* aggregation (explode payload
+  keys → min-struct first occurrence) and merged into a driver-held
+  ``{table: {column: version}}`` map.  The registry is bounded by the live
+  schema size (tables × columns), never by data volume — the same shape as
+  a schema-registry service beside a production pipeline.  Each batch's
+  fresh introductions become ``op='s'`` control rows, version-numbered
+  incrementally; because the stream's micro-batches are time-split, the
+  incremental numbering provably equals the batch twin
+  (:func:`..operators.schema_evolution.schema_change_events`), and the
+  DuckDB oracle pins that equality.
+- **Evolving sink** (:class:`EvolvingUpsertSink`): a keyed versioned-parquet
+  store (same commit-versioning stand-in as :mod:`.apply`) whose MAP state
+  composes across batches with the consumer merge fold, and which ALSO
+  materializes a WIDE per-table projection whose parquet schema literally
+  gains a column when the registry does — the ALTER TABLE ADD COLUMN
+  analogue, testable by diffing v0 vs v_last schemas.
+
+The judged query ``stream_schema_evolution`` runs the evolving-schema ops
+feed (same derivation as the batch ``cdc_schema_evolution`` /
+``cdc_replay_fold`` queries) through 3 micro-batches and returns the
+captured control rows UNION the sink's final state — both must hash-equal
+the batch-computed truth via one oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: storage.ts:35-43 value-shape type inference — Python twin of
+#: operators/schema_evolution.infer_type (first-occurrence value decides).
+_TYPE_BOOL = re.compile(r"^(true|false)$")
+_TYPE_NUM = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
+
+
+def _infer_type(column: str, value: str | None) -> str:
+    if value is not None and _TYPE_BOOL.match(value):
+        return "bool"
+    if value is not None and _TYPE_NUM.match(value):
+        return "number"
+    if re.search(r"(_ts|timestamp)$", column):
+        return "timestamp"
+    return "string"
+
+
+OPS_SCHEMA = StructType(
+    [
+        StructField("table", StringType()),
+        StructField("pk", StringType()),
+        StructField("t", LongType()),
+        StructField("seq", LongType()),
+        StructField("op", StringType()),
+        StructField("after", MapType(StringType(), StringType())),
+    ]
+)
+
+
+class SchemaRegistry:
+    """Driver-held (bounded: live tables × columns) incremental registry.
+
+    ``observe(batch_df)`` detects the batch's first-seen columns with one
+    distributed aggregation and returns the new ``op='s'`` control rows in
+    deterministic (t, seq, column) order, version-numbered per table."""
+
+    def __init__(self) -> None:
+        self.known: dict[str, dict[str, int]] = {}
+        self.events: list[tuple] = []
+
+    def observe(self, batch_df: DataFrame) -> list[tuple]:
+        # distributed: one explode + min-struct agg; only (table, column)
+        # grain rows reach the driver
+        intros = (
+            batch_df.filter(F.col("after").isNotNull())
+            .select("table", "t", "seq", F.explode("after").alias("column", "value"))
+            .groupBy("table", "column")
+            .agg(F.min(F.struct("t", "seq", "value")).alias("f"))
+            .collect()
+        )
+        fresh = [
+            r
+            for r in intros
+            if r["column"] not in self.known.get(r["table"], {})
+        ]
+        # same tiebreak as the batch twin: (t, seq, column) per table
+        fresh.sort(key=lambda r: (r["table"], r["f"]["t"], r["f"]["seq"], r["column"]))
+        out = []
+        for r in fresh:
+            cols = self.known.setdefault(r["table"], {})
+            ver = len(cols) + 1
+            cols[r["column"]] = ver
+            out.append(
+                (
+                    r["table"],
+                    "s",
+                    int(r["f"]["t"]),
+                    int(r["f"]["seq"]),
+                    "add_column",
+                    r["column"],
+                    _infer_type(r["column"], r["f"]["value"]),
+                    ver - 1,
+                    ver,
+                )
+            )
+        self.events.extend(out)
+        return out
+
+    def columns(self, table: str) -> list[str]:
+        """Known columns of ``table`` in introduction (version) order."""
+        return sorted(self.known.get(table, {}), key=self.known[table].get)
+
+
+class EvolvingUpsertSink:
+    """Versioned keyed store whose schema grows mid-stream.
+
+    State (``state/v=N``) is the consumer fold over MAP payloads —
+    ``(table, pk, data, updated_t)`` — composed batch-over-batch exactly like
+    the reference's row store (``src/domain/storage.ts:133-164``): a delete
+    drops the key, later updates override only the columns they carry.
+
+    Each batch also rewrites the WIDE projection ``tables/<table>/v=N`` with
+    one real parquet column per registry-known column: when the registry
+    learns a column mid-stream, the next projection version's parquet schema
+    gains it — the ALTER TABLE ADD COLUMN analogue the reference sink
+    performs (``sink/consumer.mjs:179-232``)."""
+
+    def __init__(self, spark: SparkSession, path: str, registry: SchemaRegistry):
+        self.spark = spark
+        self.path = path
+        self.registry = registry
+
+    def _versions(self, sub: str) -> list[int]:
+        d = os.path.join(self.path, sub)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(v.split("=")[1])
+            for v in os.listdir(d)
+            if v.startswith("v=") and v.split("=")[1].isdigit()
+        )
+
+    def current(self) -> DataFrame | None:
+        vs = self._versions("state")
+        if not vs:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.path, "state", f"v={vs[-1]}")
+        )
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        prev = self.current()
+        # okey: lexicographic (t, seq) event order inside the fold — a struct,
+        # NOT t*K+seq arithmetic, which overflows BIGINT at epoch-ms t values.
+        # The prev state replays at (-1, -1), strictly before every real event
+        # of this time-split batch.
+        ev = batch_df.select(
+            "table",
+            "pk",
+            "op",
+            "after",
+            F.struct("t", "seq").alias("okey"),
+            F.col("t").alias("ut"),
+        )
+        if prev is not None:
+            ev = prev.select(
+                "table",
+                "pk",
+                F.lit("update").alias("op"),
+                F.col("data").alias("after"),
+                F.struct(
+                    F.lit(-1).cast("long").alias("t"), F.lit(-1).cast("long").alias("seq")
+                ).alias("okey"),
+                F.col("updated_t").alias("ut"),
+            ).unionByName(ev)
+
+        dels = (
+            ev.filter(F.col("op") == "delete")
+            .groupBy("table", "pk")
+            .agg(F.max("okey").alias("__dk"))
+        )
+        ups = (
+            ev.filter(F.col("op") != "delete")
+            .join(dels, ["table", "pk"], "left")
+            .filter(F.col("__dk").isNull() | (F.col("okey") > F.col("__dk")))
+        )
+        # per-column last-carrying-event wins (the {**cur, **patch} fold,
+        # column-relationally): explode → max_by(value, okey) → reassemble
+        colvals = (
+            ups.select("table", "pk", "okey", F.explode("after").alias("column", "value"))
+            .groupBy("table", "pk", "column")
+            .agg(F.max_by(F.struct("value"), F.col("okey")).alias("__v"))
+        )
+        data = colvals.groupBy("table", "pk").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("column", F.col("__v.value").alias("value"))))
+            ).alias("data")
+        )
+        upd = ups.groupBy("table", "pk").agg(F.max("ut").alias("updated_t"))
+        merged = data.join(upd, ["table", "pk"])
+
+        nv = (self._versions("state") or [-1])[-1] + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.path, "state", f"v={nv}")
+        )
+
+        # the ALTER: rewrite each table's wide projection with the registry's
+        # CURRENT column set — new columns appear as real parquet columns
+        state = self.current()
+        for tbl in sorted(self.registry.known):
+            cols = self.registry.columns(tbl)
+            wide = state.filter(F.col("table") == tbl).select(
+                "pk",
+                *[F.element_at("data", c).alias(c) for c in cols],
+                "updated_t",
+            )
+            wide.write.mode("overwrite").parquet(
+                os.path.join(self.path, "tables", tbl, f"v={nv}")
+            )
+
+    def table_versions(self, table: str) -> list[int]:
+        return self._versions(os.path.join("tables", table))
+
+    def read_table(self, table: str, version: int) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.path, "tables", table, f"v={version}")
+        )
+
+
+def evolving_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evolving-schema ops feed — same derivation as the batch
+    ``cdc_schema_evolution`` / ``cdc_replay_fold`` queries: every event
+    carries (value, event_type); ``k`` appears only on ``event_id % 3 = 0``
+    rows and boolean ``flag`` only on ``event_id % 7 = 0`` rows; every 11th
+    event is a delete."""
+    from lets_talk_cdc_change_feed_playground_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        F.col("event_type").alias("table"),
+        F.col("user_id").cast("string").alias("pk"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000").alias("t"),
+        F.col("event_id").alias("seq"),
+        F.expr("CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'update' END").alias("op"),
+        F.expr(
+            """
+            map_concat(
+              map('value', CAST(value AS STRING), 'event_type', event_type),
+              CASE WHEN event_id % 3 = 0
+                   THEN map('k', get_json_object(props, '$.k')) ELSE map() END,
+              CASE WHEN event_id % 7 = 0
+                   THEN map('flag', CASE WHEN value > 50 THEN 'true' ELSE 'false' END)
+                   ELSE map() END
+            )
+            """
+        ).alias("after"),
+    )
+
+
+_N_CHUNKS = 3
+_staged: dict[tuple, str] = {}
+
+
+def _evolving_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the evolving ops feed as time-split chunk files with strictly
+    increasing synthetic mtimes (FileStreamSource delivery order is mtime)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "schema_evo")
+    if key in _staged:
+        return _staged[key]
+    ops = evolving_ops(spark, sf_dir)
+    qs = [i / _N_CHUNKS for i in range(1, _N_CHUNKS)]
+    cuts = ops.approxQuantile("t", qs, 0.001)
+    out = tempfile.mkdtemp(prefix="sg_schema_evo_")
+    flat = os.path.join(out, "flat")
+    os.makedirs(flat)
+    base = int(time.time())
+    lo = None
+    for i, hi in enumerate([*cuts, None]):
+        chunk = ops
+        if lo is not None:
+            chunk = chunk.filter(F.col("t") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("t") <= hi)
+        cdir = os.path.join(out, f"c{i}")
+        chunk.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        os.rename(os.path.join(cdir, part), dst)
+        os.utime(dst, (base + i, base + i))
+        lo = hi
+    _staged[key] = flat
+    return flat
+
+
+def run_ops_stream(
+    spark: SparkSession, flat_dir: str
+) -> tuple[SchemaRegistry, EvolvingUpsertSink]:
+    """Drive a staged OPS_SCHEMA chunk directory through micro-batches:
+    registry observation (op='s' rows out) then evolving-sink apply, per
+    batch — the live consume loop."""
+    registry = SchemaRegistry()
+    sink = EvolvingUpsertSink(spark, tempfile.mkdtemp(prefix="sg_evo_sink_"), registry)
+
+    def handle(bdf: DataFrame, bid: int) -> None:
+        bdf.persist()
+        try:
+            registry.observe(bdf)  # control rows FIRST (DDL precedes data)
+            sink.apply(bdf, bid)
+        finally:
+            bdf.unpersist()
+
+    src = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix="sg_evo_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            src.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return registry, sink
+
+
+def run_schema_evolution_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[SchemaRegistry, EvolvingUpsertSink]:
+    """The judged pipeline: stage the evolving ops feed, run the live loop."""
+    return run_ops_stream(spark, _evolving_chunks(spark, sf_dir))
+
+
+def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-live + A9 — schema changes captured and applied THROUGH the
+    streaming path. Output: the incrementally-captured ``op='s'`` control
+    rows (kind='schema') UNION the evolved sink's final state
+    (kind='state'), both of which must equal the batch-computed truth —
+    one oracle pins both."""
+    registry, sink = run_schema_evolution_stream(spark, sf_dir)
+
+    schema_rows = spark.createDataFrame(
+        [
+            (tbl, "schema", col, col_type, int(next_ver))
+            for (tbl, _op, _t, _seq, _act, col, col_type, _pv, next_ver) in registry.events
+        ],
+        "table string, kind string, key string, info string, ord long",
+    )
+    final = sink.current()
+    state_rows = final.select(
+        "table",
+        F.lit("state").alias("kind"),
+        F.col("pk").alias("key"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("data")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        ).alias("info"),
+        F.col("updated_t").alias("ord"),
+    )
+    return schema_rows.unionByName(state_rows).orderBy("kind", "table", "key")
+
+
+STREAM_SCHEMA_EVOLUTION_SQL = r"""
+WITH ev AS (
+  SELECT event_id, epoch_ms(ts) AS t, event_type, CAST(user_id AS VARCHAR) AS pk,
+         CAST(value AS VARCHAR) AS value_s,
+         json_extract_string(props, '$.k') AS k_s,
+         CASE WHEN value > 50 THEN 'true' ELSE 'false' END AS flag_s
+  FROM events
+), cols AS (
+  SELECT event_type AS tbl, t, event_id AS seq, 'value' AS col, value_s AS val FROM ev
+  UNION ALL SELECT event_type, t, event_id, 'event_type', event_type FROM ev
+  UNION ALL SELECT event_type, t, event_id, 'k', k_s FROM ev WHERE event_id % 3 = 0
+  UNION ALL SELECT event_type, t, event_id, 'flag', flag_s FROM ev WHERE event_id % 7 = 0
+), first AS (
+  SELECT tbl, col, val, t, seq FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, col ORDER BY t, seq) AS rn FROM cols
+  ) WHERE rn = 1
+), schema_rows AS (
+  SELECT tbl AS "table", 'schema' AS kind, col AS key,
+         CASE WHEN regexp_matches(val, '^(true|false)$') THEN 'bool'
+              WHEN regexp_matches(val, '^-?[0-9]+(\.[0-9]+)?$') THEN 'number'
+              WHEN regexp_matches(col, '(_ts|timestamp)$') THEN 'timestamp'
+              ELSE 'string' END AS info,
+         CAST(row_number() OVER (PARTITION BY tbl ORDER BY t, seq, col) AS BIGINT) AS ord
+  FROM first
+), base AS (
+  SELECT event_type AS tbl, pk, t, event_id AS seq,
+         CAST(t AS HUGEINT) * 10000000 + event_id AS okey,
+         CASE WHEN event_id % 11 = 0 THEN 'delete' ELSE 'update' END AS op,
+         value_s, k_s, flag_s, event_id
+  FROM ev
+), dels AS (
+  SELECT tbl, pk, max(okey) AS dk FROM base WHERE op = 'delete' GROUP BY tbl, pk
+), ups AS (
+  SELECT b.* FROM (
+    SELECT b0.*, COALESCE(d.dk, -1) AS dk
+    FROM base b0 LEFT JOIN dels d USING (tbl, pk)
+  ) b WHERE b.op = 'update' AND b.okey > b.dk
+), colvals AS (
+  SELECT tbl, pk, col, arg_max(val, okey) AS val FROM (
+    SELECT tbl, pk, okey, 'value' AS col, value_s AS val FROM ups
+    UNION ALL SELECT tbl, pk, okey, 'event_type', tbl FROM ups
+    UNION ALL SELECT tbl, pk, okey, 'k', k_s FROM ups WHERE event_id % 3 = 0
+    UNION ALL SELECT tbl, pk, okey, 'flag', flag_s FROM ups WHERE event_id % 7 = 0
+  ) GROUP BY tbl, pk, col
+), state AS (
+  SELECT tbl, pk, string_agg(col || '=' || val, ',' ORDER BY col) AS data_str
+  FROM colvals GROUP BY tbl, pk
+), upd AS (
+  SELECT tbl, pk, max(t) AS updated_t
+  FROM base b
+  WHERE okey > (SELECT COALESCE(max(dk), -1) FROM dels d WHERE d.tbl = b.tbl AND d.pk = b.pk)
+  GROUP BY tbl, pk
+), state_rows AS (
+  SELECT s.tbl AS "table", 'state' AS kind, s.pk AS key, s.data_str AS info,
+         CAST(u.updated_t AS BIGINT) AS ord
+  FROM state s JOIN upd u ON s.tbl = u.tbl AND s.pk = u.pk
+)
+SELECT * FROM schema_rows
+UNION ALL
+SELECT * FROM state_rows
+ORDER BY kind, "table", key
+"""

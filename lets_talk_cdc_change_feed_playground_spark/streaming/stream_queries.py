@@ -2094,3 +2094,16 @@ ORDER BY pk
 
 QUERIES["stream_erasure_propagation"] = stream_erasure_propagation
 ORACLE["stream_erasure_propagation"] = _stream_erasure_sql()
+
+
+# ---------------------------------------------------------------------------
+# Streaming schema-change capture (C4-live) — streaming/schema_stream.py
+# ---------------------------------------------------------------------------
+
+from lets_talk_cdc_change_feed_playground_spark.streaming.schema_stream import (  # noqa: E402
+    STREAM_SCHEMA_EVOLUTION_SQL,
+    stream_schema_evolution,
+)
+
+QUERIES["stream_schema_evolution"] = stream_schema_evolution
+ORACLE["stream_schema_evolution"] = STREAM_SCHEMA_EVOLUTION_SQL
