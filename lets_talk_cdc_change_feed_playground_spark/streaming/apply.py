@@ -59,34 +59,74 @@ def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
 
 
 class UpsertSink:
-    """``foreachBatch`` target maintaining a keyed table as versioned parquet.
+    """``foreachBatch`` target maintaining a keyed table as versioned parquet
+    with EXACTLY-ONCE batch application across crash/restart.
 
-    Each batch reads the latest version directory and writes the merged state
-    as the next one (a miniature of Delta's commit versioning) — no
-    driver-side collects, and re-running a batch just rewrites the same
-    deterministic state (idempotent)."""
+    Each batch reads the latest committed version directory and writes the
+    merged state as the next one (a miniature of Delta's commit versioning).
+    Two mechanisms make a crash anywhere in the batch lifecycle safe — the
+    reference sink's offset-dedup rule (``scenarios/01-canonical-reference/
+    sink/consumer.mjs:122-143``) mapped onto Spark's batch-id re-delivery
+    contract:
 
-    def __init__(self, spark: SparkSession, path: str):
+    - **Atomic commit**: the merged state is written to a staging directory
+      and ``os.rename``d to ``v={n}-b={batch_id}`` — a crash mid-write leaves
+      only ignorable staging garbage; the rename IS the transaction commit
+      (Delta's _delta_log append analog).
+    - **Batch-id ledger** (``dedup_batches=True``): the committed directory
+      name records the Spark ``batch_id``; when a crash lands between the
+      sink's commit and the stream's checkpoint commit, the restarted query
+      re-delivers the SAME batch_id and ``__call__`` skips it — no double
+      application.  Only sound under a checkpointed stream (batch ids reset
+      on checkpoint-less restarts), hence opt-in; without it a re-delivered
+      batch re-merges, which the last-write-wins fold absorbs (idempotent
+      in value, but the ledger is what makes application exactly-once).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, dedup_batches: bool = False):
         self.spark = spark
         self.path = path
+        self.dedup_batches = dedup_batches
 
-    def _versions(self) -> list[int]:
+    def _entries(self) -> list[tuple[int, int | None, str]]:
+        """Committed versions: sorted [(version, batch_id | None, dirname)]."""
         if not os.path.isdir(self.path):
             return []
-        return sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(self.path)
-            if d.startswith("v=") and d.split("=")[1].isdigit()
-        )
+        out = []
+        for d in os.listdir(self.path):
+            if not d.startswith("v="):
+                continue
+            head, _, btag = d.partition("-b=")
+            ver = head.split("=", 1)[1]
+            if not ver.isdigit():
+                continue
+            out.append((int(ver), int(btag) if btag.isdigit() else None, d))
+        return sorted(out)
+
+    def _versions(self) -> list[int]:
+        return [v for v, _b, _d in self._entries()]
+
+    def applied_batches(self) -> set[int]:
+        return {b for _v, b, _d in self._entries() if b is not None}
 
     def current(self) -> DataFrame | None:
-        vs = self._versions()
-        if not vs:
+        entries = self._entries()
+        if not entries:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v={vs[-1]}"))
+        return self.spark.read.parquet(os.path.join(self.path, entries[-1][2]))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        vs = self._versions()
+        if self.dedup_batches and batch_id in self.applied_batches():
+            # crash-restart re-delivery: already committed — skip the merge,
+            # but still run every partition so upstream stateful operators'
+            # state stores commit (Spark validates all-partition processing
+            # inside foreachBatch; an early return fails the batch)
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        entries = self._entries()
         merged = merge_batch(self.current(), batch_df)
-        nxt = (vs[-1] + 1) if vs else 0
-        merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v={nxt}"))
+        nxt = (entries[-1][0] + 1) if entries else 0
+        staging = os.path.join(self.path, f"_staging-{nxt}-{batch_id}")
+        merged.write.mode("overwrite").parquet(staging)
+        # the atomic commit: state becomes visible + batch recorded together
+        os.rename(staging, os.path.join(self.path, f"v={nxt}-b={batch_id}"))

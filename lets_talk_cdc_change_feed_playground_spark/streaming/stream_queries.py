@@ -2107,3 +2107,106 @@ from lets_talk_cdc_change_feed_playground_spark.streaming.schema_stream import (
 
 QUERIES["stream_schema_evolution"] = stream_schema_evolution
 ORACLE["stream_schema_evolution"] = STREAM_SCHEMA_EVOLUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# S9 crash-recovery: kill mid-run, restart from checkpoint, converge
+# ---------------------------------------------------------------------------
+
+
+class _CrashAfterCommit:
+    """foreachBatch wrapper that raises ONCE, immediately after the sink has
+    committed ``crash_batch`` but BEFORE Spark records the batch in the
+    stream checkpoint — the worst-ordered crash window (state written,
+    offsets not): on restart Spark re-delivers the same batch_id and the
+    sink's batch-id ledger must make the re-delivery a no-op (the reference
+    connector-restart failure scenario,
+    ``scenarios/01-canonical-reference/failures/``; dedup rule
+    ``sink/consumer.mjs:122-143``)."""
+
+    def __init__(self, sink, crash_batch: int):
+        self.sink = sink
+        self.crash_batch = crash_batch
+        self.fired = False
+        self.applies: list[int] = []
+
+    def __call__(self, bdf: DataFrame, bid: int) -> None:
+        before = self.sink.applied_batches()
+        self.sink(bdf, bid)
+        if bid not in before:
+            self.applies.append(bid)
+        if bid == self.crash_batch and not self.fired:
+            self.fired = True
+            raise RuntimeError("injected crash: sink committed, checkpoint not")
+
+
+def cdc_restart_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 crash-recovery, judged: the checkpointed log-capture → upsert-sink
+    stream is killed right after batch 1's sink commit (before the stream
+    checkpoint records it), restarted from the same checkpoint, and run to
+    completion. The restart re-delivers batch 1; the sink's batch-id ledger
+    skips it (exactly-once application — enforced here by raising if any
+    batch id commits twice), and the final table must STILL equal the batch
+    replay fold of the full WAL — the same oracle as the uncrashed
+    ``stream_upsert_sink``."""
+    import tempfile as _tf
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply import (
+        UpsertSink,
+    )
+
+    chunks = _ops_chunks(spark, sf_dir)
+    sink = UpsertSink(
+        spark, _tf.mkdtemp(prefix="sg_restart_store_"), dedup_batches=True
+    )
+    wrapper = _CrashAfterCommit(sink, crash_batch=1)
+    ckpt = _tf.mkdtemp(prefix="sg_restart_ckpt_")
+
+    def start():
+        src = (
+            spark.readStream.schema(OPS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+        return (
+            log_capture_stream(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(wrapper)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start()
+        try:
+            q.processAllAvailable()
+            raise AssertionError("injected crash did not fire")
+        except StreamingQueryException:
+            pass  # the injected mid-run death
+        finally:
+            q.stop()
+        q = start()  # restart from the SAME checkpoint
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    if not wrapper.fired:
+        raise AssertionError("crash batch never delivered")
+    if sorted(wrapper.applies) != sorted(set(wrapper.applies)):
+        raise AssertionError(f"a batch applied twice: {wrapper.applies}")
+    return (
+        sink.current()
+        .select("pk", "event_type", "value", "props")
+        .orderBy("pk")
+    )
+
+
+QUERIES["cdc_restart_convergence"] = cdc_restart_convergence
+ORACLE["cdc_restart_convergence"] = _stream_upsert_sql()

@@ -1,0 +1,179 @@
+"""S9 crash-recovery: the checkpointed upsert sink survives a kill in either
+half of the batch lifecycle and converges exactly-once.
+
+The reference's connector-restart failure scenario
+(``scenarios/01-canonical-reference/failures/``) kills the consumer mid-run
+and requires the Postgres sink to converge after restart, with offset dedup
+(``sink/consumer.mjs:122-143``) preventing double application. Spark
+mapping: foreachBatch re-delivers the same batch_id after a checkpointed
+restart; ``UpsertSink(dedup_batches=True)`` commits state via atomic rename
+with the batch_id in the ledger name, so:
+
+- crash AFTER the sink commit, BEFORE the stream checkpoint commit → the
+  re-delivered batch is skipped (no double application);
+- crash BEFORE the sink commit → the re-delivered batch applies normally.
+
+Both orders must end with the store equal to the batch replay fold.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.errors.exceptions.captured import StreamingQueryException
+from pyspark.sql import functions as F
+
+from lets_talk_cdc_change_feed_playground_spark.streaming.apply import UpsertSink
+from lets_talk_cdc_change_feed_playground_spark.streaming.capture import (
+    OPS_SCHEMA,
+    log_capture_stream,
+)
+from lets_talk_cdc_change_feed_playground_spark.streaming.workload import (
+    ops_from_counter,
+)
+
+
+@pytest.fixture()
+def chunks_dir(spark, tmp_path):
+    """Three time-ordered chunk files of deterministic workload ops."""
+    import time
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = int(time.time())
+    for i, (lo, hi) in enumerate([(0, 120), (120, 240), (240, 360)]):
+        cdir = str(tmp_path / f"c{i}")
+        ops_from_counter(spark.range(lo, hi), counter="id").coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        dst = str(flat / f"{i:02d}.parquet")
+        os.rename(os.path.join(cdir, part), dst)
+        os.utime(dst, (base + i, base + i))
+    return str(flat)
+
+
+def _expected_state(spark, chunks_dir):
+    """Batch replay fold over the full feed: last non-delete image per pk."""
+    ops = spark.read.parquet(chunks_dir)
+    w_last = F.struct("t", "seq")
+    last = ops.groupBy("pk").agg(
+        F.max_by(F.struct("op", "event_type", "value", "props"), w_last).alias("st")
+    )
+    return (
+        last.filter(F.col("st.op") != "delete")
+        .select(
+            "pk",
+            F.col("st.event_type").alias("event_type"),
+            F.col("st.value").alias("value"),
+            F.col("st.props").alias("props"),
+        )
+    )
+
+
+def _drive(spark, chunks_dir, wrapper, ckpt):
+    def start():
+        src = (
+            spark.readStream.schema(OPS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks_dir)
+        )
+        return (
+            log_capture_stream(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(wrapper)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    crashed = False
+    try:
+        q.processAllAvailable()
+    except StreamingQueryException:
+        crashed = True
+    finally:
+        q.stop()
+    assert crashed, "injected crash did not fire"
+    q = start()  # restart from the SAME checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _assert_converged(spark, sink, chunks_dir):
+    got = sink.current().select("pk", "event_type", "value", "props")
+    want = _expected_state(spark, chunks_dir)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_crash_after_sink_commit_is_not_applied_twice(spark, chunks_dir, tmp_path):
+    """Kill between the sink's atomic commit and the stream's checkpoint
+    commit: restart re-delivers the batch, the ledger skips it, every batch
+    ends applied exactly once, state converges."""
+    sink = UpsertSink(spark, str(tmp_path / "store"), dedup_batches=True)
+    effective: list[int] = []
+
+    class Wrapper:
+        fired = False
+
+        def __call__(self, bdf, bid):
+            before = sink.applied_batches()
+            sink(bdf, bid)
+            if bid not in before:
+                effective.append(bid)
+            if bid == 1 and not Wrapper.fired:
+                Wrapper.fired = True
+                # the sink HAS committed batch 1 at this point — provably:
+                assert 1 in sink.applied_batches()
+                raise RuntimeError("kill: sink committed, checkpoint not")
+
+    _drive(spark, chunks_dir, Wrapper(), str(tmp_path / "ckpt"))
+    # batch 1 was delivered twice but applied once; 3 batches, 3 commits
+    assert sorted(effective) == [0, 1, 2]
+    assert sorted(sink.applied_batches()) == [0, 1, 2]
+    assert len(sink._versions()) == 3
+    _assert_converged(spark, sink, chunks_dir)
+
+
+def test_crash_before_sink_commit_reapplies_on_restart(spark, chunks_dir, tmp_path):
+    """Kill BEFORE the sink sees batch 1: nothing was committed, so the
+    restart must re-deliver AND apply it."""
+    sink = UpsertSink(spark, str(tmp_path / "store"), dedup_batches=True)
+
+    class Wrapper:
+        fired = False
+
+        def __call__(self, bdf, bid):
+            if bid == 1 and not Wrapper.fired:
+                Wrapper.fired = True
+                assert 1 not in sink.applied_batches()
+                raise RuntimeError("kill: before sink commit")
+            sink(bdf, bid)
+
+    _drive(spark, chunks_dir, Wrapper(), str(tmp_path / "ckpt"))
+    assert sorted(sink.applied_batches()) == [0, 1, 2]
+    assert len(sink._versions()) == 3
+    _assert_converged(spark, sink, chunks_dir)
+
+
+def test_ledger_parses_legacy_version_dirs(spark, tmp_path):
+    """Pre-ledger directories (plain v=N) still read as versions."""
+    store = str(tmp_path / "store")
+    sink = UpsertSink(spark, store, dedup_batches=True)
+    df = spark.createDataFrame(
+        [("p1", "c", "seed", 1.0, "{}", 10, 0)],
+        "pk string, op string, after_event_type string, after_value double,"
+        " after_props string, ts_ms long, seq long",
+    )
+    os.makedirs(store)
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply import merge_batch
+
+    merge_batch(None, df).write.parquet(os.path.join(store, "v=0"))
+    assert sink._versions() == [0]
+    assert sink.applied_batches() == set()
+    sink(df, 7)  # appends v=1-b=7 on top of the legacy dir
+    assert sink._versions() == [0, 1]
+    assert sink.applied_batches() == {7}
+    assert sink.current().count() == 1
