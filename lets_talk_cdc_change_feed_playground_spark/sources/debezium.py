@@ -70,6 +70,73 @@ def emit_debezium(
     )
 
 
+def kafka_source(
+    spark,
+    bootstrap: str,
+    topic_prefix: str = "dbserver1.public.",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    streaming: bool = True,
+    passthrough_offsets: bool = False,
+) -> DataFrame:
+    """The live half of S6: a Kafka → canonical-change-event stream.
+
+    Subscribes to every ``<topic_prefix><table>`` topic (the Debezium
+    topic-per-table model, ``harness/verifier/index.js:248-285``) and feeds
+    the casted ``(topic, key, value)`` records into :func:`parse_debezium`.
+    ``max_offsets_per_trigger`` is the broker-side delivery cap (B6) — the
+    Kafka-native form of the playground's poll budget.  With
+    ``passthrough_offsets=True`` the output carries ``(partition, offset)``
+    so a downstream sink can run the reference's offset-dedup rule
+    (``sink/consumer.mjs:122-143``) — pair with
+    ``streaming.apply.UpsertSink(dedup_batches=True)``.
+
+    Requires the ``spark-sql-kafka`` package on the classpath and a
+    reachable broker; everything downstream of the casted record triple is
+    exercised broker-free by the parser tests."""
+    import re as _re
+
+    reader = spark.readStream if streaming else spark.read
+    reader = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribePattern", f"{_re.escape(topic_prefix)}.*")
+        .option("startingOffsets", starting_offsets)
+        # one Spark partition per (topic, partition) slice: per-key order is
+        # Kafka's per-partition order, exactly what the keyed-state capture
+        # and apply operators assume
+        .option("failOnDataLoss", "false")
+    )
+    if streaming and max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    records = reader.load()
+    passthrough: tuple[str, ...] = ()
+    if passthrough_offsets:
+        passthrough = ("partition", "offset")
+    return parse_debezium(records, topic_prefix=topic_prefix, passthrough=passthrough)
+
+
+def to_kafka_writer(
+    df: DataFrame,
+    bootstrap: str,
+    checkpoint: str | None = None,
+):
+    """The emit side wired to a real broker: a ``(topic, key, value)`` frame
+    (from :func:`emit_debezium`) → Kafka writer, batch or streaming."""
+    if df.isStreaming:
+        w = (
+            df.selectExpr("topic", "CAST(key AS STRING) AS key", "value")
+            .writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+        )
+        return w.option("checkpointLocation", checkpoint) if checkpoint else w
+    return (
+        df.selectExpr("topic", "CAST(key AS STRING) AS key", "value")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+    )
+
+
 def parse_debezium(
     df: DataFrame,
     topic_prefix: str = "dbserver1.public.",
