@@ -5,11 +5,17 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and the matching
 compares row count, column names, and order-insensitive cell values.
 
 Usage:  python tools/oracle_check.py [--sf-dir /root/testdata/sf0.001] [name ...]
+        python tools/oracle_check.py --artifact ORACLE_SWEEP_r04.json   # full sweep + JSON record
+
+``--artifact PATH`` writes a machine-readable per-query record of the sweep
+so each round's full builder-run correctness (every query, not just the
+driver's sample) is a committed, diffable artifact.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 import sys
@@ -76,6 +82,7 @@ def near(a: str, b: str) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--artifact", help="write per-query sweep results to this JSON file")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -93,6 +100,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = args.names or list(queries)
     n_pass = n_fail = n_weak = 0
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -101,10 +109,12 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"status": "FAIL", "err": str(e).split("\n")[0][:300]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            record[name] = {"status": "WEAK", "rows": len(s_rows), "sec": round(time.time() - t0, 1)}
             n_weak += 1
             continue
         try:
@@ -116,6 +126,7 @@ def main() -> int:
             d_dtypes = dict(con.execute(oracles[name]).df().dtypes.astype(str))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"status": "FAIL", "err": str(e).split("\n")[0][:300]}
             n_fail += 1
             continue
         ok = True
@@ -156,8 +167,27 @@ def main() -> int:
         status = "PASS" if ok else "FAIL"
         n_pass += ok
         n_fail += not ok
+        record[name] = {"status": status, "rows": len(s_rows), "sec": round(time.time() - t0, 1)}
+        if msgs:
+            record[name]["msgs"] = msgs
         print(f"{status} {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)" + ("  " + "; ".join(msgs) if msgs else ""))
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only of {len(names)}")
+    if args.artifact:
+        with open(args.artifact, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_weak": n_weak,
+                    "n_queries": len(names),
+                    "queries": record,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.artifact}")
     return 1 if n_fail else 0
 
 
