@@ -277,6 +277,7 @@ def evolving_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_CHUNKS = 3
+_STREAM_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "16"))
 _staged: dict[tuple, str] = {}
 
 
@@ -335,7 +336,7 @@ def run_ops_stream(
     )
     ckpt = tempfile.mkdtemp(prefix="sg_evo_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_PARTS))
     try:
         q = (
             src.writeStream.foreachBatch(handle)
