@@ -167,7 +167,12 @@ class EvolvingUpsertSink:
             os.path.join(self.path, "state", f"v={vs[-1]}")
         )
 
-    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+    def apply(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        altered_tables: set[str] | None = None,
+    ) -> None:
         prev = self.current()
         # okey: lexicographic (t, seq) event order inside the fold — a struct,
         # NOT t*K+seq arithmetic, which overflows BIGINT at epoch-ms t values.
@@ -223,10 +228,21 @@ class EvolvingUpsertSink:
             os.path.join(self.path, "state", f"v={nv}")
         )
 
-        # the ALTER: rewrite each table's wide projection with the registry's
-        # CURRENT column set — new columns appear as real parquet columns
-        state = self.current()
-        for tbl in sorted(self.registry.known):
+        # the ALTER: rewrite a table's wide projection with the registry's
+        # CURRENT column set — new columns appear as real parquet columns.
+        # Only tables whose schema CHANGED this batch are rewritten (the
+        # ALTER event); row-level churn lives in the map state, which is the
+        # actual store — projection versions mark schema changes, exactly
+        # like the reference sink's ALTER TABLE moments
+        # (``sink/consumer.mjs:179-232``). ``altered_tables=None`` rewrites
+        # everything (batch callers without a registry signal).
+        targets = (
+            sorted(self.registry.known)
+            if altered_tables is None
+            else sorted(altered_tables)
+        )
+        state = self.current() if targets else None
+        for tbl in targets:
             cols = self.registry.columns(tbl)
             wide = state.filter(F.col("table") == tbl).select(
                 "pk",
@@ -236,6 +252,26 @@ class EvolvingUpsertSink:
             wide.write.mode("overwrite").parquet(
                 os.path.join(self.path, "tables", tbl, f"v={nv}")
             )
+
+    def finalize_tables(self) -> None:
+        """Refresh every table's wide projection from the final state — one
+        write per table, once, when the stream drains (between ALTERs the
+        live store is the map state; this materializes the final read
+        surface)."""
+        nv = (self._versions("state") or [0])[-1]
+        state = self.current()
+        if state is None:
+            return
+        for tbl in sorted(self.registry.known):
+            cols = self.registry.columns(tbl)
+            vdir = os.path.join(self.path, "tables", tbl, f"v={nv}")
+            if os.path.isdir(vdir):
+                continue  # already current from this batch's ALTER rewrite
+            state.filter(F.col("table") == tbl).select(
+                "pk",
+                *[F.element_at("data", c).alias(c) for c in cols],
+                "updated_t",
+            ).write.mode("overwrite").parquet(vdir)
 
     def table_versions(self, table: str) -> list[int]:
         return self._versions(os.path.join("tables", table))
@@ -324,8 +360,8 @@ def run_ops_stream(
     def handle(bdf: DataFrame, bid: int) -> None:
         bdf.persist()
         try:
-            registry.observe(bdf)  # control rows FIRST (DDL precedes data)
-            sink.apply(bdf, bid)
+            fresh = registry.observe(bdf)  # control rows FIRST (DDL precedes data)
+            sink.apply(bdf, bid, altered_tables={e[0] for e in fresh})
         finally:
             bdf.unpersist()
 
@@ -347,6 +383,7 @@ def run_ops_stream(
             q.processAllAvailable()
         finally:
             q.stop()
+        sink.finalize_tables()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return registry, sink
