@@ -464,6 +464,27 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_evolution.schema_change_events(ops).orderBy("table", "next_version")
 
 
+#: poll window for the query-based schema-drift variant (1 h, like C2's poll)
+SCHEMA_POLL_MS = 3_600_000
+
+
+def cdc_schema_polled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 under QUERY-BASED capture (``src/modes/queryBased.ts:109-138``):
+    the same evolving-schema feed as ``cdc_schema_evolution``, but drift is
+    only visible at poll boundaries — a column introduced mid-window
+    surfaces at the NEXT poll tick and intra-window introductions coalesce,
+    version-ordered by (poll tick, column name) since the poll compares
+    snapshots and cannot see intra-window op order."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import schema_evolution
+    from lets_talk_cdc_change_feed_playground_spark.streaming.schema_stream import (
+        evolving_ops,
+    )
+
+    return schema_evolution.schema_change_events_polled(
+        evolving_ops(spark, sf_dir), SCHEMA_POLL_MS
+    ).orderBy("table", "next_version")
+
+
 def cdc_replay_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/A9/A10 over MAP payloads — the consumer merge fold with partial
     updates, deletes that reset the row, payload-sniffed columns appearing
@@ -896,6 +917,7 @@ QUERIES = {
     "cdc_event_stats": cdc_event_stats,
     "cdc_backlog_timeline": cdc_backlog_timeline,
     "cdc_schema_evolution": cdc_schema_evolution,
+    "cdc_schema_polled": cdc_schema_polled,
     "cdc_replay_fold": cdc_replay_fold,
     "cdc_multitable_capture": cdc_multitable_capture,
     "cdc_debezium_parse": cdc_debezium_parse,
@@ -1180,6 +1202,34 @@ SELECT tbl AS "table", 's' AS op, t, seq, 'add_column' AS action, col AS "column
        CAST(row_number() OVER (PARTITION BY tbl ORDER BY t, seq, col) - 1 AS INT) AS previous_version,
        CAST(row_number() OVER (PARTITION BY tbl ORDER BY t, seq, col) AS INT) AS next_version
 FROM first
+ORDER BY "table", next_version
+""",
+    "cdc_schema_polled": r"""
+WITH ev AS (
+  SELECT event_id, epoch_ms(ts) AS t, event_type, CAST(value AS VARCHAR) AS value_s,
+         json_extract_string(props, '$.k') AS k_s,
+         CASE WHEN value > 50 THEN 'true' ELSE 'false' END AS flag_s
+  FROM events
+), cols AS (
+  SELECT event_type AS tbl, t, event_id AS seq, 'value' AS col, value_s AS val FROM ev
+  UNION ALL SELECT event_type, t, event_id, 'event_type', event_type FROM ev
+  UNION ALL SELECT event_type, t, event_id, 'k', k_s FROM ev WHERE event_id % 3 = 0
+  UNION ALL SELECT event_type, t, event_id, 'flag', flag_s FROM ev WHERE event_id % 7 = 0
+), first AS (
+  SELECT tbl, col, val, t FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, col ORDER BY t, seq) AS rn FROM cols
+  ) WHERE rn = 1
+), polled AS (
+  SELECT tbl, col, val, (t // 3600000 + 1) * 3600000 AS emitted_at_ms FROM first
+)
+SELECT tbl AS "table", 's' AS op, emitted_at_ms, 'add_column' AS action, col AS "column",
+       CASE WHEN regexp_matches(val, '^(true|false)$') THEN 'bool'
+            WHEN regexp_matches(val, '^-?[0-9]+(\.[0-9]+)?$') THEN 'number'
+            WHEN regexp_matches(col, '(_ts|timestamp)$') THEN 'timestamp'
+            ELSE 'string' END AS col_type,
+       CAST(row_number() OVER (PARTITION BY tbl ORDER BY emitted_at_ms, col) - 1 AS INT) AS previous_version,
+       CAST(row_number() OVER (PARTITION BY tbl ORDER BY emitted_at_ms, col) AS INT) AS next_version
+FROM polled
 ORDER BY "table", next_version
 """,
     "cdc_replay_fold": r"""

@@ -116,6 +116,31 @@ def schema_change_events(ops: DataFrame) -> DataFrame:
     )
 
 
+def schema_change_events_polled(ops: DataFrame, poll_ms: int) -> DataFrame:
+    """C4 under QUERY-BASED capture: the polling engine only notices schema
+    drift at poll boundaries (``src/modes/queryBased.ts:109-138``) — a column
+    introduced mid-window surfaces at the NEXT poll tick, and all changes
+    inside one window coalesce into one version-bump batch ordered by column
+    name (the poll compares snapshots; intra-window op order is invisible to
+    it)."""
+    intro = column_introductions(ops)
+    polled = intro.withColumn(
+        "emitted_at_ms", (F.expr(f"t div {poll_ms}") + 1) * poll_ms
+    )
+    w = W.partitionBy("table").orderBy("emitted_at_ms", "column")
+    ver = F.row_number().over(w)
+    return polled.select(
+        "table",
+        F.lit("s").alias("op"),
+        "emitted_at_ms",
+        F.lit("add_column").alias("action"),
+        "column",
+        "col_type",
+        (ver - 1).alias("previous_version"),
+        ver.alias("next_version"),
+    )
+
+
 def replay_fold(ops: DataFrame, drop_columns: tuple[str, ...] = ()) -> DataFrame:
     """A1/A2 over MAP payloads with *partial* updates: ordered merge fold per
     key. ``drop_columns`` implements the A10 schema-drift projection toggle.
