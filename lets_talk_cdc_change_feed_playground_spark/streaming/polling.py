@@ -174,45 +174,64 @@ def _trigger_group_factory(overhead_ms: int):
     def fn(
         key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        """TriggerEngine.applySourceOp over one key's slice, vectorized:
+        the before-image is the last NON-DELETE payload regardless of
+        deletes in between (deleted rows keep their data,
+        ``TriggerEngine.ts:103-117``) — a seeded forward-fill of the
+        delete-nulled payload columns, shifted by one row; inserts null it."""
         (pk,) = key
         if state.exists:
             has_data, ev, val, props = state.get
         else:
             has_data, ev, val, props = False, None, None, None
 
-        out: list[dict] = []
-        # concat before sorting (order-sensitive fold across Arrow frames)
         pdfs = list(pdf_iter)
-        for pdf in pdfs if len(pdfs) <= 1 else [pd.concat(pdfs, ignore_index=True)]:
-            for row in pdf.sort_values(["t", "seq"]).itertuples(index=False):
-                commit = row.t + overhead_ms
-                before = (ev, val, props) if has_data else (None, None, None)
-                if row.op == "delete":
-                    after = (None, None, None)
-                    # deleted rows keep their data (TriggerEngine.ts:103-117)
-                else:
-                    after = (row.event_type, row.value, row.props)
-                    has_data, (ev, val, props) = True, after
-                op_code = {"insert": "c", "update": "u", "delete": "d"}[row.op]
-                out.append(
-                    {
-                        "seq": row.seq,
-                        "op": op_code,
-                        "pk": pk,
-                        "before_event_type": None if row.op == "insert" else before[0],
-                        "before_value": None if row.op == "insert" else before[1],
-                        "before_props": None if row.op == "insert" else before[2],
-                        "after_event_type": after[0],
-                        "after_value": after[1],
-                        "after_props": after[2],
-                        "commit_ts_ms": commit,
-                        "tx_id": f"tx-{commit}",
-                        "method": "trigger",
-                    }
-                )
+        if not pdfs:  # timeout invocations deliver an empty iterator
+            state.update((has_data, ev, val, props))
+            return
+        # concat before sorting (order-sensitive fold across Arrow frames)
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values(["t", "seq"], ignore_index=True)
 
+        is_del = pdf["op"].eq("delete")
+        is_ins = pdf["op"].eq("insert")
+        commit = pdf["t"] + overhead_ms
+        out = pd.DataFrame(
+            {
+                "seq": pdf["seq"],
+                "op": pdf["op"].map({"insert": "c", "update": "u", "delete": "d"}),
+                "pk": pk,
+            }
+        )
+        seeds = {
+            "event_type": ev if has_data else None,
+            "value": val if has_data else None,
+            "props": props if has_data else None,
+        }
+        carries = {}
+        for c in ("event_type", "value", "props"):
+            payload = pdf[c].mask(is_del, None)
+            seed = pd.Series([seeds[c]], dtype=payload.dtype if payload.dtype != object else object)
+            # seeded carry: carry[i] = last non-delete payload at or before
+            # row i-1 (seed at the batch boundary); before_i = carry[i]
+            carry = pd.concat([seed, payload], ignore_index=True).ffill()
+            carries[c] = carry
+            out[f"before_{c}"] = carry.iloc[:-1].reset_index(drop=True).mask(is_ins, None)
+            out[f"after_{c}"] = payload
+        out["commit_ts_ms"] = commit
+        out["tx_id"] = "tx-" + commit.astype(str)
+        out["method"] = "trigger"
+
+        final = {c: carries[c].iloc[-1] for c in carries}
+        if not pd.isna(final["event_type"]) or not pd.isna(final["props"]) or not pd.isna(final["value"]):
+            has_data = True
+            ev, val, props = (
+                None if pd.isna(final["event_type"]) else final["event_type"],
+                None if pd.isna(final["value"]) else float(final["value"]),
+                None if pd.isna(final["props"]) else final["props"],
+            )
         state.update((has_data, ev, val, props))
-        yield pd.DataFrame(out, columns=[f.name for f in TRIGGER_EVENT_SCHEMA.fields])
+        yield out[[f.name for f in TRIGGER_EVENT_SCHEMA.fields]]
 
     return fn
 
