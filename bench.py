@@ -3,7 +3,7 @@
 Prints ONE compact machine-parseable JSON line as the FINAL stdout line:
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
    "sf": 0.1, "n_queries": N, "detail": "BENCH_DETAIL.json"}
-The per-query timing map (~6 KB for 209 queries) is written to
+The per-query timing map (~6 KB for 212 queries) is written to
 BENCH_DETAIL.json next to this script and echoed to stderr — the driver
 captures only a ~2 KB stdout tail, so the final line must stay small.
 

@@ -54,6 +54,8 @@ AUDITED = [
     ("events_hll_distinct", "sketch math on <=64 register rows per shard; global sketch merged from registers only"),
     ("cdc_barrier_snapshot", "zone classification is one projection over the shared bus; all three recovery diffs from a single per-pk master join + one aggregation"),
     ("cdc_quorum_reads", "bounded x3 replica fan-out, pk-equi-joins, verdict in one conditional aggregation"),
+    ("cdc_schema_polled", "column sniffing is one explode + min-struct map-side-combinable agg; the only window runs over (tables x columns) introduction rows, never the event stream"),
+    ("docs_corpus_drift", "rank cap compiles to TakeOrderedAndProject(20) feeding the window 20 rows — never a single-task full-vocabulary sort"),
 ]
 
 
