@@ -1250,7 +1250,9 @@ WITH base AS (
   FROM base b LEFT JOIN dels d USING (tbl, pk)
   WHERE b.op = 'update' AND b.okey > COALESCE(d.dk, -1)
 ), colvals AS (
-  SELECT tbl, pk, col, arg_max(val, okey) AS val FROM (
+  -- struct-wrapped arg_max: bare arg_max(val, okey) IGNORES NULL vals, but
+  -- the merge fold keeps a NULL write (it hides the column from the render)
+  SELECT tbl, pk, col, struct_extract(arg_max({'v': val}, okey), 'v') AS val FROM (
     SELECT tbl, pk, okey, 'value' AS col, value_s AS val FROM ups
     UNION ALL SELECT tbl, pk, okey, 'k', k_s FROM ups WHERE event_id % 3 = 0
     UNION ALL SELECT tbl, pk, okey, 'flag', flag_s FROM ups WHERE event_id % 7 = 0

@@ -78,6 +78,7 @@ def kafka_source(
     max_offsets_per_trigger: int | None = None,
     streaming: bool = True,
     passthrough_offsets: bool = False,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """The live half of S6: a Kafka → canonical-change-event stream.
 
@@ -104,8 +105,12 @@ def kafka_source(
         .option("startingOffsets", starting_offsets)
         # one Spark partition per (topic, partition) slice: per-key order is
         # Kafka's per-partition order, exactly what the keyed-state capture
-        # and apply operators assume
-        .option("failOnDataLoss", "false")
+        # and apply operators assume.
+        # fail_on_data_loss defaults TRUE: broker-side truncation past
+        # retention silently skipping offsets would break the completeness /
+        # exactly-once invariants downstream — losing data must be loud;
+        # opt out only when reprocessing an aged topic deliberately.
+        .option("failOnDataLoss", "true" if fail_on_data_loss else "false")
     )
     if streaming and max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
@@ -122,7 +127,15 @@ def to_kafka_writer(
     checkpoint: str | None = None,
 ):
     """The emit side wired to a real broker: a ``(topic, key, value)`` frame
-    (from :func:`emit_debezium`) → Kafka writer, batch or streaming."""
+    (from :func:`emit_debezium`) → Kafka writer, batch or streaming.
+
+    Returns an UNSTARTED writer: call ``.start()`` on the streaming one,
+    ``.save()`` on the batch one. ``checkpoint`` is streaming-only —
+    passing it with a batch frame raises instead of silently dropping it."""
+    if not df.isStreaming and checkpoint is not None:
+        raise ValueError(
+            "checkpoint is a streaming-writer option; this frame is batch"
+        )
     if df.isStreaming:
         w = (
             df.selectExpr("topic", "CAST(key AS STRING) AS key", "value")

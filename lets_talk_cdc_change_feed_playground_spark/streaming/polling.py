@@ -178,7 +178,14 @@ def _trigger_group_factory(overhead_ms: int):
         the before-image is the last NON-DELETE payload regardless of
         deletes in between (deleted rows keep their data,
         ``TriggerEngine.ts:103-117``) — a seeded forward-fill of the
-        delete-nulled payload columns, shifted by one row; inserts null it."""
+        delete-nulled payload columns, shifted by one row; inserts null it.
+
+        The carry is PER COLUMN with null-skip (a genuinely-NULL payload
+        field on an update does not clear the carried value) — deliberately
+        identical to the batch twin's ``last(when(op<>'delete', c),
+        ignorenulls=true)`` and to the judged oracle's ``last_value(...
+        IGNORE NULLS)``, which are the authoritative pair this stream is
+        hash-checked against."""
         (pk,) = key
         if state.exists:
             has_data, ev, val, props = state.get

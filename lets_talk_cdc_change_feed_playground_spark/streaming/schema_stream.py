@@ -48,10 +48,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from lets_talk_cdc_change_feed_playground_spark.operators.schema_evolution import (  # noqa: E402
+    _TYPE_BOOL as _TYPE_BOOL_RE,
+    _TYPE_NUM as _TYPE_NUM_RE,
+)
+
 #: storage.ts:35-43 value-shape type inference — Python twin of
-#: operators/schema_evolution.infer_type (first-occurrence value decides).
-_TYPE_BOOL = re.compile(r"^(true|false)$")
-_TYPE_NUM = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
+#: operators/schema_evolution.infer_type, compiled from the SAME regex
+#: constants so the two can't drift (first-occurrence value decides).
+_TYPE_BOOL = re.compile(_TYPE_BOOL_RE)
+_TYPE_NUM = re.compile(_TYPE_NUM_RE)
 
 
 def _infer_type(column: str, value: str | None) -> str:
@@ -198,15 +204,18 @@ class EvolvingUpsertSink:
                 F.col("updated_t").alias("ut"),
             ).unionByName(ev)
 
-        dels = (
-            ev.filter(F.col("op") == "delete")
-            .groupBy("table", "pk")
-            .agg(F.max("okey").alias("__dk"))
+        # row-store reset boundaries (``src/domain/storage.ts:133-164``):
+        # a delete DROPS the row (events strictly after it contribute) and an
+        # insert REPLACES it (the insert itself and later events contribute)
+        bounds = ev.groupBy("table", "pk").agg(
+            F.max(F.when(F.col("op") == "delete", F.col("okey"))).alias("__dk"),
+            F.max(F.when(F.col("op") == "insert", F.col("okey"))).alias("__ik"),
         )
         ups = (
             ev.filter(F.col("op") != "delete")
-            .join(dels, ["table", "pk"], "left")
+            .join(bounds, ["table", "pk"], "left")
             .filter(F.col("__dk").isNull() | (F.col("okey") > F.col("__dk")))
+            .filter(F.col("__ik").isNull() | (F.col("okey") >= F.col("__ik")))
         )
         # per-column last-carrying-event wins (the {**cur, **patch} fold,
         # column-relationally): explode → max_by(value, okey) → reassemble
@@ -241,17 +250,23 @@ class EvolvingUpsertSink:
             if altered_tables is None
             else sorted(altered_tables)
         )
-        state = self.current() if targets else None
-        for tbl in targets:
-            cols = self.registry.columns(tbl)
-            wide = state.filter(F.col("table") == tbl).select(
-                "pk",
-                *[F.element_at("data", c).alias(c) for c in cols],
-                "updated_t",
-            )
-            wide.write.mode("overwrite").parquet(
-                os.path.join(self.path, "tables", tbl, f"v={nv}")
-            )
+        # one read of the just-committed version, persisted across the
+        # per-table projection writes (each write would otherwise rescan it)
+        state = self.current().persist() if targets else None
+        try:
+            for tbl in targets:
+                cols = self.registry.columns(tbl)
+                wide = state.filter(F.col("table") == tbl).select(
+                    "pk",
+                    *[F.element_at("data", c).alias(c) for c in cols],
+                    "updated_t",
+                )
+                wide.write.mode("overwrite").parquet(
+                    os.path.join(self.path, "tables", tbl, f"v={nv}")
+                )
+        finally:
+            if state is not None:
+                state.unpersist()
 
     def finalize_tables(self) -> None:
         """Refresh every table's wide projection from the final state — one
@@ -312,8 +327,11 @@ def evolving_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from lets_talk_cdc_change_feed_playground_spark.streaming.runtime import (  # noqa: E402
+    STREAM_PARTS as _STREAM_PARTS,
+)
+
 _N_CHUNKS = 3
-_STREAM_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "16"))
 _staged: dict[tuple, str] = {}
 
 
@@ -466,7 +484,10 @@ WITH ev AS (
     FROM base b0 LEFT JOIN dels d USING (tbl, pk)
   ) b WHERE b.op = 'update' AND b.okey > b.dk
 ), colvals AS (
-  SELECT tbl, pk, col, arg_max(val, okey) AS val FROM (
+  -- struct-wrapped arg_max: bare arg_max(val, okey) IGNORES NULL vals, but
+  -- the engine's last-write-wins keeps a NULL write (it hides the column
+  -- from the rendered string) — wrap so the latest row wins even when NULL
+  SELECT tbl, pk, col, struct_extract(arg_max({'v': val}, okey), 'v') AS val FROM (
     SELECT tbl, pk, okey, 'value' AS col, value_s AS val FROM ups
     UNION ALL SELECT tbl, pk, okey, 'event_type', tbl FROM ups
     UNION ALL SELECT tbl, pk, okey, 'k', k_s FROM ups WHERE event_id % 3 = 0

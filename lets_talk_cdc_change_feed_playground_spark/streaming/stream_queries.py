@@ -45,15 +45,26 @@ from lets_talk_cdc_change_feed_playground_spark.streaming.capture import (
     log_capture_stream,
 )
 
+from lets_talk_cdc_change_feed_playground_spark.streaming.runtime import (  # noqa: E402
+    STREAM_PARTS as _STREAM_PARTS,
+)
+
 _N_CHUNKS = 3
-#: shuffle/state partitions while a judged stream runs. The stateful stages
-#: are Python-heavy (Arrow fold per key group); at judged sizes 16 balances
-#: fold parallelism against per-partition state-store commit overhead
-#: (measured at sf0.1: 8 → 16 cuts the log-capture family ~25%). A real
-#: topic with real volume raises it via SPARK_GRAFT_STREAM_PARTS — the
-#: operator logic is partition-count-agnostic.
-_STREAM_PARTS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "16"))
 _staged: dict[tuple, str] = {}
+
+def _pin_chunk(src_path: str, dst_path: str, order: int) -> None:
+    """Move a staged chunk file into place with a PINNED strictly-increasing
+    mtime. FileStreamSource orders files by modification time (path only
+    breaks ties) and os.rename preserves the task-write mtime — two chunks
+    written within the same millisecond would otherwise rely on the
+    path-order tiebreak for their delivery order."""
+    os.rename(src_path, dst_path)
+    base = int(_PIN_BASE)
+    os.utime(dst_path, (base + order, base + order))
+
+
+_PIN_BASE = time.time()
+
 _sink_ids = itertools.count()
 
 
@@ -81,7 +92,7 @@ def _ops_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     _staged[key] = flat
     return flat
@@ -439,7 +450,7 @@ def _commit_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.drop("delivery_ts").coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     hb = spark.createDataFrame(
         [
@@ -459,7 +470,7 @@ def _commit_chunks(spark: SparkSession, sf_dir: str) -> str:
     hdir = os.path.join(out, "hb")
     hb.coalesce(1).write.parquet(hdir)
     part = next(f for f in os.listdir(hdir) if f.endswith(".parquet"))
-    os.rename(os.path.join(hdir, part), os.path.join(flat, "99.parquet"))
+    _pin_chunk(os.path.join(hdir, part), os.path.join(flat, "99.parquet"), 99)
     _staged[key] = flat
     return flat
 
@@ -558,7 +569,7 @@ def _docs_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     _staged[key] = flat
     return flat
@@ -667,7 +678,7 @@ def _txn_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.drop("delivery_ts", "lsn").coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     _staged[key] = flat
     return flat
@@ -936,7 +947,7 @@ def _ack_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     _staged[key] = flat
     return flat
@@ -1057,7 +1068,7 @@ def _dup_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
     _staged[key] = flat
     return flat
 
@@ -1240,7 +1251,7 @@ def _rate_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     _staged[key] = flat
     return flat
@@ -1850,7 +1861,7 @@ def _doc_text_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     _staged[key] = flat
     return flat
@@ -2028,13 +2039,13 @@ def _erasure_chunks(spark: SparkSession, sf_dir: str) -> str:
         cdir = os.path.join(out, f"c{i}")
         chunk.coalesce(1).write.parquet(cdir)
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        os.rename(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"))
+        _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
     # erasure tombstones arrive as their own final micro-batch
     tdir = os.path.join(out, "t")
     tomb.coalesce(1).write.parquet(tdir)
     part = next(f for f in os.listdir(tdir) if f.endswith(".parquet"))
-    os.rename(os.path.join(tdir, part), os.path.join(flat, "99.parquet"))
+    _pin_chunk(os.path.join(tdir, part), os.path.join(flat, "99.parquet"), 99)
     _staged[key] = flat
     return flat
 

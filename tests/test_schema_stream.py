@@ -92,6 +92,34 @@ def test_sink_schema_gains_columns_mid_stream(spark, tmp_path):
     assert final == {"p1": ("ann2", "41"), "p3": (None, "7")}
 
 
+def test_insert_replaces_row_across_batches(spark, tmp_path):
+    """storage.ts:133-164: an insert REPLACES the stored row — columns from
+    pre-insert updates must NOT survive, even across a micro-batch
+    boundary."""
+    import os
+    import time
+
+    from lets_talk_cdc_change_feed_playground_spark.streaming import schema_stream
+
+    chunk1 = [("u", "p1", 100, 0, "update", {"a": "1", "b": "2"})]
+    chunk2 = [("u", "p1", 200, 1, "insert", {"a": "9"})]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    base = int(time.time())
+    for i, rows in enumerate((chunk1, chunk2)):
+        df = spark.createDataFrame(rows, schema_stream.OPS_SCHEMA)
+        cdir = str(tmp_path / f"c{i}")
+        df.coalesce(1).write.parquet(cdir)
+        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+        dst = str(flat / f"{i:02d}.parquet")
+        os.rename(os.path.join(cdir, part), dst)
+        os.utime(dst, (base + i, base + i))
+
+    _registry, sink = schema_stream.run_ops_stream(spark, str(flat))
+    rows = {r["pk"]: dict(r["data"]) for r in sink.current().collect()}
+    assert rows == {"p1": {"a": "9"}}  # b did NOT survive the replace
+
+
 def test_sink_state_matches_batch_replay_fold(spark):
     from lets_talk_cdc_change_feed_playground_spark.operators import schema_evolution
     from lets_talk_cdc_change_feed_playground_spark.streaming import schema_stream
