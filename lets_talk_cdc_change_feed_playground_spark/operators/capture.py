@@ -152,6 +152,22 @@ def log_capture(spark: SparkSession, sf_dir: str, fetch_ms: int = FETCH_MS) -> D
     )
 
 
+def log_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final materialized state of the C1 log lane (the A2 replay fold over
+    the full WAL), session-shared: at least four judged audits consume this
+    exact frame (replay-state, incremental-agg convergence, savepoint
+    restore, anti-entropy), and it is final-state-sized (one row per live
+    pk), so one persist amortizes the per-pk fold across all of them."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import diffs
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("log_replay_state", sf_dir),
+        lambda: diffs.replay_state(log_capture(spark, sf_dir), ["ts_ms", "lsn"]),
+    )
+
+
 def log_capture_ops(
     ops: DataFrame,
     fetch_ms: int = FETCH_MS,

@@ -259,7 +259,7 @@ def cdc_trigger_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return diffs.replay_state(capture.log_capture(spark, sf_dir), ["ts_ms", "lsn"])
+    return capture.log_replay_state(spark, sf_dir)
 
 
 def cdc_lane_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,7 +806,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dv"), 2).cast("double").alias("total_value"),
         )
     )
-    state = diffs.replay_state(wal, ["ts_ms", "lsn"])
+    state = capture.log_replay_state(spark, sf_dir)
     rec = state.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows_rec"),
         F.round(F.sum(F.col("value").cast(dec)), 2).cast("double").alias("total_value_rec"),
@@ -867,7 +867,7 @@ def cdc_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     restored = diffs.replay_state(
         snap_events.unionByName(tail_events), ["ts_ms", "lsn"]
     )
-    full = diffs.replay_state(wal, ["ts_ms", "lsn"])
+    full = capture.log_replay_state(spark, sf_dir)
 
     j = full.select(
         "pk",

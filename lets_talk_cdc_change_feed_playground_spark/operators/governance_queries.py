@@ -360,7 +360,7 @@ def cdc_anti_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lets_talk_cdc_change_feed_playground_spark.operators import diffs
 
     wal = capture.log_capture(spark, sf_dir)
-    a = diffs.replay_state(wal, ["ts_ms", "lsn"]).select(
+    a = capture.log_replay_state(spark, sf_dir).select(
         "pk", "event_type", "value", "props"
     )
     lost = hash31(F.concat(F.lit("lost:"), F.col("pk"))) % AE_LOST_MOD == 0

@@ -179,10 +179,21 @@ def cdc_delivery_guarantees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import ops_feed
 
-    ops = ops_feed(spark, sf_dir).select("seq", "t")
-    pos = with_global_seq(
-        ops, F.expr("t div 86400000"), ["t", "seq"], out_col="pos"
-    ).select("seq", "pos")
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # five consumers below (base pass, replays, amo anti-join, and the three
+    # accountings) re-scan this 2-column frame — persist the one two-phase
+    # sequence assignment instead of re-deriving it per branch
+    pos = shared_df(
+        spark,
+        ("delivery_pos", sf_dir),
+        lambda: with_global_seq(
+            ops_feed(spark, sf_dir).select("seq", "t"),
+            F.expr("t div 86400000"),
+            ["t", "seq"],
+            out_col="pos",
+        ).select("seq", "pos"),
+    )
     n = pos.agg(F.count(F.lit(1)).alias("n"))
     B = COMMIT_BATCH
     crashes = (
@@ -341,17 +352,29 @@ def cdc_txn_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (never a data-sized single-task window); pair generation is
     keyed on page — candidate pairs are Σ per-page |txns|², bounded by the
     page fan-out, never all-txn-pairs."""
-    ops = ops_feed(spark, sf_dir).withColumn(
-        "worker", hash31(F.concat(F.lit("w:"), F.col("seq").cast("string"))) % OCC_WORKERS
-    )
-    ops = with_global_seq(
-        ops,
-        F.expr("t div 3600000"),
-        ["t", "seq"],
-        out_col="wseq",
-        start=0,
-        partition_cols=("worker",),
-    ).withColumn("txn_id", F.expr(f"worker * 1000000 + wseq div {OCC_TXN}"))
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    def build_occ_ops() -> DataFrame:
+        o = ops_feed(spark, sf_dir).withColumn(
+            "worker",
+            hash31(F.concat(F.lit("w:"), F.col("seq").cast("string"))) % OCC_WORKERS,
+        )
+        return (
+            with_global_seq(
+                o,
+                F.expr("t div 3600000"),
+                ["t", "seq"],
+                out_col="wseq",
+                start=0,
+                partition_cols=("worker",),
+            )
+            .withColumn("txn_id", F.expr(f"worker * 1000000 + wseq div {OCC_TXN}"))
+            .select("txn_id", "t", "pk")
+        )
+
+    # the per-worker sequence assignment feeds two aggregations (tx
+    # intervals, key pages) — persist the 3-column projection once
+    ops = shared_df(spark, ("occ_ops", sf_dir), build_occ_ops)
     tx = ops.groupBy("txn_id").agg(
         F.min("t").alias("start_ts"),
         (F.max("t") + OCC_COMMIT_MS).alias("commit_ts"),
@@ -364,12 +387,16 @@ def cdc_txn_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spans few hour buckets, so per-key lists stay short — joining on the
     # page alone generates |txns-per-page|² pairs BEFORE the overlap filter
     # (measured 128M candidates at sf0.1)
-    buck = keys.join(tx, "txn_id").select(
-        F.col("txn_id").alias("txn_a"), "page",
-        F.col("start_ts").alias("sa"), F.col("commit_ts").alias("ca"),
-        F.explode(
-            F.expr("sequence(start_ts div 3600000, commit_ts div 3600000)")
-        ).alias("bkt"),
+    buck = shared_df(
+        spark,
+        ("occ_buck", sf_dir),
+        lambda: keys.join(tx, "txn_id").select(
+            F.col("txn_id").alias("txn_a"), "page",
+            F.col("start_ts").alias("sa"), F.col("commit_ts").alias("ca"),
+            F.explode(
+                F.expr("sequence(start_ts div 3600000, commit_ts div 3600000)")
+            ).alias("bkt"),
+        ),
     )
     b = buck.select(
         F.col("txn_a").alias("txn_b"), F.col("page"), F.col("bkt"),

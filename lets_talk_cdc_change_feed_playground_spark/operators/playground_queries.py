@@ -142,9 +142,19 @@ def cdc_atomicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_consumer_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 — delivered/applied/backlog/lag per tick (drop-free run)."""
-    bus = pg.bus_feed(spark, sf_dir, drop_p=0.0)
-    return pg.consumer_timeline(bus, _ledger(spark, sf_dir, 0.0))
+    """M7 — delivered/applied/backlog/lag per tick (drop-free run).
+
+    Session-shared: the SLO budget audit folds this exact frame (one row
+    per delivery tick — bounded), so the tick expansion runs once."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("consumer_timeline", sf_dir),
+        lambda: pg.consumer_timeline(
+            pg.bus_feed(spark, sf_dir, drop_p=0.0), _ledger(spark, sf_dir, 0.0)
+        ),
+    )
 
 
 def cdc_offset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1224,22 +1224,29 @@ def cdc_mirror_maker(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-partition dense sequence (two-phase bucketed, the
     B1 pattern), the translation lookup is a same-partition equi-join, and
     the verification is a pair of map-side-combinable aggregates."""
-    bus = pg.bus_feed(spark, sf_dir)
-    a = bus.filter(~F.col("dropped")).select(
-        "partition",
-        F.col("offset").alias("a_offset"),
-        "delivery_ts",
-        "pk",
-        "op",
-    )
-    b = with_global_seq(
-        a,
-        F.expr("delivery_ts div 3600000"),
-        ["delivery_ts", "a_offset"],
-        out_col="b_offset",
-        start=0,
-        partition_cols=("partition",),
-    )
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    def build_b() -> DataFrame:
+        bus = pg.bus_feed(spark, sf_dir)
+        a = bus.filter(~F.col("dropped")).select(
+            "partition",
+            F.col("offset").alias("a_offset"),
+            "delivery_ts",
+            "pk",
+            "op",
+        )
+        return with_global_seq(
+            a,
+            F.expr("delivery_ts div 3600000"),
+            ["delivery_ts", "a_offset"],
+            out_col="b_offset",
+            start=0,
+            partition_cols=("partition",),
+        )
+
+    # the span scalar, the committed-offset agg, and the remaining-record
+    # audit all scan this frame — persist the one sequence assignment
+    b = shared_df(spark, ("mirror_b", sf_dir), build_b)
     span = b.agg(
         F.min("delivery_ts").alias("d0"), F.max("delivery_ts").alias("d1")
     ).select(

@@ -584,6 +584,182 @@ FROM s GROUP BY user_id, session_id
 
 
 # --------------------------------------------------------------------------
+# Hypertable-style rollup with gap-fill + LOCF (the time_bucket_gapfill /
+# locf shape): the dense hour spine is derived distributed — a per-type
+# min/max aggregate exploded through sequence(), never a driver-side
+# calendar loop — and the carry-forward window is bounded by each type's
+# hour SPAN (wall-clock range / 1h), not by row count, so it stays a small
+# per-type partition at any data scale.
+# --------------------------------------------------------------------------
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) div 3600000").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hour"))
+    )
+    j = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("hour").cast("long").alias("hour"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_filled"),
+        F.col("sum_value").isNull().alias("gap_filled"),
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(range(min(hour), max(hour) + 1)) AS hour
+  FROM hourly GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(s.hour AS BIGINT) AS hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       CAST(last_value(h.sum_value IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_value_filled,
+       h.sum_value IS NULL AS gap_filled
+FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap (range) join, the scale-safe banded way: gap-based user
+# sessions [start, end] joined to OTHER users' events inside the interval.
+# Both sides are bucketed by hour so the join is an equi-join on the bucket
+# with the precise range predicate applied inside each bucket — candidate
+# pairs are Σ_bucket |session-hours| · |events-in-hour|, never
+# |sessions| · |events| (the all-pairs interval join that dies at scale).
+# Each event has exactly one bucket, so a (session, event) pair can match
+# at most once — no post-join dedup needed.
+# --------------------------------------------------------------------------
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_millis(cast(ts as timestamp))").alias("t"),
+        "ts",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
+    gap_ms = 2 * 3600 * 1000
+    sess = (
+        ev.withColumn(
+            "new_session",
+            (
+                F.coalesce(F.col("t") - F.lag("t").over(w), F.lit(gap_ms + 1))
+                > gap_ms
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("t").alias("s0"),
+            F.max("t").alias("s1"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).cast("long").alias("n_own_events"),
+        )
+    )
+    sh = sess.select(
+        "user_id",
+        "session_id",
+        "s0",
+        "s1",
+        F.explode(F.expr("sequence(s0 div 3600000, s1 div 3600000)")).alias("bkt"),
+    )
+    e = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("t").alias("e_t"),
+        F.expr("t div 3600000").alias("bkt"),
+    )
+    ov = (
+        sh.join(e, "bkt")
+        .filter(
+            (F.col("e_t") >= F.col("s0"))
+            & (F.col("e_t") <= F.col("s1"))
+            & (F.col("e_user") != F.col("user_id"))
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlap_events"),
+            F.countDistinct("e_user").cast("long").alias("n_concurrent_users"),
+        )
+    )
+    return sess.join(ov, ["user_id", "session_id"], "left").select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "n_own_events",
+        F.coalesce("n_overlap_events", F.lit(0).cast("long")).alias(
+            "n_overlap_events"
+        ),
+        F.coalesce("n_concurrent_users", F.lit(0).cast("long")).alias(
+            "n_concurrent_users"
+        ),
+    )
+
+
+EVENTS_SESSION_CONCURRENCY_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS t, ts FROM events
+),
+g AS (
+  SELECT *, CASE WHEN t - lag(t) OVER w > 7200000
+                   OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC)
+),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_id, min(t) AS s0, max(t) AS s1,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         CAST(count(*) AS BIGINT) AS n_own_events
+  FROM s GROUP BY 1, 2
+),
+ov AS (
+  SELECT se.user_id, se.session_id,
+         CAST(count(*) AS BIGINT) AS n_overlap_events,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_concurrent_users
+  FROM sess se JOIN ev e
+    ON e.t >= se.s0 AND e.t <= se.s1 AND e.user_id <> se.user_id
+  GROUP BY 1, 2
+)
+SELECT se.user_id, CAST(se.session_id AS BIGINT) AS session_id, se.session_start,
+       se.n_own_events,
+       CAST(COALESCE(o.n_overlap_events, 0) AS BIGINT) AS n_overlap_events,
+       CAST(COALESCE(o.n_concurrent_users, 0) AS BIGINT) AS n_concurrent_users
+FROM sess se LEFT JOIN ov o
+  ON se.user_id = o.user_id AND se.session_id = o.session_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Set ops: order statuses seen in 1996 vs 1997 (intersect / except shape).
 # --------------------------------------------------------------------------
 def order_status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1820,11 +1996,20 @@ ORDER BY cohort_day, day_offset
 # is a distributed TakeOrderedAndProject.
 # --------------------------------------------------------------------------
 def parts_coorder_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    hot = freq.filter(F.col("n_orders") >= 5).select("l_partkey")
-    # hot grows with SF — AQE decides the join strategy (r1 lesson)
-    lih = li.join(hot, "l_partkey")
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    def build_lih() -> DataFrame:
+        li = (
+            _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        )
+        freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+        hot = freq.filter(F.col("n_orders") >= 5).select("l_partkey")
+        # hot grows with SF — AQE decides the join strategy (r1 lesson)
+        return li.join(hot, "l_partkey")
+
+    # both sides of the self-join scan this frame; persisting it halves the
+    # distinct+filter work (lih is the hot subset — smaller than lineitem)
+    lih = shared_df(spark, ("coorder_lih", sf_dir), build_lih)
     a = lih.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = lih.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     pairs = (
@@ -2058,6 +2243,8 @@ QUERIES = {
     "supplier_region_stats": supplier_region_stats,
     "events_hourly_stats": events_hourly_stats,
     "events_sessionize": events_sessionize,
+    "events_gapfill_locf": events_gapfill_locf,
+    "events_session_concurrency": events_session_concurrency,
     "order_status_set_ops": order_status_set_ops,
     "orders_status_pivot": orders_status_pivot,
     "events_scalar_functions": events_scalar_functions,
@@ -2109,6 +2296,8 @@ ORACLE = {
     "supplier_region_stats": SUPPLIER_REGION_SQL,
     "events_hourly_stats": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_gapfill_locf": EVENTS_GAPFILL_SQL,
+    "events_session_concurrency": EVENTS_SESSION_CONCURRENCY_SQL,
     "order_status_set_ops": ORDER_STATUS_SET_OPS_SQL,
     "orders_status_pivot": ORDERS_PIVOT_SQL,
     "events_scalar_functions": EVENTS_SCALAR_SQL,

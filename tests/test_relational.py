@@ -150,3 +150,47 @@ def test_abc_classes_follow_pareto(spark):
         dens_a = float(a["class_revenue"]) / a["n_parts"]
         dens_c = float(c["class_revenue"]) / c["n_parts"]
         assert dens_a > dens_c
+
+
+def test_gapfill_spine_is_dense_and_locf_total(spark, sf_dir):
+    """Every type's hour spine is contiguous; gaps carry the previous hour's
+    value (LOCF) and are flagged; the first spine hour is a data hour, so
+    the filled value is never null."""
+    rows = R.events_gapfill_locf(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        hours = [r["hour"] for r in rs]
+        assert hours == list(range(hours[0], hours[-1] + 1)), et
+        prev = None
+        for r in rs:
+            assert r["sum_value_filled"] is not None
+            if r["gap_filled"]:
+                assert r["n_events"] == 0
+                assert r["sum_value_filled"] == prev
+            prev = r["sum_value_filled"]
+
+
+def test_session_concurrency_matches_sessionize_keys(spark, sf_dir):
+    """Same session definition as events_sessionize (2h gap): the session key
+    sets agree, overlap counters respect distinct-user <= event bounds."""
+    conc = R.events_session_concurrency(spark, sf_dir).collect()
+    base = R.events_sessionize(spark, sf_dir).collect()
+    assert {(r["user_id"], r["session_id"]) for r in conc} == {
+        (r["user_id"], r["session_id"]) for r in base
+    }
+    for r in conc:
+        assert 0 <= r["n_concurrent_users"] <= r["n_overlap_events"]
+
+
+def test_session_concurrency_no_cartesian(spark, sf_dir):
+    plan = (
+        R.events_session_concurrency(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan
