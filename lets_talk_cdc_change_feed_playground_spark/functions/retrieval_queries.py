@@ -190,11 +190,19 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = n.crossJoin(F.broadcast(cents)).withColumn(
         "ccos", T.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     )
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
     wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
-    assign = (
-        scored.withColumn("crn", F.row_number().over(wv))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "label", "v", "nrm", F.col("cent_id").alias("cell"))
+    # both sides of the within-cell self-join scan the assignment — persist
+    # the one corpus × centroid argmin pass instead of running it twice
+    assign = shared_df(
+        spark,
+        ("knn_assign", sf_dir),
+        lambda: (
+            scored.withColumn("crn", F.row_number().over(wv))
+            .filter(F.col("crn") == 1)
+            .select("vec_id", "label", "v", "nrm", F.col("cent_id").alias("cell"))
+        ),
     )
     a, b = assign.alias("a"), assign.alias("b")
     pairs = a.join(
@@ -209,10 +217,20 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
-    edges = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("src", "dst", F.col("rank").cast("int").alias("rank"), "same_label", "cosine")
+    # the reciprocal check reads the edge list twice (forward + reversed) —
+    # persist the top-K result (corpus × KNN_K rows, tiny) so the |cell|²
+    # pair scoring runs once
+    edges = shared_df(
+        spark,
+        ("knn_edges", sf_dir),
+        lambda: (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= KNN_K)
+            .select(
+                "src", "dst", F.col("rank").cast("int").alias("rank"),
+                "same_label", "cosine",
+            )
+        ),
     )
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("_r"))
     return (

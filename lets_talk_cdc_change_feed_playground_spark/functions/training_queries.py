@@ -1158,6 +1158,8 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells (``NPROBE/K_IVF`` of the data, ~1/256th of its bytes).
     Distance tables are queries×NPROBE×M×K rows — broadcast-sized at any
     corpus scale."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1180,17 +1182,28 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.partitionBy("vec_id").orderBy("cd2", "ccid")),
         )
     )
-    assign = ranked.filter(F.col("crn") == 1).select(
-        "vec_id",
-        F.col("ccid").alias("cell"),
-        F.zip_with("v", "ccv", lambda x, y: x - y).alias("rv"),
+    # the residual assignment feeds the codebook training AND the corpus
+    # encode; the trained codebook c1 is tiny but its lineage is two corpus
+    # passes — persist both so the ADC table and the encode don't re-derive
+    assign = shared_df(
+        spark,
+        ("ivfpq_assign", sf_dir),
+        lambda: ranked.filter(F.col("crn") == 1).select(
+            "vec_id",
+            F.col("ccid").alias("cell"),
+            F.zip_with("v", "ccv", lambda x, y: x - y).alias("rv"),
+        ),
     )
     rsubs = _subspaces_of(assign, "rv", ["vec_id", "cell"])
     c0 = rsubs.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
     plain = rsubs.select("vec_id", "m", "sv")
-    c1 = _pq_update_step(_pq_assign_step(plain, c0))
+    c1 = shared_df(
+        spark,
+        ("ivfpq_c1", sf_dir),
+        lambda: _pq_update_step(_pq_assign_step(plain, c0)),
+    )
     codes = (
         _pq_assign_step(plain, c1)
         .select("vec_id", "m", "cid")
