@@ -1398,7 +1398,136 @@ LIMIT {PMI_TOPK}
 """
 
 
+ALLPAIRS_T_NUM, ALLPAIRS_T_DEN = 1, 2  # cosine threshold t = 1/2
+
+
+def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/prefix-filtered cosine similarity join (Bayardo et al.,
+    WWW'07) over tf-idf-weighted word 3-shingles — the threshold-driven
+    exact similarity join that complements the probabilistic near-dup
+    family (MinHash-LSH, SimHash): every pair with cosine ≥ t is returned,
+    no recall loss, no all-pairs scan.
+
+    Integer-exact end to end: rational idf weights
+    ``(tf · (N+1)) div (df+1)`` (the ``docs_tfidf_terms`` recipe), decimal
+    dot/norm accumulators, and the threshold test
+    ``4·dot² ≥ norm2_a·norm2_b`` (t = 1/2) in exact arithmetic — no float
+    boundary can flip a pair between engines.  The reported cosine is one
+    ``round(double-div(sqrt), 6)`` over those exact integers.
+
+    Prefix filter (the scale path): each doc's shingles sort rarest-first
+    (df asc); a shingle sits in the doc's *prefix* while the suffix from it
+    still carries more than t of the doc's norm (``4·suffix2 > norm2``).
+    If a pair shares no prefix shingle of EITHER side, all shared mass
+    lies in both suffixes and cosine ≤ t·t < t — so candidates are the
+    two prefix⋈full equi-joins on the shingle (Σ_s df_prefix(s)·df(s),
+    never Σ_s df(s)² and never |docs|²); only candidate pairs' vectors
+    are joined for the exact verify.  Decimal bound: dot² ≤ 10²⁸ at a
+    500M-doc corpus — inside decimal(38)/HUGEINT on both engines."""
+    d = _docs_t(spark, sf_dir)
+    dec = "decimal(38,0)"
+    sh = (
+        d.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    tf = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wgt = (
+        tf.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "shingle",
+            "df",
+            F.expr("(tf * (n_docs + 1)) div (df + 1)").alias("w"),
+        )
+    )
+    ww = wgt.withColumn("w2", (F.col("w") * F.col("w")).cast(dec))
+    wn = W.partitionBy("doc_id")
+    wo = wn.orderBy(F.asc("df"), F.asc("shingle")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = ww.select(
+        "doc_id",
+        "shingle",
+        "w",
+        F.sum("w2").over(wn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("norm2"),
+        (F.sum("w2").over(wo)).alias("cum2"),
+        "w2",
+    ).withColumn(
+        # suffix-from-here still carries > t of the norm:
+        # suffix2/norm2 > t²  ⟺  DEN²·suffix2 > NUM²·norm2
+        "in_prefix",
+        F.lit(ALLPAIRS_T_DEN * ALLPAIRS_T_DEN)
+        * (F.col("norm2") - F.col("cum2") + F.col("w2"))
+        > F.lit(ALLPAIRS_T_NUM * ALLPAIRS_T_NUM) * F.col("norm2"),
+    )
+    full = flagged.select("doc_id", "shingle")
+    pf = flagged.filter(F.col("in_prefix")).select("doc_id", "shingle")
+    cand = (
+        pf.alias("a")
+        .join(full.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .unionByName(
+            full.alias("a")
+            .join(pf.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+        .distinct()
+    )
+    va = wgt.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa"))
+    vb = wgt.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("w").alias("wb"))
+    dots = (
+        cand.join(va, "doc_a")
+        .join(vb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast(dec)).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
+        )
+    )
+    norms = flagged.groupBy("doc_id").agg(F.max("norm2").alias("n2"))
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            # cosine ≥ t  ⟺  DEN²·dot² ≥ NUM²·norm2_a·norm2_b (dot > 0 always:
+            # rational idf weights are ≥ 1)
+            F.lit(ALLPAIRS_T_DEN * ALLPAIRS_T_DEN) * F.col("dot") * F.col("dot")
+            >= F.lit(ALLPAIRS_T_NUM * ALLPAIRS_T_NUM) * F.col("na2") * F.col("nb2")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_shingles",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
+    "docs_allpairs_cosine": docs_allpairs_cosine,
     "docs_pmi_collocations": docs_pmi_collocations,
     "docs_bloom_dedup": docs_bloom_dedup,
     "docs_pii_scrub": docs_pii_scrub,
@@ -2055,4 +2184,40 @@ SELECT doc_id, n_tokens,
 FROM sp
 GROUP BY doc_id, n_tokens
 ORDER BY doc_id
+"""
+
+
+# Brute-force oracle for the AllPairs prefix-filtered join: DuckDB computes
+# EVERY shared-shingle pair and applies the same integer-exact threshold —
+# a Spark prefix-filter bug that loses a qualifying pair fails the sweep.
+ORACLE["docs_allpairs_cosine"] = f"""
+WITH {DOCS_T_SQL},
+sh AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs_t, UNNEST(range(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 3
+),
+tf AS (SELECT doc_id, shingle, count(*) AS tf FROM sh GROUP BY 1, 2),
+dfreq AS (SELECT shingle, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM docs_t),
+w AS (
+  SELECT doc_id, shingle,
+         CAST((tf * (n_docs + 1)) // (df + 1) AS HUGEINT) AS w
+  FROM tf JOIN dfreq USING (shingle) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.w * b.w) AS dot,
+         CAST(count(*) AS BIGINT) AS n_shared_shingles
+  FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_shingles,
+       round(CAST(dot AS DOUBLE) / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)), 6) AS cosine
+FROM dots
+JOIN nrm x ON x.doc_id = doc_a
+JOIN nrm y ON y.doc_id = doc_b
+WHERE {ALLPAIRS_T_DEN * ALLPAIRS_T_DEN} * dot * dot >= {ALLPAIRS_T_NUM * ALLPAIRS_T_NUM} * x.n2 * y.n2
+ORDER BY doc_a, doc_b
 """

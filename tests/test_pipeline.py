@@ -231,3 +231,59 @@ def test_bloom_dedup_never_false_negative(spark, sf_dir):
     assert all(not (r.false_positive and r.exact_dup) for r in rows)
     fp = sum(r.false_positive for r in rows)
     assert fp / len(rows) < 0.10
+
+
+def test_allpairs_cosine_prefix_filter_is_lossless(spark, sf_dir):
+    """The prefix filter is an optimization, never a recall loss: the result
+    must equal the brute-force all-shared-shingle-pairs set under the same
+    integer-exact threshold."""
+    from pyspark.sql import Window as W
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared_shingles"], r["cosine"])
+        for r in PQ.docs_allpairs_cosine(spark, sf_dir).collect()
+    }
+    # brute force twin (no prefix): every co-shingle pair, same threshold
+    d = PQ._docs_t(spark, sf_dir)
+    sh = d.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-3),"
+                " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    tf = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "shingle", F.expr("(tf * (n_docs + 1)) div (df + 1)").alias("w"))
+    )
+    n2 = w.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)")).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("nsh"),
+        )
+    )
+    brute = (
+        dots.join(n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")), "doc_a")
+        .join(n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")), "doc_b")
+        .filter(F.lit(4) * F.col("dot") * F.col("dot") >= F.col("na2") * F.col("nb2"))
+        .collect()
+    )
+    want = {(r["doc_a"], r["doc_b"]): r["nsh"] for r in brute}
+    assert set(got) == set(want)
+    for k, (nsh, cos) in got.items():
+        assert want[k] == nsh
+        assert cos >= 0.5 - 1e-9
