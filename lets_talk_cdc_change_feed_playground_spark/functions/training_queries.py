@@ -218,6 +218,91 @@ ORDER BY lang, source
 )
 
 
+def docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling, materialized per document — the
+    op that actually BUILDS a training mix (``docs_domain_mix`` is the
+    accounting view): stratum weights are ``p^α`` with α = 1/2 (the
+    multilingual-pretraining upsampling curve), realized as the integer
+    ``floor(sqrt(stratum_tokens))`` so both engines agree to the digit;
+    each stratum's token budget is its weight share of ``MIX_BUDGET``; every
+    doc gets ``budget div stratum_tokens`` full copies plus one more iff its
+    deterministic ppm draw falls under the fractional remainder rate —
+    a reproducible multinomial temperature sample with no RNG.
+
+    Scale shape: one stratum aggregate (broadcast back — strata are
+    lang×source, bounded), then a map-side join + hash per doc; no shuffle
+    of the corpus itself."""
+    s = _shuffled(spark, sf_dir)
+    per = s.groupBy("lang", "source").agg(F.sum("n_tokens").alias("s_tokens"))
+    per = per.withColumn(
+        "w", F.expr("CAST(floor(sqrt(CAST(s_tokens AS DOUBLE))) AS BIGINT)")
+    )
+    wtot = per.agg(F.sum("w").alias("wsum"))
+    tgt = (
+        per.crossJoin(F.broadcast(wtot))
+        .withColumn("budget_tokens", F.expr(f"({MIX_BUDGET} * w) div wsum"))
+        .withColumn("full_epochs", F.expr("budget_tokens div s_tokens"))
+        .withColumn(
+            "frac_ppm",
+            F.expr("(1000000 * (budget_tokens % s_tokens)) div s_tokens"),
+        )
+        .select("lang", "source", "s_tokens", "budget_tokens", "full_epochs", "frac_ppm")
+    )
+    return (
+        s.join(F.broadcast(tgt), ["lang", "source"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "s_tokens",
+            "budget_tokens",
+            "full_epochs",
+            "frac_ppm",
+            (
+                F.col("full_epochs")
+                + (
+                    hash31(
+                        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")),
+                        mod=1_000_000,
+                    )
+                    < F.col("frac_ppm")
+                ).cast("long")
+            ).alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RESAMPLE_SQL = (
+    "WITH "
+    + DOCS_T_SQL
+    + ","
+    + _SHUFFLE_SQL
+    + f"""
+, per AS (
+  SELECT lang, source, sum(n_tokens) AS s_tokens,
+         CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+  FROM shuf GROUP BY lang, source
+),
+tgt AS (
+  SELECT lang, source, CAST(s_tokens AS BIGINT) AS s_tokens,
+         CAST(({MIX_BUDGET} * w) // t.wsum AS BIGINT) AS budget_tokens,
+         CAST((({MIX_BUDGET} * w) // t.wsum) // s_tokens AS BIGINT) AS full_epochs,
+         CAST((1000000 * ((({MIX_BUDGET} * w) // t.wsum) % s_tokens)) // s_tokens AS BIGINT) AS frac_ppm
+  FROM per, (SELECT sum(w) AS wsum FROM per) t
+)
+SELECT s.doc_id, s.lang, s.source, s.n_tokens,
+       g.s_tokens, g.budget_tokens, g.full_epochs, g.frac_ppm,
+       g.full_epochs
+         + CASE WHEN ({hash31_sql("'mix:' || CAST(doc_id AS VARCHAR)", mod=1_000_000)}) < g.frac_ppm
+                THEN 1 ELSE 0 END AS n_copies
+FROM shuf s JOIN tgt g USING (lang, source)
+ORDER BY s.doc_id
+"""
+)
+
+
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: broadcast the ``K_IVF`` coarse centroids (deterministic
     seeding — the lowest vec_ids, as in :func:`.pipeline_queries.emb_ivf_topk`),
@@ -1095,6 +1180,7 @@ QUERIES = {
     "docs_shard_assignment": docs_shard_assignment,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_domain_mix": docs_domain_mix,
+    "docs_temperature_resample": docs_temperature_resample,
     "emb_semantic_dedup": emb_semantic_dedup,
 }
 
@@ -1109,6 +1195,7 @@ ORACLE = {
     "docs_shard_assignment": _SHARD_SQL,
     "docs_pack_sequences": _PACK_SQL,
     "docs_domain_mix": _MIX_SQL,
+    "docs_temperature_resample": _RESAMPLE_SQL,
     "emb_semantic_dedup": _SEMDEDUP_SQL,
 }
 

@@ -188,3 +188,33 @@ def test_quality_classifier_totals(spark):
     # the linear scores genuinely straddle the decision boundary somewhere
     assert any(r["score_min"] < 0 for r in rows)
     assert any(r["score_max"] >= 0 for r in rows)
+
+
+def test_temperature_resample_invariants(spark, sf_dir):
+    """α=1/2 temperature mix: every doc gets full_epochs or full_epochs+1
+    copies; the sqrt curve upsamples small strata (copies-per-token rate
+    non-increasing in stratum size); realized tokens track the budget."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.training_queries import (
+        MIX_BUDGET,
+        docs_temperature_resample,
+    )
+
+    rows = docs_temperature_resample(spark, sf_dir).collect()
+    assert rows
+    strata = {}
+    for r in rows:
+        assert r["n_copies"] in (r["full_epochs"], r["full_epochs"] + 1)
+        strata[(r["lang"], r["source"])] = (r["s_tokens"], r["budget_tokens"])
+    # sqrt temperature upsamples small strata: the smallest stratum's
+    # budget-per-token rate beats the largest's (strict monotonicity can
+    # wobble between near-equal sizes from the integer floor/div, so pin
+    # the endpoints, which differ enough to dominate the rounding)
+    by_size = sorted(strata.values())
+    if by_size[-1][0] >= 2 * by_size[0][0]:
+        assert by_size[0][1] / by_size[0][0] > by_size[-1][1] / by_size[-1][0]
+    realized = sum(r["n_copies"] * r["n_tokens"] for r in rows)
+    budget = sum(b for _, b in strata.values())
+    assert budget <= MIX_BUDGET
+    # fractional hash draw realizes each stratum's remainder to doc granularity
+    slack = sum(s for s, _ in strata.values())
+    assert abs(realized - budget) <= slack
