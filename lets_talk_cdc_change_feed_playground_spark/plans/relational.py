@@ -659,29 +659,39 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_millis(cast(ts as timestamp))").alias("t"),
         "ts",
     )
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
     w = W.partitionBy("user_id").orderBy(F.col("t").asc(), F.col("event_id").asc())
     gap_ms = 2 * 3600 * 1000
-    sess = (
-        ev.withColumn(
-            "new_session",
-            (
-                F.coalesce(F.col("t") - F.lag("t").over(w), F.lit(gap_ms + 1))
-                > gap_ms
-            ).cast("int"),
-        )
-        .withColumn(
-            "session_id",
-            F.sum("new_session").over(
-                w.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.min("t").alias("s0"),
-            F.max("t").alias("s1"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.count(F.lit(1)).cast("long").alias("n_own_events"),
-        )
+    # consumed twice (hour-bucket explode + the final left join) — persist
+    # the one sessionization window pass
+    sess = shared_df(
+        spark,
+        ("session_intervals", sf_dir),
+        lambda: (
+            ev.withColumn(
+                "new_session",
+                (
+                    F.coalesce(F.col("t") - F.lag("t").over(w), F.lit(gap_ms + 1))
+                    > gap_ms
+                ).cast("int"),
+            )
+            .withColumn(
+                "session_id",
+                F.sum("new_session").over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min("t").alias("s0"),
+                F.max("t").alias("s1"),
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.count(F.lit(1)).cast("long").alias("n_own_events"),
+            )
+        ),
     )
     sh = sess.select(
         "user_id",

@@ -56,6 +56,10 @@ AUDITED = [
     ("cdc_quorum_reads", "bounded x3 replica fan-out, pk-equi-joins, verdict in one conditional aggregation"),
     ("cdc_schema_polled", "column sniffing is one explode + min-struct map-side-combinable agg; the only window runs over (tables x columns) introduction rows, never the event stream"),
     ("docs_corpus_drift", "rank cap compiles to TakeOrderedAndProject(20) feeding the window 20 rows — never a single-task full-vocabulary sort"),
+    ("events_gapfill_locf", "dense hour spine from a per-type min/max aggregate exploded distributed; LOCF window bounded by the hour span, not row count"),
+    ("events_session_concurrency", "interval-overlap join banded by hour — equi-join on the bucket, range predicate inside; never |sessions|·|events|"),
+    ("docs_allpairs_cosine", "prefix⋈full candidate joins on the shingle (Σ df_prefix·df), exact verify only on candidate pairs; integer-exact threshold"),
+    ("docs_temperature_resample", "stratum budgets broadcast back onto the corpus; per-doc hash draw map-side — no corpus shuffle"),
 ]
 
 
