@@ -1451,26 +1451,36 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tf * (n_docs + 1)) div (df + 1)").alias("w"),
         )
     )
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
     ww = wgt.withColumn("w2", (F.col("w") * F.col("w")).cast(dec))
     wn = W.partitionBy("doc_id")
     wo = wn.orderBy(F.asc("df"), F.asc("shingle")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    flagged = ww.select(
-        "doc_id",
-        "shingle",
-        "w",
-        F.sum("w2").over(wn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("norm2"),
-        (F.sum("w2").over(wo)).alias("cum2"),
-        "w2",
-    ).withColumn(
-        # suffix-from-here still carries > t of the norm:
-        # suffix2/norm2 > t²  ⟺  DEN²·suffix2 > NUM²·norm2
-        "in_prefix",
-        F.lit(ALLPAIRS_T_DEN * ALLPAIRS_T_DEN)
-        * (F.col("norm2") - F.col("cum2") + F.col("w2"))
-        > F.lit(ALLPAIRS_T_NUM * ALLPAIRS_T_NUM) * F.col("norm2"),
+    # six plan branches scan this frame (prefix/full candidate sides, the
+    # two verify vector sides, the norms) — persist the one tf→idf→window
+    # pass instead of re-deriving it per branch
+    flagged = shared_df(
+        spark,
+        ("allpairs_flagged", sf_dir),
+        lambda: ww.select(
+            "doc_id",
+            "shingle",
+            "w",
+            F.sum("w2")
+            .over(wn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("norm2"),
+            (F.sum("w2").over(wo)).alias("cum2"),
+            "w2",
+        ).withColumn(
+            # suffix-from-here still carries > t of the norm:
+            # suffix2/norm2 > t²  ⟺  DEN²·suffix2 > NUM²·norm2
+            "in_prefix",
+            F.lit(ALLPAIRS_T_DEN * ALLPAIRS_T_DEN)
+            * (F.col("norm2") - F.col("cum2") + F.col("w2"))
+            > F.lit(ALLPAIRS_T_NUM * ALLPAIRS_T_NUM) * F.col("norm2"),
+        ),
     )
     full = flagged.select("doc_id", "shingle")
     pf = flagged.filter(F.col("in_prefix")).select("doc_id", "shingle")
@@ -1489,8 +1499,12 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    va = wgt.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa"))
-    vb = wgt.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("w").alias("wb"))
+    va = flagged.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa")
+    )
+    vb = flagged.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("w").alias("wb")
+    )
     dots = (
         cand.join(va, "doc_a")
         .join(vb, ["doc_b", "shingle"])
