@@ -252,8 +252,9 @@ _NRM_SQL = (
     "list_transform(v, x -> x*x)), (a, x) -> a + x))"
 )
 
-_KNN_SQL = f"""
-WITH n AS (
+# Shared CTE prefix for the kNN-graph oracle family (module-level constant
+# both consumers compose from — never post-hoc string surgery on one).
+_KNN_CTES = f"""n AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          {_NRM_SQL} AS nrm
   FROM embeddings
@@ -281,7 +282,10 @@ edges AS (
     FROM assign a JOIN assign b
       ON a.cell = b.cell AND a.vec_id <> b.vec_id
   ) WHERE rank <= {KNN_K}
-)
+)"""
+
+_KNN_SQL = f"""
+WITH {_KNN_CTES}
 SELECT e.src, CAST(e.rank AS INT) AS rank, e.dst, e.same_label, e.cosine,
        r.src IS NOT NULL AS reciprocal
 FROM edges e
@@ -290,14 +294,139 @@ ORDER BY e.src, e.rank
 """
 
 
+def emb_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting + local clustering coefficient over the
+    undirected kNN graph — the embedding-manifold density audit next to
+    [[nations_trade_pagerank]] and the dedup connected components.
+
+    Degree-ordered edge orientation (the classic MapReduce triangle trick):
+    every undirected edge points from its lower (degree, id) endpoint to the
+    higher, so each triangle is counted exactly ONCE at its lowest-degree
+    apex and the wedge fan-out is Σ out-degree² with out-degree capped at
+    O(√|E|) on ANY graph — no hub ever enumerates |hub-degree|² pairs.
+    Wedges close via one equi-join back onto the oriented edge list.
+    Clustering = 2T / (d·(d−1)) from exact integers, one rounded division."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    e = emb_knn_graph(spark, sf_dir)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    # degrees feed the orientation twice plus the output grain; the oriented
+    # edge list feeds both wedge sides plus the closing join — persist both
+    # (both are |E|-sized, tiny next to the corpus)
+    deg = shared_df(
+        spark,
+        ("knn_tri_deg", sf_dir),
+        lambda: (
+            und.select(F.col("u").alias("x"))
+            .unionByName(und.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        ),
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    lo_first = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = shared_df(
+        spark,
+        ("knn_tri_oriented", sf_dir),
+        lambda: und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(
+                lo_first,
+                F.struct(F.col("dv").alias("kd"), F.col("v").alias("kx")),
+            )
+            .otherwise(F.struct(F.col("du").alias("kd"), F.col("u").alias("kx")))
+            .alias("tk"),
+        ),
+    )
+    o1 = oriented.select("s", F.col("t").alias("a"), F.col("tk").alias("ka"))
+    o2 = oriented.select("s", F.col("t").alias("b"), F.col("tk").alias("kb"))
+    wedges = o1.join(o2, "s").filter(F.col("ka") < F.col("kb")).select("s", "a", "b")
+    tris = wedges.join(
+        oriented.select(F.col("s").alias("a"), F.col("t").alias("b")), ["a", "b"]
+    )
+    per_node = (
+        tris.select(F.col("s").alias("x"))
+        .unionByName(tris.select(F.col("a").alias("x")))
+        .unionByName(tris.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "x", "left")
+        .select(
+            F.col("x").alias("vec_id"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                    / (F.col("d") * (F.col("d") - 1)).cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_TRI_SQL = f"""
+WITH {_KNN_CTES},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges),
+deg AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
+  GROUP BY x
+),
+o AS (
+  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS s,
+         CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS t,
+         CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN dv.d ELSE du.d END AS td
+  FROM und
+  JOIN deg du ON du.x = und.u
+  JOIN deg dv ON dv.x = und.v
+),
+tris AS (
+  SELECT o1.s, o1.t AS a, o2.t AS b
+  FROM o o1 JOIN o o2 ON o1.s = o2.s AND (o1.td, o1.t) < (o2.td, o2.t)
+  JOIN o oc ON oc.s = o1.t AND oc.t = o2.t
+),
+per_node AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT s AS x FROM tris UNION ALL SELECT a FROM tris UNION ALL SELECT b FROM tris)
+  GROUP BY x
+)
+SELECT deg.x AS vec_id, deg.d AS degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+                       / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN per_node p ON p.x = deg.x
+ORDER BY vec_id
+"""
+
 QUERIES = {
     "docs_bm25_topk": docs_bm25_topk,
     "emb_knn_graph": emb_knn_graph,
+    "emb_knn_triangles": emb_knn_triangles,
 }
 
 ORACLE = {
     "docs_bm25_topk": _BM25_SQL,
     "emb_knn_graph": _KNN_SQL,
+    "emb_knn_triangles": _TRI_SQL,
 }
 
 

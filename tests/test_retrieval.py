@@ -148,3 +148,22 @@ def test_corpus_drift_ranks_and_rates(spark):
     for r in rows:
         assert r["o1"] + r["o2"] > 0
         assert 0 <= r["rate_a_pm"] <= 1000 and 0 <= r["rate_b_pm"] <= 1000
+
+
+def test_knn_triangles_invariants(spark, sf_dir):
+    """Each triangle counted once at three nodes: the per-node total is
+    divisible by 3; a node closes at most C(d,2) triangles; clustering
+    is a valid [0,1] ratio and zero below degree 2."""
+    from lets_talk_cdc_change_feed_playground_spark.functions.retrieval_queries import (
+        emb_knn_triangles,
+    )
+
+    rows = emb_knn_triangles(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_triangles"] for r in rows) % 3 == 0
+    for r in rows:
+        d = r["degree"]
+        assert r["n_triangles"] <= d * (d - 1) // 2
+        assert 0.0 <= r["clustering"] <= 1.0
+        if d < 2:
+            assert r["clustering"] == 0.0 and r["n_triangles"] == 0
