@@ -57,10 +57,18 @@ def _evolving_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
     cols = _evolving_cols(spark, sf_dir)
-    spans = cols.groupBy("table", "column").agg(
-        F.min(F.struct("t", "seq")).alias("first"),
-        F.max(F.struct("t", "seq")).alias("last"),
+    # (table, column) grain — tiny — but its lineage is the exploded presence
+    # frame; two consumers below (the after-join and the add/drop classify)
+    spans = shared_df(
+        spark,
+        ("compat_spans", sf_dir),
+        lambda: cols.groupBy("table", "column").agg(
+            F.min(F.struct("t", "seq")).alias("first"),
+            F.max(F.struct("t", "seq")).alias("last"),
+        ),
     )
     # every event carries the two always-present columns, so the distinct
     # (table, t, seq) op set IS the events projection (event_id is unique) —
