@@ -297,7 +297,7 @@ ORDER BY e.src, e.rank
 def emb_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle counting + local clustering coefficient over the
     undirected kNN graph — the embedding-manifold density audit next to
-    [[nations_trade_pagerank]] and the dedup connected components.
+    ``nations_trade_pagerank`` and the dedup connected components.
 
     Degree-ordered edge orientation (the classic MapReduce triangle trick):
     every undirected edge points from its lower (degree, id) endpoint to the

@@ -237,8 +237,6 @@ def test_allpairs_cosine_prefix_filter_is_lossless(spark, sf_dir):
     """The prefix filter is an optimization, never a recall loss: the result
     must equal the brute-force all-shared-shingle-pairs set under the same
     integer-exact threshold."""
-    from pyspark.sql import Window as W
-
     got = {
         (r["doc_a"], r["doc_b"]): (r["n_shared_shingles"], r["cosine"])
         for r in PQ.docs_allpairs_cosine(spark, sf_dir).collect()
