@@ -241,10 +241,18 @@ def docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = (
         per.crossJoin(F.broadcast(wtot))
         .withColumn("budget_tokens", F.expr(f"({MIX_BUDGET} * w) div wsum"))
-        .withColumn("full_epochs", F.expr("budget_tokens div s_tokens"))
+        # s_tokens = 0 (a stratum of empty docs) gets zero copies, not a
+        # divide-by-zero (DuckDB errors on integer x // 0; Spark NULLs)
+        .withColumn(
+            "full_epochs",
+            F.expr("CASE WHEN s_tokens = 0 THEN 0 ELSE budget_tokens div s_tokens END"),
+        )
         .withColumn(
             "frac_ppm",
-            F.expr("(1000000 * (budget_tokens % s_tokens)) div s_tokens"),
+            F.expr(
+                "CASE WHEN s_tokens = 0 THEN 0"
+                " ELSE (1000000 * (budget_tokens % s_tokens)) div s_tokens END"
+            ),
         )
         .select("lang", "source", "s_tokens", "budget_tokens", "full_epochs", "frac_ppm")
     )
@@ -288,8 +296,10 @@ _RESAMPLE_SQL = (
 tgt AS (
   SELECT lang, source, CAST(s_tokens AS BIGINT) AS s_tokens,
          CAST(({MIX_BUDGET} * w) // t.wsum AS BIGINT) AS budget_tokens,
-         CAST((({MIX_BUDGET} * w) // t.wsum) // s_tokens AS BIGINT) AS full_epochs,
-         CAST((1000000 * ((({MIX_BUDGET} * w) // t.wsum) % s_tokens)) // s_tokens AS BIGINT) AS frac_ppm
+         CAST(CASE WHEN s_tokens = 0 THEN 0
+              ELSE (({MIX_BUDGET} * w) // t.wsum) // s_tokens END AS BIGINT) AS full_epochs,
+         CAST(CASE WHEN s_tokens = 0 THEN 0
+              ELSE (1000000 * ((({MIX_BUDGET} * w) // t.wsum) % s_tokens)) // s_tokens END AS BIGINT) AS frac_ppm
   FROM per, (SELECT sum(w) AS wsum FROM per) t
 )
 SELECT s.doc_id, s.lang, s.source, s.n_tokens,
