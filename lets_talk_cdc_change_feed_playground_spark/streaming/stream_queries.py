@@ -2204,14 +2204,12 @@ def cdc_restart_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapper = _CrashAfterCommit(sink, crash_batch=1)
     ckpt = _tf.mkdtemp(prefix="sg_restart_ckpt_")
 
-    def start():
-        src = (
-            spark.readStream.schema(OPS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(chunks)
-        )
+    def start(files_per_trigger: int | None):
+        src = spark.readStream.schema(OPS_SCHEMA)
+        if files_per_trigger is not None:
+            src = src.option("maxFilesPerTrigger", files_per_trigger)
         return (
-            log_capture_stream(src)
+            log_capture_stream(src.parquet(chunks))
             .writeStream.outputMode("append")
             .foreachBatch(wrapper)
             .option("checkpointLocation", ckpt)
@@ -2221,7 +2219,11 @@ def cdc_restart_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_PARTS))
     try:
-        q = start()
+        # one file per trigger pins the crash at batch 1; the restart replays
+        # the crashed batch exactly as the offset log recorded it, then takes
+        # every remaining chunk in ONE batch (the cap is a source option, not
+        # checkpoint state) — same re-delivery + dedup proof, fewer triggers
+        q = start(files_per_trigger=1)
         try:
             q.processAllAvailable()
             raise AssertionError("injected crash did not fire")
@@ -2229,7 +2231,7 @@ def cdc_restart_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # the injected mid-run death
         finally:
             q.stop()
-        q = start()  # restart from the SAME checkpoint
+        q = start(files_per_trigger=None)  # restart from the SAME checkpoint
         try:
             q.processAllAvailable()
         finally:
