@@ -1453,7 +1453,10 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
 
-    ww = wgt.withColumn("w2", (F.col("w") * F.col("w")).cast(dec))
+    # cast BEFORE multiplying: w·w in LongType silently wraps past
+    # w≈3.04e9 (non-ANSI Spark) while the DuckDB oracle computes the same
+    # product in HUGEINT — decimal(38,0)·decimal(38,0) matches the oracle
+    ww = wgt.withColumn("w2", F.col("w").cast(dec) * F.col("w").cast(dec))
     wn = W.partitionBy("doc_id")
     wo = wn.orderBy(F.asc("df"), F.asc("shingle")).rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -1510,7 +1513,7 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.sum((F.col("wa") * F.col("wb")).cast(dec)).alias("dot"),
+            F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"),
             F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
         )
     )

@@ -240,9 +240,13 @@ def docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtot = per.agg(F.sum("w").alias("wsum"))
     tgt = (
         per.crossJoin(F.broadcast(wtot))
-        .withColumn("budget_tokens", F.expr(f"({MIX_BUDGET} * w) div wsum"))
-        # s_tokens = 0 (a stratum of empty docs) gets zero copies, not a
-        # divide-by-zero (DuckDB errors on integer x // 0; Spark NULLs)
+        # wsum = 0 (EVERY stratum empty) and s_tokens = 0 (one stratum of
+        # empty docs) both get zero copies, not a divide-by-zero (DuckDB
+        # errors on integer x // 0; Spark NULLs)
+        .withColumn(
+            "budget_tokens",
+            F.expr(f"CASE WHEN wsum = 0 THEN 0 ELSE ({MIX_BUDGET} * w) div wsum END"),
+        )
         .withColumn(
             "full_epochs",
             F.expr("CASE WHEN s_tokens = 0 THEN 0 ELSE budget_tokens div s_tokens END"),
@@ -269,11 +273,16 @@ def docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_ppm",
             (
                 F.col("full_epochs")
+                # fold mod a large prime FIRST, then reduce to ppm: a
+                # per-character mod 1e6 fold is strided/correlated over
+                # near-consecutive doc_ids, biasing realized copies away
+                # from frac_ppm/1e6
                 + (
                     hash31(
                         F.concat(F.lit("mix:"), F.col("doc_id").cast("string")),
-                        mod=1_000_000,
+                        mod=2_147_483_647,
                     )
+                    % 1_000_000
                     < F.col("frac_ppm")
                 ).cast("long")
             ).alias("n_copies"),
@@ -295,17 +304,18 @@ _RESAMPLE_SQL = (
 ),
 tgt AS (
   SELECT lang, source, CAST(s_tokens AS BIGINT) AS s_tokens,
-         CAST(({MIX_BUDGET} * w) // t.wsum AS BIGINT) AS budget_tokens,
-         CAST(CASE WHEN s_tokens = 0 THEN 0
+         CAST(CASE WHEN t.wsum = 0 THEN 0
+              ELSE ({MIX_BUDGET} * w) // t.wsum END AS BIGINT) AS budget_tokens,
+         CAST(CASE WHEN s_tokens = 0 OR t.wsum = 0 THEN 0
               ELSE (({MIX_BUDGET} * w) // t.wsum) // s_tokens END AS BIGINT) AS full_epochs,
-         CAST(CASE WHEN s_tokens = 0 THEN 0
+         CAST(CASE WHEN s_tokens = 0 OR t.wsum = 0 THEN 0
               ELSE (1000000 * ((({MIX_BUDGET} * w) // t.wsum) % s_tokens)) // s_tokens END AS BIGINT) AS frac_ppm
   FROM per, (SELECT sum(w) AS wsum FROM per) t
 )
 SELECT s.doc_id, s.lang, s.source, s.n_tokens,
        g.s_tokens, g.budget_tokens, g.full_epochs, g.frac_ppm,
        g.full_epochs
-         + CASE WHEN ({hash31_sql("'mix:' || CAST(doc_id AS VARCHAR)", mod=1_000_000)}) < g.frac_ppm
+         + CASE WHEN ({hash31_sql("'mix:' || CAST(doc_id AS VARCHAR)", mod=2_147_483_647)}) % 1000000 < g.frac_ppm
                 THEN 1 ELSE 0 END AS n_copies
 FROM shuf s JOIN tgt g USING (lang, source)
 ORDER BY s.doc_id

@@ -101,6 +101,7 @@ def hash31(col, mod: int = 9973):
 def hash31_sql(expr: str, mod: int = 9973) -> str:
     """DuckDB twin of :func:`hash31`."""
     return (
-        f"list_reduce(list_prepend(0, [ascii(c) for c in string_split({expr}, '')]),"
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" [CAST(ascii(c) AS BIGINT) for c in string_split({expr}, '')]),"
         f" (acc, c) -> (acc*31 + c) % {mod})"
     )
