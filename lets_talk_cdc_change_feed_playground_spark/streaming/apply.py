@@ -130,3 +130,84 @@ class UpsertSink:
         merged.write.mode("overwrite").parquet(staging)
         # the atomic commit: state becomes visible + batch recorded together
         os.rename(staging, os.path.join(self.path, f"v={nxt}-b={batch_id}"))
+
+
+def has_delta() -> bool:
+    """True when ``delta-spark`` is importable (not in this sandbox)."""
+    import importlib.util
+
+    return importlib.util.find_spec("delta") is not None
+
+
+class DeltaUpsertSink:
+    """The same keyed merge as :class:`UpsertSink` against a REAL Delta
+    table — the production S9 sink the reference applies to Postgres
+    (``scenarios/01-canonical-reference/sink/consumer.mjs:292-356``), here as
+    ``MERGE INTO target USING batch ON pk WHEN MATCHED AND op='d' THEN
+    DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED AND op<>'d' THEN
+    INSERT *``.  Delta's transaction log supplies what the parquet stand-in
+    hand-builds: atomic commits (the _delta_log append) and the
+    ``txnAppId``/``txnVersion`` idempotent-writer ledger standing in for the
+    batch-id directory tags.
+
+    Gated on ``delta-spark`` being installed (it is not in this sandbox —
+    ``tests/test_delta_sink.py`` is skip-marked and runs the identical
+    scenario as the parquet twin wherever the dependency exists).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, app_id: str = "sg-upsert"):
+        if not has_delta():  # fail loudly at construction, not first batch
+            raise ImportError("delta-spark is not installed; use UpsertSink")
+        self.spark = spark
+        self.path = path
+        self.app_id = app_id
+
+    def current(self) -> DataFrame | None:
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(self.spark, self.path):
+            return None
+        return self.spark.read.format("delta").load(self.path)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from delta.tables import DeltaTable
+
+        # MERGE needs unique source keys: reduce the batch to one final
+        # event per pk first (same (ts_ms, seq) last-writer-wins order as
+        # merge_batch) — the reduction is the map-side half of the fold, the
+        # MERGE is the store half
+        w = W.partitionBy("pk").orderBy(*[F.desc(c) for c in STORE_ORDER])
+        src = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "pk",
+                "op",
+                F.col("after_event_type").alias("event_type"),
+                F.col("after_value").alias("value"),
+                F.col("after_props").alias("props"),
+                "ts_ms",
+                "seq",
+            )
+        )
+        cols = ["pk", "event_type", "value", "props", "ts_ms", "seq"]
+        if not DeltaTable.isDeltaTable(self.spark, self.path):
+            (
+                src.filter(F.col("op") != "d")
+                .select(*cols)
+                .write.format("delta")
+                .option("txnAppId", self.app_id)
+                .option("txnVersion", batch_id)
+                .save(self.path)
+            )
+            return
+        target = DeltaTable.forPath(self.spark, self.path)
+        updates = {c: f"s.{c}" for c in cols}
+        (
+            target.alias("t")
+            .merge(src.alias("s"), "t.pk = s.pk")
+            .whenMatchedDelete(condition="s.op = 'd'")
+            .whenMatchedUpdate(set=updates)
+            .whenNotMatchedInsert(condition="s.op <> 'd'", values=updates)
+            .execute()
+        )

@@ -50,7 +50,21 @@ from lets_talk_cdc_change_feed_playground_spark.streaming.runtime import (  # no
 )
 
 _N_CHUNKS = 3
+# intake granularity for every file-source readStream below; 1 = one staged
+# chunk file per micro-batch.  Both knobs are read at CALL time so the
+# batching-invariance fuzz (tests/test_stream_fuzz.py) can vary them and
+# assert the judged outputs don't move.
+_MAX_FILES_PER_TRIGGER = 1
 _staged: dict[tuple, str] = {}
+
+
+def _split_qs() -> list[float]:
+    """Quantile cut points that split a feed into ``_N_CHUNKS`` chunks."""
+    return [i / _N_CHUNKS for i in range(1, _N_CHUNKS)]
+
+
+def _mfpt() -> int:
+    return _MAX_FILES_PER_TRIGGER
 
 def _pin_chunk(src_path: str, dst_path: str, order: int) -> None:
     """Move a staged chunk file into place with a PINNED strictly-increasing
@@ -77,7 +91,7 @@ def _ops_chunks(spark: SparkSession, sf_dir: str) -> str:
     if key in _staged:
         return _staged[key]
     ops = ops_feed(spark, sf_dir)
-    qs = [i / _N_CHUNKS for i in range(1, _N_CHUNKS)]
+    qs = _split_qs()
     cuts = ops.approxQuantile("t", qs, 0.001)
     out = tempfile.mkdtemp(prefix="sg_ops_chunks_")
     flat = os.path.join(out, "flat")
@@ -148,7 +162,7 @@ def stream_log_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     state survived the batch boundaries)."""
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     wal = _run_to_table(log_capture_stream(src), "append")
@@ -195,7 +209,7 @@ def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the converged state, which must hash-equal the batch GROUP BY."""
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     agg = (
@@ -246,7 +260,7 @@ def stream_polling_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     polls = _run_to_table(
@@ -301,7 +315,7 @@ def stream_trigger_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     audit = _run_to_table(trigger_capture_stream(src), "append")
@@ -363,7 +377,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     sink = UpsertSink(spark, _tf.mkdtemp(prefix="sg_upsert_store_"))
@@ -436,7 +450,7 @@ def _commit_chunks(spark: SparkSession, sf_dir: str) -> str:
         "delivery_ts",
     )
     max_commit = ev.agg(F.max("commit_ts")).first()[0]
-    cuts = ev.approxQuantile("delivery_ts", [1 / 3, 2 / 3], 0.001)
+    cuts = ev.approxQuantile("delivery_ts", _split_qs(), 0.001)
     out = tempfile.mkdtemp(prefix="sg_commit_chunks_")
     flat = os.path.join(out, "flat")
     os.makedirs(flat)
@@ -499,7 +513,7 @@ def stream_apply_on_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(COMMIT_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_commit_chunks(spark, sf_dir))
     )
     gated = gate_on_commit_floor(
@@ -541,6 +555,142 @@ ORDER BY apply_seq
     )
 
 
+class _CommitStoreSink:
+    """``foreachBatch`` target for the DISTRIBUTED apply-on-commit path: the
+    watermark-released transactions of each micro-batch are exploded to row
+    events and merged into a versioned-parquet keyed store via
+    :class:`..streaming.apply.UpsertSink` — no ``collect()`` anywhere in the
+    applied path (the collecting :class:`..streaming.apply_on_commit.
+    OrderedApplySink` remains a unit-test ordering probe only,
+    ``tests/test_streaming.py``).
+
+    Ordering audit (the reason a per-batch sort is unnecessary): the
+    commit-floor gate releases whole commit windows in watermark order, so
+    consecutive batches carry disjoint, increasing commit ranges — asserted
+    here as two scalars per batch (min/max commit_ts vs the driver-held
+    floor); WITHIN a batch the merge fold orders per key by
+    ``(commit_ts, lsn)``.  Together: per-key apply order == global
+    ``(commit_ts, lsn)`` order, distributed."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        from lets_talk_cdc_change_feed_playground_spark.streaming.apply import (
+            UpsertSink,
+        )
+
+        self._upsert = UpsertSink(spark, path)
+        self.floor: int | None = None
+
+    def current(self):
+        return self._upsert.current()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        ev = (
+            batch_df.filter(F.col("tx_id") != _HB_TX)
+            .select("commit_ts", F.explode("events").alias("e"))
+            .select(
+                F.col("e.pk").alias("pk"),
+                F.when(F.col("e.op") == "delete", F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+                F.col("e.payload").alias("after_event_type"),
+                F.lit(None).cast("double").alias("after_value"),
+                F.lit(None).cast("string").alias("after_props"),
+                F.col("commit_ts").alias("ts_ms"),
+                F.col("e.lsn").alias("seq"),
+            )
+        )
+        bounds = ev.agg(
+            F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return  # heartbeat-only / empty release
+        if self.floor is not None and bounds["lo"] <= self.floor:
+            raise RuntimeError(
+                f"commit floor violated: batch {batch_id} released "
+                f"commit_ts {bounds['lo']} <= applied floor {self.floor}"
+            )
+        self._upsert(ev, batch_id)
+        self.floor = int(bounds["hi"])
+
+
+def stream_apply_commit_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A1 end-to-end, fully distributed: the watermark-gated commit-floor
+    release feeds :class:`_CommitStoreSink`, which MERGEs every released
+    transaction's row events into a versioned keyed store
+    (:func:`..streaming.apply.merge_batch` — the S9 sink) ordered by
+    ``(commit_ts, lsn)``; the judged output is the FINAL MATERIALIZED TABLE,
+    which must equal the batch last-writer-wins fold of the drop-free bus.
+
+    This is the production shape of apply-on-commit (reference:
+    ``src/changefeed/model.ts:208-217`` floor + ``src/domain/storage.ts:
+    133-164`` apply): the floor is the watermark, the apply is a keyed MERGE
+    per micro-batch, ordering is guaranteed by floor monotonicity ACROSS
+    batches (audited, scalar per batch) and the merge sort WITHIN them —
+    never a driver-side sort or collect."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply_on_commit import (
+        COMMIT_EVENT_SCHEMA,
+        gate_on_commit_floor,
+    )
+
+    src = (
+        spark.readStream.schema(COMMIT_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", _mfpt())
+        .parquet(_commit_chunks(spark, sf_dir))
+    )
+    gated = gate_on_commit_floor(
+        src, tick_ms=_GATE_TICK_MS, delay=f"{_GATE_DELAY_MS} milliseconds"
+    )
+    sink = _CommitStoreSink(spark, tempfile.mkdtemp(prefix="sg_commit_store_"))
+    ckpt = tempfile.mkdtemp(prefix="sg_commit_store_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STREAM_PARTS))
+    try:
+        q = (
+            gated.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    store = sink.current()
+    return store.select(
+        "pk",
+        F.col("event_type").alias("payload"),
+        F.col("ts_ms").alias("commit_ts"),
+        F.col("seq").alias("lsn"),
+    ).orderBy("pk")
+
+
+def _stream_apply_store_sql() -> str:
+    from lets_talk_cdc_change_feed_playground_spark.operators.playground_queries import (
+        _bus_sql,
+    )
+
+    return (
+        "WITH "
+        + OPS_SQL
+        + ","
+        + _bus_sql(0)
+        + """
+, ev AS (
+  SELECT pk, op, event_type, commit_ts, CAST(lsn AS BIGINT) AS lsn FROM bus
+),
+r AS (
+  SELECT ev.*, row_number() OVER (PARTITION BY pk ORDER BY commit_ts DESC, lsn DESC) AS rn
+  FROM ev
+)
+SELECT pk, event_type AS payload, commit_ts, lsn
+FROM r WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""
+    )
+
+
 def _docs_chunks(spark: SparkSession, sf_dir: str) -> str:
     """Stage ``documents`` as 3 doc_id-range chunk files (hash precomputed
     JVM-side) — the arrival order of an ingestion stream."""
@@ -555,7 +705,7 @@ def _docs_chunks(spark: SparkSession, sf_dir: str) -> str:
             F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
         ).alias("content_hash"),
     )
-    cuts = d.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    cuts = d.approxQuantile("doc_id", _split_qs(), 0.001)
     out = tempfile.mkdtemp(prefix="sg_docs_chunks_")
     flat = os.path.join(out, "flat")
     os.makedirs(flat)
@@ -615,7 +765,7 @@ def stream_docs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(in_schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_docs_chunks(spark, sf_dir))
     )
     deduped = src.groupBy("content_hash").applyInPandasWithState(
@@ -664,7 +814,7 @@ def _txn_chunks(spark: SparkSession, sf_dir: str) -> str:
         "delivery_ts",
         "lsn",
     )
-    cuts = ev.approxQuantile("delivery_ts", [1 / 3, 2 / 3], 0.001)
+    cuts = ev.approxQuantile("delivery_ts", _split_qs(), 0.001)
     out = tempfile.mkdtemp(prefix="sg_txn_chunks_")
     flat = os.path.join(out, "flat")
     os.makedirs(flat)
@@ -699,7 +849,7 @@ def stream_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(TXN_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_txn_chunks(spark, sf_dir))
     )
     assembled = _run_to_table(assemble_transactions_bucketed(src), "append")
@@ -786,7 +936,7 @@ def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(path)
     )
     q = src.writeStream.outputMode("append").foreachBatch(audit).start()
@@ -849,7 +999,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the converged set, not the emission timeline."""
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     agg = (
@@ -929,7 +1079,7 @@ def _ack_chunks(spark: SparkSession, sf_dir: str) -> str:
     if key in _staged:
         return _staged[key]
     ops = ops_feed(spark, sf_dir)
-    qs = [i / _N_CHUNKS for i in range(1, _N_CHUNKS)]
+    qs = _split_qs()
     cuts = ops.approxQuantile("t", qs, 0.001)
     acks = ops.select(
         F.col("seq").alias("ack_seq"), _ack_ms_col().alias("ack_ms")
@@ -968,7 +1118,7 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ops = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
         .withColumn("ts", F.timestamp_millis(F.col("t")))
         .withWatermark("ts", "10 seconds")
@@ -978,7 +1128,7 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     acks = (
         spark.readStream.schema(ack_schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ack_chunks(spark, sf_dir))
         .withColumn("ack_ts", F.timestamp_millis(F.col("ack_ms")))
         .withWatermark("ack_ts", "10 seconds")
@@ -1042,7 +1192,7 @@ def _dup_chunks(spark: SparkSession, sf_dir: str) -> str:
         % OUTBOX_DUP_MOD
         == 0
     )
-    qs = [i / _N_CHUNKS for i in range(1, _N_CHUNKS)]
+    qs = _split_qs()
     cuts = ops.approxQuantile("t", qs, 0.001)
     out = tempfile.mkdtemp(prefix="sg_dup_chunks_")
     flat = os.path.join(out, "flat")
@@ -1083,7 +1233,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed, which is exactly what the oracle (the plain ops feed) checks."""
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_dup_chunks(spark, sf_dir))
         .withColumn("ts", F.timestamp_millis(F.col("t")))
         .withWatermark("ts", "20 days")
@@ -1169,7 +1319,7 @@ def stream_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     keyed = src.select(
@@ -1237,7 +1387,7 @@ def _rate_chunks(spark: SparkSession, sf_dir: str) -> str:
         .filter(~F.col("dropped"))
         .select("lsn", "txn_id", "pk", "partition", "delivery_ts")
     )
-    cuts = ev.approxQuantile("delivery_ts", [1 / 3, 2 / 3], 0.001)
+    cuts = ev.approxQuantile("delivery_ts", _split_qs(), 0.001)
     out = tempfile.mkdtemp(prefix="sg_rate_chunks_")
     flat = os.path.join(out, "flat")
     os.makedirs(flat)
@@ -1342,7 +1492,7 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(in_schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_rate_chunks(spark, sf_dir))
     )
     res = src.groupBy("partition").applyInPandasWithState(
@@ -1658,6 +1808,7 @@ QUERIES = {
     "stream_trigger_capture": stream_trigger_capture,
     "stream_upsert_sink": stream_upsert_sink,
     "stream_apply_on_commit": stream_apply_on_commit,
+    "stream_apply_commit_store": stream_apply_commit_store,
     "stream_docs_dedup": stream_docs_dedup,
 }
 
@@ -1683,6 +1834,7 @@ ORACLE = {
     "stream_trigger_capture": _stream_trigger_sql(),
     "stream_upsert_sink": _stream_upsert_sql(),
     "stream_apply_on_commit": _stream_apply_sql(),
+    "stream_apply_commit_store": _stream_apply_store_sql(),
 }
 
 
@@ -1792,7 +1944,7 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_ops_chunks(spark, sf_dir))
     )
     sink = _Scd2Sink(spark, tempfile.mkdtemp(prefix="sg_scd2_store_"))
@@ -1847,7 +1999,7 @@ def _doc_text_chunks(spark: SparkSession, sf_dir: str) -> str:
         "doc_id",
         F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
     )
-    cuts = d.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    cuts = d.approxQuantile("doc_id", _split_qs(), 0.001)
     out = tempfile.mkdtemp(prefix="sg_doctext_chunks_")
     flat = os.path.join(out, "flat")
     os.makedirs(flat)
@@ -1935,7 +2087,7 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index table; state versioning is the upsert-sink miniature."""
     src = (
         spark.readStream.schema("doc_id BIGINT, norm STRING")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_doc_text_chunks(spark, sf_dir))
     )
     sink = _IndexSink(spark, tempfile.mkdtemp(prefix="sg_index_store_"))
@@ -2024,7 +2176,7 @@ def _erasure_chunks(spark: SparkSession, sf_dir: str) -> str:
         .select(*cols)
     )
     t_req = mx.select("t_req").first()["t_req"]
-    qs = [1 / 3, 2 / 3]
+    qs = _split_qs()
     cuts = kept.filter(F.col("t") <= t_req).approxQuantile("t", qs, 0.001)
     out = tempfile.mkdtemp(prefix="sg_erasure_chunks_")
     flat = os.path.join(out, "flat")
@@ -2066,7 +2218,7 @@ def stream_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = (
         spark.readStream.schema(OPS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _mfpt())
         .parquet(_erasure_chunks(spark, sf_dir))
     )
     sink = UpsertSink(spark, _tf.mkdtemp(prefix="sg_erasure_store_"))
