@@ -1487,6 +1487,32 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     full = flagged.select("doc_id", "shingle")
     pf = flagged.filter(F.col("in_prefix")).select("doc_id", "shingle")
+    # Candidate budget guard (measured in SCALE.md): the exact join's cost
+    # is Σ_s df_prefix(s)·df(s), which one cheap aggregate over the staged
+    # shingle frame predicts BEFORE any pair materializes.  On
+    # vocabulary-dense corpora (tiny vocab ⇒ df ∝ N) candidates grow ~N²
+    # no matter the filter — the probe's 10× synthetic corpus estimated
+    # 155M candidates and exhausted local shuffle disk — so a too-big
+    # estimate fails loudly with the LSH fallback named instead of melting
+    # the cluster.  Raise the budget on a real cluster via env.
+    import os as _os
+
+    budget = int(_os.environ.get("SPARK_GRAFT_ALLPAIRS_MAX_CAND", "50000000"))
+    est = (
+        pf.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("dfp"))
+        .join(full.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfn")), "shingle")
+        .agg(F.sum(F.col("dfp").cast(dec) * F.col("dfn").cast(dec)).alias("est"))
+        .first()["est"]
+    )
+    if est is not None and int(est) > budget:
+        raise RuntimeError(
+            f"docs_allpairs_cosine: estimated candidate pairs {int(est):,} exceed "
+            f"SPARK_GRAFT_ALLPAIRS_MAX_CAND={budget:,}. The corpus is too "
+            "shingle-dense for an exact threshold join at this budget — raise "
+            "the env budget on a cluster sized for it, or use the probabilistic "
+            "near-dup path (docs_minhash_dedup / docs_simhash_nn)."
+        )
     cand = (
         pf.alias("a")
         .join(full.alias("b"), "shingle")

@@ -285,3 +285,16 @@ def test_allpairs_cosine_prefix_filter_is_lossless(spark, sf_dir):
     for k, (nsh, cos) in got.items():
         assert want[k] == nsh
         assert cos >= 0.5 - 1e-9
+
+
+def test_allpairs_candidate_guard(spark, sf_dir, monkeypatch):
+    """The candidate budget guard (SCALE.md): a tiny budget must refuse the
+    join loudly BEFORE any pair materializes; the default budget must pass
+    at test scale; the error names the probabilistic fallback."""
+    import pytest
+
+    # default budget: runs
+    assert PQ.docs_allpairs_cosine(spark, sf_dir).count() >= 0
+    monkeypatch.setenv("SPARK_GRAFT_ALLPAIRS_MAX_CAND", "1")
+    with pytest.raises(RuntimeError, match="docs_minhash_dedup"):
+        PQ.docs_allpairs_cosine(spark, sf_dir).count()

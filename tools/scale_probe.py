@@ -1,0 +1,144 @@
+"""Scale probe: measured scaling of the superlinear-risk queries (SCALE.md).
+
+Runs each probe query at sf0.1 (driver data) and at synthetic x3 / x10
+scale-ups (``tools/gen_scale_data.py``), recording wall seconds, shuffle
+read/write byte deltas (Spark REST API — public monitoring surface), and
+output rows; then fits the log-log scaling exponent between consecutive
+scales.  The design claims under test: near-linear for the stream/dedup
+paths, candidate-count-bounded for the exact similarity join.
+
+Usage:
+  python tools/gen_scale_data.py --mult 3  --out /tmp/sg_scale/sf0.3
+  python tools/gen_scale_data.py --mult 10 --out /tmp/sg_scale/sf1
+  python tools/scale_probe.py [--queries q1,q2] [--scales ...] --out SCALE_PROBE.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "docs_minhash_dedup",
+    "docs_allpairs_cosine",
+    "emb_knn_triangles",
+    "stream_ivm_join",
+]
+DEFAULT_SCALES = [
+    ("x1", "/root/testdata/sf0.1", 1.0),
+    ("x3", "/tmp/sg_scale/sf0.3", 3.0),
+    ("x10", "/tmp/sg_scale/sf1", 10.0),
+]
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    # the UI store is fed by an ASYNC listener queue: drain it first or the
+    # read misses the stages the query just ran
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--out", default="SCALE_PROBE.json")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from lets_talk_cdc_change_feed_playground_spark import get_spark
+
+    queries = entry_mod.queries()
+    names = [q for q in args.queries.split(",") if q]
+    os.environ["SPARK_UI"] = "true"  # shuffle metrics come from the REST API
+    spark = get_spark("scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
+
+    results: dict[str, dict] = {n: {} for n in names}
+    for label, sf_dir, mult in DEFAULT_SCALES:
+        if not os.path.isdir(sf_dir):
+            print(f"# skip {label}: {sf_dir} missing", file=sys.stderr)
+            continue
+        for name in names:
+            # two runs per (scale, query): run 1 includes first-touch
+            # staging of the session-shared frames at this scale (its
+            # shuffle bytes are the full work); run 2 is the steady state
+            # the bench measures — the exponent fits on the warm wall.
+            runs = []
+            err = None
+            for _ in range(2):
+                r0, w0 = _shuffle_totals(spark)
+                t0 = time.perf_counter()
+                try:
+                    df = queries[name](spark, sf_dir)
+                    n_rows = df.count()
+                except Exception as e:  # budget guards fire by design at x10
+                    err = str(e).split("\n")[0][:300]
+                    break
+                wall = time.perf_counter() - t0
+                r1, w1 = _shuffle_totals(spark)
+                runs.append(
+                    {
+                        "wall_sec": round(wall, 2),
+                        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+                        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+                        "rows_out": n_rows,
+                    }
+                )
+            if err:
+                results[name][label] = {"mult": mult, "error": err}
+                print(f"# {name} @{label}: GUARDED/ERR {err}", file=sys.stderr, flush=True)
+                continue
+            results[name][label] = {
+                "mult": mult,
+                "wall_sec": min(r["wall_sec"] for r in runs),
+                "cold_wall_sec": runs[0]["wall_sec"],
+                "shuffle_read_mb": runs[0]["shuffle_read_mb"],
+                "shuffle_write_mb": runs[0]["shuffle_write_mb"],
+                "rows_out": runs[0]["rows_out"],
+            }
+            b = results[name][label]
+            print(
+                f"# {name} @{label}: warm {b['wall_sec']:.1f}s / cold {b['cold_wall_sec']:.1f}s, "
+                f"shufW {b['shuffle_write_mb']:.1f} MB, {b['rows_out']} rows",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    # log-log exponents between consecutive measured scales
+    for name, per in results.items():
+        pts = sorted(
+            (e for e in per.values() if "wall_sec" in e), key=lambda e: e["mult"]
+        )
+        exps = []
+        for a, b in zip(pts, pts[1:]):
+            if a["wall_sec"] > 0 and b["wall_sec"] > 0:
+                exps.append(
+                    round(
+                        math.log(b["wall_sec"] / a["wall_sec"]) / math.log(b["mult"] / a["mult"]),
+                        2,
+                    )
+                )
+        per["wall_exponents"] = exps
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps({n: per.get("wall_exponents") for n, per in results.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
