@@ -10,18 +10,26 @@
   emits immediately with ``commit_ts = t + overhead`` and the trigger
   before-image rules (deleted rows keep data, updates revive —
   ``TriggerEngine.applySourceOp``).
+
+State layout: like :mod:`.capture`, keys are bucketed
+(``xxhash64(pk) % CAPTURE_BUCKETS``) and one state entry holds a whole
+bucket's row store as JSON — ``applyInPandasWithState`` pays per GROUP per
+trigger (Python call + Arrow round-trip + state access), which dominated the
+capture family's wall at thousands of keys.  The folds are per-key
+identical; rows sort ``(pk, t, seq)`` inside the bucket.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -32,6 +40,9 @@ from pyspark.sql.types import (
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
     OVERHEAD_MS,
     POLL_MS,
+)
+from lets_talk_cdc_change_feed_playground_spark.streaming.capture import (
+    CAPTURE_BUCKETS,
 )
 
 POLL_EVENT_SCHEMA = StructType(
@@ -48,39 +59,26 @@ POLL_EVENT_SCHEMA = StructType(
     ]
 )
 
-# row store entry: exists?, deleted?, version, data, updated_at, pending poll
-POLL_STATE_SCHEMA = StructType(
-    [
-        StructField("exists", BooleanType()),
-        StructField("deleted", BooleanType()),
-        StructField("version", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-        StructField("updated_at", LongType()),
-        StructField("pending_poll", LongType()),
-        StructField("dirty", BooleanType()),
-    ]
-)
+# one bucket's row store:
+# {pk: [exists, deleted, version, event_type, value, props, updated_at,
+#        pending_poll, dirty]} as JSON
+POLL_STATE_SCHEMA = StructType([StructField("store_json", StringType())])
 
 
-def _poll_group_factory(poll_ms: int, include_soft_deletes: bool):
+def _jfloat(v):
+    return None if v is None or pd.isna(v) else float(v)
+
+
+def _poll_bucket_factory(poll_ms: int, include_soft_deletes: bool):
     def fn(
         key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (pk,) = key
-        if state.exists:
-            (exists, deleted, version, ev, val, props, upd, pending, dirty) = state.get
-        else:
-            exists = deleted = dirty = False
-            version = 0
-            ev = props = None
-            val = None
-            upd = pending = -1
+        store: dict[str, list] = json.loads(state.get[0]) if state.exists else {}
 
         out: list[dict] = []
 
-        def emit():
+        def emit(pk: str, e: list) -> None:
+            exists, deleted, version, ev, val, props, upd, pending, dirty = e
             if not dirty:
                 return
             if deleted and not include_soft_deletes:
@@ -99,31 +97,38 @@ def _poll_group_factory(poll_ms: int, include_soft_deletes: bool):
                 }
             )
 
-        # concat before sorting: a key's slice may span Arrow frames and the
-        # poll-window fold is order-sensitive
         pdfs = list(pdf_iter)
-        for pdf in pdfs if len(pdfs) <= 1 else [pd.concat(pdfs, ignore_index=True)]:
-            for row in pdf.sort_values(["t", "seq"]).itertuples(index=False):
-                poll_id = row.t // poll_ms
-                if dirty and poll_id > pending:
-                    emit()
-                    dirty = False
-                # PollingEngine.applySourceOp no-op rules
-                if row.op == "insert":
-                    exists, deleted, version = True, False, 1
-                    ev, val, props, upd = row.event_type, row.value, row.props, row.t
-                elif row.op == "update":
-                    if not exists or deleted:
-                        continue
-                    version += 1
-                    ev, val, props, upd = row.event_type, row.value, row.props, row.t
-                else:  # delete
-                    if not exists:
-                        continue
-                    deleted, upd = True, row.t
-                pending, dirty = poll_id, True
+        if not pdfs:  # timeout invocations deliver an empty iterator
+            state.update((json.dumps(store),))
+            return
+        # concat before sorting: a bucket's slice may span Arrow frames and
+        # the poll-window fold is order-sensitive
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        for row in pdf.sort_values(["pk", "t", "seq"]).itertuples(index=False):
+            e = store.get(row.pk)
+            if e is None:
+                e = [False, False, 0, None, None, None, -1, -1, False]
+                store[row.pk] = e
+            poll_id = row.t // poll_ms
+            if e[8] and poll_id > e[7]:
+                emit(row.pk, e)
+                e[8] = False
+            # PollingEngine.applySourceOp no-op rules
+            if row.op == "insert":
+                e[0], e[1], e[2] = True, False, 1
+                e[3], e[4], e[5], e[6] = row.event_type, _jfloat(row.value), row.props, row.t
+            elif row.op == "update":
+                if not e[0] or e[1]:
+                    continue
+                e[2] += 1
+                e[3], e[4], e[5], e[6] = row.event_type, _jfloat(row.value), row.props, row.t
+            else:  # delete
+                if not e[0]:
+                    continue
+                e[1], e[6] = True, row.t
+            e[7], e[8] = poll_id, True
 
-        state.update((exists, deleted, version, ev, val, props, upd, pending, dirty))
+        state.update((json.dumps(store),))
         yield pd.DataFrame(out, columns=[f.name for f in POLL_EVENT_SCHEMA.fields])
 
     return fn
@@ -134,8 +139,11 @@ def polling_capture_stream(
     poll_ms: int = POLL_MS,
     include_soft_deletes: bool = False,
 ) -> DataFrame:
-    return ops_stream.groupBy("pk").applyInPandasWithState(
-        _poll_group_factory(poll_ms, include_soft_deletes),
+    keyed = ops_stream.withColumn(
+        "__bucket", F.pmod(F.xxhash64("pk"), F.lit(CAPTURE_BUCKETS))
+    )
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        _poll_bucket_factory(poll_ms, include_soft_deletes),
         outputStructType=POLL_EVENT_SCHEMA,
         stateStructType=POLL_STATE_SCHEMA,
         outputMode="append",
@@ -160,24 +168,18 @@ TRIGGER_EVENT_SCHEMA = StructType(
     ]
 )
 
-TRIGGER_STATE_SCHEMA = StructType(
-    [
-        StructField("has_data", BooleanType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# one bucket's carried images: {pk: [event_type, value, props]} as JSON
+TRIGGER_STATE_SCHEMA = StructType([StructField("images_json", StringType())])
 
 
-def _trigger_group_factory(overhead_ms: int):
+def _trigger_bucket_factory(overhead_ms: int):
     def fn(
         key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        """TriggerEngine.applySourceOp over one key's slice, vectorized:
+        """TriggerEngine.applySourceOp over one bucket's slice, vectorized:
         the before-image is the last NON-DELETE payload regardless of
         deletes in between (deleted rows keep their data,
-        ``TriggerEngine.ts:103-117``) — a seeded forward-fill of the
+        ``TriggerEngine.ts:103-117``) — a per-pk seeded forward-fill of the
         delete-nulled payload columns, shifted by one row; inserts null it.
 
         The carry is PER COLUMN with null-skip (a genuinely-NULL payload
@@ -186,58 +188,66 @@ def _trigger_group_factory(overhead_ms: int):
         ignorenulls=true)`` and to the judged oracle's ``last_value(...
         IGNORE NULLS)``, which are the authoritative pair this stream is
         hash-checked against."""
-        (pk,) = key
-        if state.exists:
-            has_data, ev, val, props = state.get
-        else:
-            has_data, ev, val, props = False, None, None, None
+        images: dict[str, list] = json.loads(state.get[0]) if state.exists else {}
 
         pdfs = list(pdf_iter)
         if not pdfs:  # timeout invocations deliver an empty iterator
-            state.update((has_data, ev, val, props))
+            state.update((json.dumps(images),))
             return
         # concat before sorting (order-sensitive fold across Arrow frames)
         pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
-        pdf = pdf.sort_values(["t", "seq"], ignore_index=True)
+        pdf = pdf.sort_values(["pk", "t", "seq"], ignore_index=True)
 
         is_del = pdf["op"].eq("delete")
         is_ins = pdf["op"].eq("insert")
+        by_pk = pdf["pk"]
         commit = pdf["t"] + overhead_ms
         out = pd.DataFrame(
             {
                 "seq": pdf["seq"],
                 "op": pdf["op"].map({"insert": "c", "update": "u", "delete": "d"}),
-                "pk": pk,
+                "pk": pdf["pk"],
             }
         )
-        seeds = {
-            "event_type": ev if has_data else None,
-            "value": val if has_data else None,
-            "props": props if has_data else None,
-        }
-        carries = {}
-        for c in ("event_type", "value", "props"):
+        finals = {}
+        for i, c in enumerate(("event_type", "value", "props")):
             payload = pdf[c].mask(is_del, None)
-            seed = pd.Series([seeds[c]], dtype=payload.dtype if payload.dtype != object else object)
-            # seeded carry: carry[i] = last non-delete payload at or before
-            # row i-1 (seed at the batch boundary); before_i = carry[i]
-            carry = pd.concat([seed, payload], ignore_index=True).ffill()
-            carries[c] = carry
-            out[f"before_{c}"] = carry.iloc[:-1].reset_index(drop=True).mask(is_ins, None)
+            seeds = by_pk.map(
+                lambda k, i=i: images[k][i] if k in images else None
+            )
+            # before_i = last non-null payload strictly before i within the
+            # pk (ffill of the shifted payload), seed at the batch boundary
+            before = (
+                payload.groupby(by_pk, sort=False)
+                .shift(1)
+                .groupby(by_pk, sort=False)
+                .ffill()
+            )
+            before = before.where(before.notna(), seeds)
+            out[f"before_{c}"] = before.mask(is_ins, None)
             out[f"after_{c}"] = payload
+            # carry INCLUDING row i -> the end-of-slice image per pk
+            carry = payload.groupby(by_pk, sort=False).ffill()
+            finals[c] = carry.where(carry.notna(), seeds)
         out["commit_ts_ms"] = commit
         out["tx_id"] = "tx-" + commit.astype(str)
         out["method"] = "trigger"
 
-        final = {c: carries[c].iloc[-1] for c in carries}
-        if not pd.isna(final["event_type"]) or not pd.isna(final["props"]) or not pd.isna(final["value"]):
-            has_data = True
-            ev, val, props = (
-                None if pd.isna(final["event_type"]) else final["event_type"],
-                None if pd.isna(final["value"]) else float(final["value"]),
-                None if pd.isna(final["props"]) else final["props"],
-            )
-        state.update((has_data, ev, val, props))
+        last_mask = ~pdf["pk"].duplicated(keep="last")
+        for pk, ev, val, props in zip(
+            pdf["pk"][last_mask],
+            finals["event_type"][last_mask],
+            finals["value"][last_mask],
+            finals["props"][last_mask],
+        ):
+            if pd.isna(ev) and pd.isna(val) and (props is None or pd.isna(props)):
+                continue  # nothing carried yet for this pk
+            images[pk] = [
+                None if pd.isna(ev) else ev,
+                _jfloat(val),
+                None if props is None or pd.isna(props) else props,
+            ]
+        state.update((json.dumps(images),))
         yield out[[f.name for f in TRIGGER_EVENT_SCHEMA.fields]]
 
     return fn
@@ -246,8 +256,11 @@ def _trigger_group_factory(overhead_ms: int):
 def trigger_capture_stream(
     ops_stream: DataFrame, overhead_ms: int = OVERHEAD_MS
 ) -> DataFrame:
-    return ops_stream.groupBy("pk").applyInPandasWithState(
-        _trigger_group_factory(overhead_ms),
+    keyed = ops_stream.withColumn(
+        "__bucket", F.pmod(F.xxhash64("pk"), F.lit(CAPTURE_BUCKETS))
+    )
+    return keyed.groupBy("__bucket").applyInPandasWithState(
+        _trigger_bucket_factory(overhead_ms),
         outputStructType=TRIGGER_EVENT_SCHEMA,
         stateStructType=TRIGGER_STATE_SCHEMA,
         outputMode="append",
