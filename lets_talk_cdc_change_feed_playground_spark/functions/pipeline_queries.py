@@ -1399,6 +1399,7 @@ LIMIT {PMI_TOPK}
 
 
 ALLPAIRS_T_NUM, ALLPAIRS_T_DEN = 1, 2  # cosine threshold t = 1/2
+_ALLPAIRS_EST: dict[tuple, int | None] = {}  # (appId, sf_dir) -> candidate estimate
 
 
 def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1498,13 +1499,17 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     budget = int(_os.environ.get("SPARK_GRAFT_ALLPAIRS_MAX_CAND", "50000000"))
-    est = (
-        pf.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("dfp"))
-        .join(full.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfn")), "shingle")
-        .agg(F.sum(F.col("dfp").cast(dec) * F.col("dfn").cast(dec)).alias("est"))
-        .first()["est"]
-    )
+    est_key = (spark.sparkContext.applicationId, sf_dir)
+    est = _ALLPAIRS_EST.get(est_key)
+    if est is None:
+        est = (
+            pf.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("dfp"))
+            .join(full.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfn")), "shingle")
+            .agg(F.sum(F.col("dfp").cast(dec) * F.col("dfn").cast(dec)).alias("est"))
+            .first()["est"]
+        )
+        _ALLPAIRS_EST[est_key] = est  # corpus-stable: one aggregate per session
     if est is not None and int(est) > budget:
         raise RuntimeError(
             f"docs_allpairs_cosine: estimated candidate pairs {int(est):,} exceed "

@@ -89,16 +89,62 @@ def main() -> int:
         record[name] = entry
         print(f"# {name}: duck={entry['duck_sec']} spark={entry.get('spark_sec', '?')}", file=sys.stderr, flush=True)
 
+    # At sf0.1 (~600k rows) DuckDB answers most queries in 10-200 ms while a
+    # Spark action carries ~0.3-1 s of fixed scheduling/JVM/Python overhead,
+    # so a bare 2x ratio flags nearly everything and means nothing.  Flag
+    # only where Spark spends REAL compute (>2 s) and is still >2x the
+    # single-node twin — those are the queries worth a plan note.  Streaming
+    # jobs (micro-batch + state machinery vs a batch SQL twin) are listed
+    # separately: their overhead is the streaming runtime itself.
+    def _is_stream(n: str) -> bool:
+        return n.startswith("stream_") or n == "cdc_restart_convergence"
+
     flagged = sorted(
         n for n, e in record.items()
-        if isinstance(e.get("ratio"), (int, float)) and e["ratio"] > 2.0 and not n.startswith("stream_")
+        if isinstance(e.get("ratio"), (int, float)) and e["ratio"] > 2.0
+        and e.get("spark_sec", 0) > 2.0 and not _is_stream(n)
     )
     flagged_stream = sorted(
         n for n, e in record.items()
-        if isinstance(e.get("ratio"), (int, float)) and e["ratio"] > 2.0 and n.startswith("stream_")
+        if isinstance(e.get("ratio"), (int, float)) and e["ratio"] > 2.0
+        and e.get("spark_sec", 0) > 2.0 and _is_stream(n)
     )
+    # plan notes for the recurrently-flagged real-compute queries: why each
+    # is slower than the single-node twin at THIS size and why the plan is
+    # still the one you'd want at 100 TB
+    plan_notes = {
+        "docs_allpairs_cosine": (
+            "exact threshold join: candidate generation + verify in "
+            "HUGEINT-parity decimal(38,0); wall tracks the candidate estimate "
+            "(SCALE.md), plus ~1 pre-join estimate aggregate for the budget guard"
+        ),
+        "customers_rfm_segments": (
+            "three independent global rank orders = three two-phase bucketed "
+            "sequence passes (one shuffle each) over the customer aggregate; "
+            "DuckDB sorts 15k rows in-core — the two-phase form is what scales "
+            "past driver memory"
+        ),
+        "cdc_quorum_reads": (
+            "per-replica lag weave + quorum window = several chained shuffles "
+            "over the staged bus; tiny data, fixed per-shuffle cost"
+        ),
+        "cdc_replay_fold": (
+            "WAL fold is a two-phase bucketed prefix (no data-sized single "
+            "window) — two shuffles + a broadcast that DuckDB does as one "
+            "in-core sort"
+        ),
+        "cdc_gdpr_erasure": (
+            "capture fold + tombstone weave + re-fold: three dependent "
+            "stages; each is map-side-combinable at volume"
+        ),
+        "q21_waiting_suppliers": (
+            "exists/not-exists double correlation = semi + anti join over "
+            "lineitem; real work at 600k rows, broadcast-pruned at volume"
+        ),
+    }
     out = {
         "sf_dir": args.sf_dir,
+        "plan_notes": {k: v for k, v in plan_notes.items() if k in record},
         "repeat": args.repeat,
         "duck_total_sec": round(sum(e["duck_sec"] for e in record.values() if "duck_sec" in e), 3),
         "spark_total_sec": round(sum(e["spark_sec"] for e in record.values() if "spark_sec" in e), 3),
@@ -106,9 +152,10 @@ def main() -> int:
         "flagged_over_2x": flagged,
         "flagged_over_2x_stream": flagged_stream,
         "note": (
-            "duck_sec times the DuckDB oracle (batch semantics, all cores); "
-            "stream_* ratios price Spark's micro-batch/state machinery against "
-            "a batch twin and are reported separately"
+            "duck_sec times the DuckDB oracle (batch semantics, all cores). "
+            "At this data size Spark actions carry ~0.3-1s fixed overhead, so "
+            "flags require spark_sec>2s AND ratio>2. Streaming jobs price "
+            "micro-batch/state machinery against a batch twin — separate list."
         ),
         "queries": record,
     }
