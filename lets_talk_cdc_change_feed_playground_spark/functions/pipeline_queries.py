@@ -1422,8 +1422,10 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     If a pair shares no prefix shingle of EITHER side, all shared mass
     lies in both suffixes and cosine ≤ t·t < t — so candidates are the
     two prefix⋈full equi-joins on the shingle (Σ_s df_prefix(s)·df(s),
-    never Σ_s df(s)² and never |docs|²); only candidate pairs' vectors
-    are joined for the exact verify.  Decimal bound: dot² ≤ 10²⁸ at a
+    never Σ_s df(s)² and never |docs|²); the exact verify then joins each
+    candidate pair to two per-doc ``map<shingle,w>`` columns and merges
+    them with one JVM-side ``map_zip_with`` — per-pair O(|a|+|b|), no
+    per-shingle row re-explosion.  Decimal bound: dot² ≤ 10²⁸ at a
     500M-doc corpus — inside decimal(38)/HUGEINT on both engines."""
     d = _docs_t(spark, sf_dir)
     dec = "decimal(38,0)"
@@ -1533,28 +1535,66 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    va = flagged.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("w").alias("wa")
+    # Verify via per-doc weight MAPS, not a per-shingle row explosion: joining
+    # cand to doc_a's full posting list materializes |cand|·avg_len rows
+    # (measured 34.6M rows for 541k candidates at sf0.1) through two shuffles.
+    # Instead each pair joins to two map<shingle,w> columns (one row per doc;
+    # AQE turns both joins into runtime broadcasts while the doc-vector frame
+    # fits the 64 MB threshold, and degrades to doc_id-keyed shuffle hash
+    # joins beyond it) and the dot product is one JVM-side ``map_zip_with``
+    # merge — per-pair O(|a|+|b|), rows stay at |cand|.
+    docvec = flagged.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("shingle", F.col("w").cast(dec)))
+        ).alias("vec"),
+        F.max("norm2").alias("n2"),
     )
-    vb = flagged.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("w").alias("wb")
-    )
-    dots = (
-        cand.join(va, "doc_a")
-        .join(vb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias("dot"),
-            F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
+    zipped = F.map_values(
+        F.map_zip_with(
+            "va",
+            "vb",
+            lambda _k, x, y: F.when(
+                x.isNotNull() & y.isNotNull(),
+                F.struct((x * y).alias("p"), F.lit(1).alias("c")),
+            ),
         )
     )
-    norms = flagged.groupBy("doc_id").agg(F.max("norm2").alias("n2"))
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    dots = (
+        cand.join(
+            docvec.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("vec").alias("va"),
+                F.col("n2").alias("na2"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docvec.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("vec").alias("vb"),
+                F.col("n2").alias("nb2"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na2",
+            "nb2",
+            F.aggregate(
+                zipped,
+                F.lit(0).cast(dec),
+                lambda acc, e: acc + F.coalesce(e["p"], F.lit(0).cast(dec)),
+            ).alias("dot"),
+            F.aggregate(
+                zipped,
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + F.coalesce(e["c"], F.lit(0)),
+            ).alias("n_shared_shingles"),
+        )
+    )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(
+        dots.filter(
             # cosine ≥ t  ⟺  DEN²·dot² ≥ NUM²·norm2_a·norm2_b (dot > 0 always:
             # rational idf weights are ≥ 1)
             F.lit(ALLPAIRS_T_DEN * ALLPAIRS_T_DEN) * F.col("dot") * F.col("dot")
