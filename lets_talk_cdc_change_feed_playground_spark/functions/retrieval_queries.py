@@ -353,10 +353,11 @@ def emb_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = wedges.join(
         oriented.select(F.col("s").alias("a"), F.col("t").alias("b")), ["a", "b"]
     )
+    # one scan of the (unpersisted) triangle frame: a 3-way union would
+    # recompute the wedge + closing joins once per branch — explode the
+    # corners instead
     per_node = (
-        tris.select(F.col("s").alias("x"))
-        .unionByName(tris.select(F.col("a").alias("x")))
-        .unionByName(tris.select(F.col("b").alias("x")))
+        tris.select(F.explode(F.array("s", "a", "b")).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
