@@ -192,50 +192,88 @@ class EvolvingUpsertSink:
             F.struct("t", "seq").alias("okey"),
             F.col("t").alias("ut"),
         )
+        passthrough = None
         if prev is not None:
-            ev = prev.select(
-                "table",
-                "pk",
-                F.lit("update").alias("op"),
-                F.col("data").alias("after"),
-                F.struct(
-                    F.lit(-1).cast("long").alias("t"), F.lit(-1).cast("long").alias("seq")
-                ).alias("okey"),
-                F.col("updated_t").alias("ut"),
-            ).unionByName(ev)
+            # incremental fold: only keys this batch touches re-enter the
+            # fold (their prev row replays at okey (-1,-1), strictly before
+            # every real event); every untouched key's state row passes
+            # through unchanged — per-batch fold work is O(batch), not
+            # O(accumulated state)
+            # no distinct: semi/anti join semantics dedup the probe side
+            keys = batch_df.select("table", "pk")
+            prev = prev.persist()
+            passthrough = prev.join(keys, ["table", "pk"], "left_anti")
+            ev = (
+                prev.join(keys, ["table", "pk"], "left_semi")
+                .select(
+                    "table",
+                    "pk",
+                    F.lit("update").alias("op"),
+                    F.col("data").alias("after"),
+                    F.struct(
+                        F.lit(-1).cast("long").alias("t"),
+                        F.lit(-1).cast("long").alias("seq"),
+                    ).alias("okey"),
+                    F.col("updated_t").alias("ut"),
+                )
+                .unionByName(ev)
+            )
 
         # row-store reset boundaries (``src/domain/storage.ts:133-164``):
         # a delete DROPS the row (events strictly after it contribute) and an
-        # insert REPLACES it (the insert itself and later events contribute)
-        bounds = ev.groupBy("table", "pk").agg(
-            F.max(F.when(F.col("op") == "delete", F.col("okey"))).alias("__dk"),
-            F.max(F.when(F.col("op") == "insert", F.col("okey"))).alias("__ik"),
+        # insert REPLACES it (the insert itself and later events contribute).
+        # Window marks, not groupBy+join — one (table, pk) shuffle that the
+        # per-key fold below then reuses (same clustering, no re-exchange).
+        from pyspark.sql import Window as _W
+
+        from lets_talk_cdc_change_feed_playground_spark.functions.maps import (
+            empty_map,
+            merge_maps,
         )
+
+        w_key = _W.partitionBy("table", "pk")
         ups = (
-            ev.filter(F.col("op") != "delete")
-            .join(bounds, ["table", "pk"], "left")
+            ev.withColumn(
+                "__dk", F.max(F.when(F.col("op") == "delete", F.col("okey"))).over(w_key)
+            )
+            .withColumn(
+                "__ik", F.max(F.when(F.col("op") == "insert", F.col("okey"))).over(w_key)
+            )
+            .filter(F.col("op") != "delete")
             .filter(F.col("__dk").isNull() | (F.col("okey") > F.col("__dk")))
             .filter(F.col("__ik").isNull() | (F.col("okey") >= F.col("__ik")))
         )
-        # per-column last-carrying-event wins (the {**cur, **patch} fold,
-        # column-relationally): explode → max_by(value, okey) → reassemble
-        colvals = (
-            ups.select("table", "pk", "okey", F.explode("after").alias("column", "value"))
-            .groupBy("table", "pk", "column")
-            .agg(F.max_by(F.struct("value"), F.col("okey")).alias("__v"))
-        )
-        data = colvals.groupBy("table", "pk").agg(
+        # the {**cur, **patch} fold per key, ONE aggregate: sort the
+        # surviving events by okey and spread-merge their maps in order —
+        # a later event overrides only the columns it carries, identical to
+        # per-column max_by but without the explode → regroup → rejoin chain
+        merged = ups.groupBy("table", "pk").agg(
             F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("column", F.col("__v.value").alias("value"))))
-            ).alias("data")
+                F.array_sort(
+                    F.map_entries(
+                        F.aggregate(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("okey", F.map_entries("after").alias("ents"))
+                                )
+                            ),
+                            empty_map(),
+                            lambda acc, e: merge_maps(acc, F.map_from_entries(e["ents"])),
+                        )
+                    )
+                )
+            ).alias("data"),
+            F.max("ut").alias("updated_t"),
         )
-        upd = ups.groupBy("table", "pk").agg(F.max("ut").alias("updated_t"))
-        merged = data.join(upd, ["table", "pk"])
+        if passthrough is not None:
+            merged = merged.unionByName(passthrough)
 
         nv = (self._versions("state") or [-1])[-1] + 1
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, "state", f"v={nv}")
         )
+        if prev is not None:
+            prev.unpersist()
 
         # the ALTER: rewrite a table's wide projection with the registry's
         # CURRENT column set — new columns appear as real parquet columns.
