@@ -1577,11 +1577,19 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _staged[key] = flat
 
     state_root = tempfile.mkdtemp(prefix="sg_ivm_state_")
-    results: list[tuple] = []
+    # Per-epoch bookkeeping for DEFERRED stats: during the stream each epoch
+    # runs exactly ONE action (the versioned state write, carrying the
+    # recompute audit as an observed metric). The delta-rule stats are
+    # reconstructed AFTER the stream from the immutable on-disk state
+    # versions — d_R is the null-safe set difference of consecutive versions
+    # (provably the same rows the in-flight delta join produced) and the S
+    # deltas are driver-known — so six per-epoch collect() round-trips
+    # become one batched aggregate at the end.
+    epochs_meta: list[dict] = []
     # The dim side S is tiny by construction (one row per event type), so its
     # state rides in the driver between batches exactly like a broadcast
     # variable — only the arbitrarily large fact side R is parquet-versioned.
-    running = {"view_rows": 0, "r_dir": None, "s_state": {}}
+    running = {"r_dir": None, "s_state": {}}
 
     r_schema = "pk string, et string, val double"
     s_schema = "et string, present boolean, bucket long"
@@ -1612,57 +1620,16 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         edf: DataFrame, bid: int, epoch: int, counts: dict[str, int]
     ) -> None:
         sp = edf.sparkSession
-        # fact-side state feeds three plans this epoch (R-delta join, the
-        # delta-rule term 2 and the anti-join rewrite) — read parquet once
+        r_old_dir = running["r_dir"]
         r_old = (
-            sp.read.parquet(running["r_dir"]).persist()
-            if running["r_dir"]
+            sp.read.parquet(r_old_dir)
+            if r_old_dir
             else sp.createDataFrame([], r_schema)
         )
         olds = running["s_state"]
 
-        # -- R delta: epoch-final state per touched key vs held state --
-        # persisted: it feeds the delta join here AND the state rewrite below
-        last = edf.groupBy("pk").agg(
-            F.max_by(
-                F.struct(
-                    (F.col("op") != "delete").alias("alive"),
-                    F.col("event_type").alias("et"),
-                    F.col("value").alias("val"),
-                ),
-                F.col("seq"),
-            ).alias("st")
-        ).persist()
-        oldr = r_old.select(
-            F.col("pk").alias("opk"), F.col("et").alias("oet"), F.col("val").alias("oval")
-        )
-        chg = last.join(oldr, last.pk == oldr.opk, "left")
-        same = (
-            F.col("opk").isNotNull()
-            & F.col("st.alive")
-            & (F.col("oet") == F.col("st.et"))
-            & F.col("oval").eqNullSafe(F.col("st.val"))
-        )
-        d_r = (
-            chg.filter(~same)
-            .select(
-                "pk",
-                F.when(
-                    F.col("st.alive"),
-                    F.struct(F.lit(1).alias("w"), F.col("st.et").alias("et"), F.col("st.val").alias("val")),
-                ).alias("ins"),
-                F.when(
-                    F.col("opk").isNotNull(),
-                    F.struct(F.lit(-1).alias("w"), F.col("oet").alias("et"), F.col("oval").alias("val")),
-                ).alias("del"),
-            )
-            .select("pk", F.explode(F.array("ins", "del")).alias("d"))
-            .filter(F.col("d").isNotNull())
-            .select("pk", "d.w", "d.et", "d.val")
-            .persist()
-        )
-
         # -- S delta: dense per-type hot state of THIS epoch vs held state --
+        # (driver arithmetic over the per-type counts — no executor work)
         total = sum(counts.values())
         s_new_rows = [
             (
@@ -1681,43 +1648,21 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ds_rows.append((et, 1, bucket))
             if p_present:
                 ds_rows.append((et, -1, p_bucket))
-        d_s = sp.createDataFrame(ds_rows, "det string, w long, bucket long")
 
-        # -- the three delta-rule terms, one action via union --
-        s_old_hot = sp.createDataFrame(
-            [(et,) for et, (present, _b) in sorted(olds.items()) if present],
-            "het string",
-        )
-        t1 = d_r.join(F.broadcast(s_old_hot), F.col("et") == F.col("het")).select(
-            F.col("w").cast("long").alias("wv")
-        )
-        t2 = r_old.join(
-            F.broadcast(d_s.select("det", F.col("w").alias("sw"))),
-            F.col("et") == F.col("det"),
-        ).select(F.col("sw").cast("long").alias("wv"))
-        t3 = (
-            d_r.select(F.col("et").alias("ret"), F.col("w").alias("rw"))
-            .join(F.broadcast(d_s), F.col("ret") == F.col("det"))
-            .select((F.col("rw") * F.col("w")).cast("long").alias("wv"))
-        )
-        # the net-delta sum and the gross insert/delete counters share one
-        # action (two single-row aggregates cross-joined)
-        dv_agg = (
-            t1.unionByName(t2)
-            .unionByName(t3)
-            .agg(F.coalesce(F.sum("wv"), F.lit(0)).alias("v"))
-        )
-        gross_agg = d_r.agg(
-            F.coalesce(F.sum(F.when(F.col("w") == 1, 1)), F.lit(0)).alias("i"),
-            F.coalesce(F.sum(F.when(F.col("w") == -1, 1)), F.lit(0)).alias("d"),
-        )
-        stats = dv_agg.crossJoin(gross_agg).collect()[0]
-        dv_net = int(stats["v"])
-        d_r_ins, d_r_del = stats["i"], stats["d"]
-        d_s_ins = sum(1 for r in ds_rows if r[1] == 1)
-        d_s_del = sum(1 for r in ds_rows if r[1] == -1)
-
-        # -- apply deltas to the state tables (versioned parquet) --
+        # -- R state advance: epoch-final state per touched key folds into
+        # the versioned store; the recompute audit ("recount the view from
+        # scratch") rides the write as an observed metric. This is the
+        # epoch's ONLY action.
+        last = edf.groupBy("pk").agg(
+            F.max_by(
+                F.struct(
+                    (F.col("op") != "delete").alias("alive"),
+                    F.col("event_type").alias("et"),
+                    F.col("value").alias("val"),
+                ),
+                F.col("seq"),
+            ).alias("st")
+        ).persist()
         r_new = (
             r_old.join(last.select(F.col("pk").alias("tpk")), r_old.pk == F.col("tpk"), "left_anti")
             .unionByName(
@@ -1726,10 +1671,6 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        # -- recompute audit on the NEW state, FUSED into the state write:
-        # the hot-type set is driver-known, so the "recount the view from
-        # scratch" check rides the write as an observed metric — no second
-        # action, no parquet re-read
         from pyspark.sql import Observation
 
         hot_new = [et for et, present, _b in s_new_rows if present]
@@ -1740,22 +1681,32 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             obs, F.coalesce(F.sum(hot_cond.cast("long")), F.lit(0)).alias("direct")
         ).write.parquet(r_dir)
         direct = int(obs.get["direct"])
-        d_r.unpersist()
         last.unpersist()
-        if running["r_dir"]:
-            r_old.unpersist()
-        running["view_rows"] += dv_net
+        epochs_meta.append(
+            {
+                "epoch": int(epoch),
+                "r_old_dir": r_old_dir,
+                "r_new_dir": r_dir,
+                # S-side inputs of the delta-rule terms, frozen driver-side:
+                # hot set BEFORE this epoch (term 1) and the NET per-type S
+                # weight change (terms 2/3 sum over both bucket-change rows,
+                # so only the net ±1 survives)
+                "hot_old": sorted(
+                    et for et, (present, _b) in olds.items() if present
+                ),
+                "net_ds": {
+                    et: sum(w for e2, w, _b in ds_rows if e2 == et)
+                    for et in {e2 for e2, _w, _b in ds_rows}
+                },
+                "d_s_ins": sum(1 for r in ds_rows if r[1] == 1),
+                "d_s_del": sum(1 for r in ds_rows if r[1] == -1),
+                "direct": direct,
+            }
+        )
         running["r_dir"] = r_dir
         running["s_state"] = {
             et: (present, bucket) for et, present, bucket in s_new_rows
         }
-        results.append(
-            (
-                int(epoch), int(d_r_ins), int(d_r_del), int(d_s_ins), int(d_s_del),
-                int(dv_net), int(running["view_rows"]), int(direct),
-                running["view_rows"] == direct,
-            )
-        )
 
     # three epoch files per trigger (two triggers for six epochs): epochs
     # still apply one-at-a-time inside maintain() (sequential fold, same
@@ -1786,6 +1737,84 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # -- deferred delta-rule stats: ONE batched action over the immutable
+    # on-disk state versions. d_R of an epoch is the null-safe row set
+    # difference of its two versions (exactly the rows the in-flight delta
+    # join would have produced: a touched key contributes its old row to the
+    # minus side and its new row to the plus side unless both are identical,
+    # i.e. the `same` case); terms 1 and 3 fold the driver-known S-side
+    # literals over it, term 2 folds them over the old version.
+    import functools
+
+    def _net_col(net_ds: dict[str, int]):
+        nz = {et: w for et, w in net_ds.items() if w}
+        if not nz:
+            return F.lit(0)
+        pairs = [x for et, w in sorted(nz.items()) for x in (F.lit(et), F.lit(w))]
+        return F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("et")), F.lit(0)
+        )
+
+    stats_plans = []
+    for m in epochs_meta:
+        r_new = spark.read.parquet(m["r_new_dir"])
+        r_old = (
+            spark.read.parquet(m["r_old_dir"])
+            if m["r_old_dir"]
+            else spark.createDataFrame([], r_schema)
+        )
+
+        def _ns(a: DataFrame, b: DataFrame):
+            return (
+                a["pk"].eqNullSafe(b["pk"])
+                & a["et"].eqNullSafe(b["et"])
+                & a["val"].eqNullSafe(b["val"])
+            )
+
+        plus = r_new.join(r_old, _ns(r_new, r_old), "left_anti").select(
+            F.lit(1).alias("w"), "et"
+        )
+        minus = r_old.join(r_new, _ns(r_old, r_new), "left_anti").select(
+            F.lit(-1).alias("w"), "et"
+        )
+        dr = plus.unionByName(minus)
+        net = _net_col(m["net_ds"])
+        hot = m["hot_old"]
+        t1_term = (
+            F.sum(F.when(F.col("et").isin(hot), F.col("w"))) if hot else F.lit(None)
+        )
+        dr_agg = dr.agg(
+            F.coalesce(F.sum(F.when(F.col("w") == 1, 1)), F.lit(0)).alias("i"),
+            F.coalesce(F.sum(F.when(F.col("w") == -1, 1)), F.lit(0)).alias("d"),
+            F.coalesce(t1_term, F.lit(0)).cast("long").alias("t1"),
+            F.coalesce(F.sum(F.col("w") * net), F.lit(0)).cast("long").alias("t3"),
+        )
+        t2_agg = r_old.agg(
+            F.coalesce(F.sum(net), F.lit(0)).cast("long").alias("t2")
+        )
+        stats_plans.append(
+            dr_agg.crossJoin(t2_agg).select(
+                F.lit(m["epoch"]).alias("epoch"), "i", "d", "t1", "t2", "t3"
+            )
+        )
+    by_epoch_stats = {
+        int(r["epoch"]): r
+        for r in functools.reduce(DataFrame.unionByName, stats_plans).collect()
+    } if stats_plans else {}
+
+    results: list[tuple] = []
+    view_rows = 0
+    for m in epochs_meta:
+        s = by_epoch_stats[m["epoch"]]
+        dv_net = int(s["t1"]) + int(s["t2"]) + int(s["t3"])
+        view_rows += dv_net
+        results.append(
+            (
+                m["epoch"], int(s["i"]), int(s["d"]), m["d_s_ins"], m["d_s_del"],
+                dv_net, view_rows, m["direct"], view_rows == m["direct"],
+            )
+        )
     return spark.createDataFrame(
         results,
         "epoch long, d_r_ins long, d_r_del long, d_s_ins long, d_s_del long,"
