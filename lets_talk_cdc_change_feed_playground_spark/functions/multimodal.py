@@ -420,10 +420,19 @@ def media_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    hashed = corpus.mapInPandas(
-        kernel,
-        StructType(
-            [StructField("media_id", LongType()), StructField("phash", LongType())]
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # three plan branches read the hashed frame (both pair sides + the final
+    # leader join) — stage the Python kernel's output once instead of running
+    # mapInPandas per branch
+    hashed = shared_df(
+        spark,
+        ("media_phash_hashed", sf_dir),
+        lambda: corpus.mapInPandas(
+            kernel,
+            StructType(
+                [StructField("media_id", LongType()), StructField("phash", LongType())]
+            ),
         ),
     )
     a = hashed.select(

@@ -215,9 +215,18 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("resident_after") == 0).alias("erasure_complete"),
         )
 
-    wal = capture.log_capture_ops(src2)
-    polled = capture.polling_capture_ops(src2)
-    audit = capture.trigger_capture_ops(src2)
+    # the three erased-feed capture lanes are Pandas keyed folds — stage each
+    # once per session (same shared-lane design as the primary feed's lanes)
+    # so repeated verdict reads don't re-run the folds
+    wal = shared_df(
+        spark, ("gdpr_wal", sf_dir), lambda: capture.log_capture_ops(src2)
+    )
+    polled = shared_df(
+        spark, ("gdpr_polled", sf_dir), lambda: capture.polling_capture_ops(src2)
+    )
+    audit = shared_df(
+        spark, ("gdpr_audit", sf_dir), lambda: capture.trigger_capture_ops(src2)
+    )
     lanes = (
         lane_stats(wal, "log", "lsn", True)
         .unionByName(lane_stats(polled, "polling", "poll_ts_ms", False))
