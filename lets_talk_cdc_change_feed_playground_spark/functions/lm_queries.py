@@ -300,6 +300,35 @@ ORDER BY pd.doc_id"""
 # ---------------------------------------------------------------------------
 
 
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram pairs — the map-side explode both KN queries start from."""
+    toks = _docs_t(spark, sf_dir).select("doc_id", "toks")
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a AS x, b AS y))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.x", "p.y")
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, staged once per session: four KN-model branches
+    (counts, history, continuation, type total) and two judged queries
+    (``docs_kneser_ney_lm``, ``docs_lm_score``) read this frame."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("lm_bigram_counts", sf_dir),
+        lambda: _doc_bigrams(spark, sf_dir)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy")),
+    )
+
+
 def docs_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated KN bigram stats for the top-``KN_TOPK`` bigrams.
 
@@ -307,16 +336,7 @@ def docs_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     · (n1p_before_y/n_bigram_types)`` with D = NUM/DEN = 3/4 — the exact
     arithmetic, division order fixed so both engines produce identical
     doubles."""
-    toks = _docs_t(spark, sf_dir).select("doc_id", "toks")
-    bi = toks.select(
-        F.explode(
-            F.expr(
-                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
-                " (a, b) -> struct(a AS x, b AS y))"
-            )
-        ).alias("p")
-    ).select("p.x", "p.y")
-    bc = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    bc = _bigram_counts(spark, sf_dir)
     hist = bc.groupBy("x").agg(
         F.sum("c_xy").alias("c_x"), F.count(F.lit(1)).alias("n1p_after_x")
     )
@@ -394,17 +414,8 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: doc-bigram explode (map-side) joined against the
     corpus-derived bigram model on the bigram key — one shuffle each side;
     the flag threshold is an exact integer rank over doc scores."""
-    toks = _docs_t(spark, sf_dir).select("doc_id", "toks")
-    bi = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
-                " (a, b) -> struct(a AS x, b AS y))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.x", "p.y")
-    bc = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    bi = _doc_bigrams(spark, sf_dir)
+    bc = _bigram_counts(spark, sf_dir)
     hist = bc.groupBy("x").agg(
         F.sum("c_xy").alias("c_x"), F.count(F.lit(1)).alias("n1p_after_x")
     )
@@ -425,15 +436,21 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_micro"),
         )
     )
-    scored = (
-        bi.join(model, ["x", "y"])
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # per-doc scores (doc-count-sized): read by the threshold rank, the final
+    # projection AND the ccnet bucket query — stage once per session
+    scored = shared_df(
+        spark,
+        ("lm_doc_scores", sf_dir),
+        lambda: bi.join(model, ["x", "y"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("p_micro").alias("p_sum"))
         .select(
             "doc_id",
             "n_bigrams",
             F.expr("p_sum div n_bigrams").alias("mean_p_micro"),
-        )
+        ),
     )
     thresh = F.broadcast(
         scored.select(

@@ -948,13 +948,19 @@ def docs_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         band_extra = ["mask"]
     per_band = T.N_PERM // T.N_BANDS
-    bands = None
-    for band in range(T.N_BANDS):
-        cols = [F.col(f"mh{band * per_band + j}") for j in range(per_band)]
-        b = sig.select(
-            "doc_id", "sz", *band_extra, F.lit(band).alias("band_id"), T.band_hash(cols).alias("bh")
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # one scan of the signature frame (a 4-way union would recompute the
+    # per-row mask fold once per band branch — and twice more across the
+    # self-join): posexplode the four band hashes in place
+    band_hashes = [
+        T.band_hash([F.col(f"mh{band * per_band + j}") for j in range(per_band)])
+        for band in range(T.N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        "sz",
+        *band_extra,
+        F.posexplode(F.array(*band_hashes)).alias("band_id", "bh"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     join_cond = (
         (F.col("a.band_id") == F.col("b.band_id"))
