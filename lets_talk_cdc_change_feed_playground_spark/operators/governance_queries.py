@@ -393,7 +393,11 @@ def cdc_anti_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("value"),
         F.lit(None).cast("string").alias("props"),
     )
-    b = b_live.unionByName(ghosts)
+    # replica B feeds both the bucket summary and the drill-down scan; its
+    # derivation re-runs the deleted-keys anti join per consumer — stage once
+    b = shared_df(
+        spark, ("ae_replica_b", sf_dir), lambda: b_live.unionByName(ghosts)
+    )
 
     def summarize(df: DataFrame, side: str) -> DataFrame:
         keyed = df.select(

@@ -470,7 +470,15 @@ def cdc_quorum_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    rstate = landed.groupBy("replica", "pk").agg(F.max("seq").alias("rv"))
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # the per-replica version state is probed by BOTH read-set joins (and the
+    # backlog audit below) — stage the 3x fan-out + groupBy once per session
+    rstate = shared_df(
+        spark,
+        ("quorum_rstate", sf_dir),
+        lambda: landed.groupBy("replica", "pk").agg(F.max("seq").alias("rv")),
+    )
     latest = ops.groupBy("pk").agg(F.max("seq").alias("latest")).select(
         "pk",
         "latest",
