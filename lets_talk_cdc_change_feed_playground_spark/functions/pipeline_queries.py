@@ -1423,10 +1423,11 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     lies in both suffixes and cosine ≤ t·t < t — so candidates are the
     two prefix⋈full equi-joins on the shingle (Σ_s df_prefix(s)·df(s),
     never Σ_s df(s)² and never |docs|²); the exact verify then joins each
-    candidate pair to two per-doc ``map<shingle,w>`` columns and merges
-    them with one JVM-side ``map_zip_with`` — per-pair O(|a|+|b|), no
-    per-shingle row re-explosion.  Decimal bound: dot² ≤ 10²⁸ at a
-    500M-doc corpus — inside decimal(38)/HUGEINT on both engines."""
+    candidate pair to two per-doc ``map<shingle,w>`` columns, intersects
+    their key sets natively and folds the dot product over only the shared
+    shingles — per-pair lambda work O(|a∩b|), no per-shingle row
+    re-explosion.  Decimal bound: dot² ≤ 10²⁸ at a 500M-doc corpus —
+    inside decimal(38)/HUGEINT on both engines."""
     d = _docs_t(spark, sf_dir)
     dec = "decimal(38,0)"
     sh = (
@@ -1539,26 +1540,30 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cand to doc_a's full posting list materializes |cand|·avg_len rows
     # (measured 34.6M rows for 541k candidates at sf0.1) through two shuffles.
     # Instead each pair joins to two map<shingle,w> columns (one row per doc;
-    # AQE turns both joins into runtime broadcasts while the doc-vector frame
-    # fits the 64 MB threshold, and degrades to doc_id-keyed shuffle hash
-    # joins beyond it) and the dot product is one JVM-side ``map_zip_with``
-    # merge — per-pair O(|a|+|b|), rows stay at |cand|.
-    docvec = flagged.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("shingle", F.col("w").cast(dec)))
-        ).alias("vec"),
-        F.max("norm2").alias("n2"),
+    # the planner broadcasts the doc-vector side while it fits, and degrades
+    # to doc_id-keyed shuffle hash joins beyond it) and the dot product folds
+    # over the native key-set intersection — rows stay at |cand|.
+    # staged: both verify joins read this frame, and persisting it gives the
+    # planner EXACT size stats (one map row per doc) — without them the
+    # aggregate's estimate dwarfs the candidate frame's and the planner
+    # broadcasts the candidate side instead, re-running the whole candidate
+    # join inside each broadcast build (measured: 2 x ~5 s per run)
+    docvec = shared_df(
+        spark,
+        ("allpairs_docvec", sf_dir),
+        lambda: flagged.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("shingle", F.col("w").cast(dec)))
+            ).alias("vec"),
+            F.max("norm2").alias("n2"),
+        ),
     )
-    zipped = F.map_values(
-        F.map_zip_with(
-            "va",
-            "vb",
-            lambda _k, x, y: F.when(
-                x.isNotNull() & y.isNotNull(),
-                F.struct((x * y).alias("p"), F.lit(1).alias("c")),
-            ),
-        )
-    )
+    # shared keys via the NATIVE array_intersect (hash-set build per pair),
+    # then a lambda fold over only the shared keys: higher-order functions
+    # evaluate interpreted (no codegen), so per-pair lambda work must be
+    # O(|a∩b|) — a map_zip_with over the union of both key sets ran the
+    # interpreted path |a|+|b| times per pair and was ~3x slower end-to-end
+    shared = F.array_intersect(F.map_keys("va"), F.map_keys("vb"))
     dots = (
         cand.join(
             docvec.select(
@@ -1581,16 +1586,31 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "na2",
             "nb2",
-            F.aggregate(
-                zipped,
-                F.lit(0).cast(dec),
-                lambda acc, e: acc + F.coalesce(e["p"], F.lit(0).cast(dec)),
-            ).alias("dot"),
-            F.aggregate(
-                zipped,
-                F.lit(0).cast("long"),
-                lambda acc, e: acc + F.coalesce(e["c"], F.lit(0)),
-            ).alias("n_shared_shingles"),
+            # generator barrier: without it Catalyst collapses the projection
+            # and inlines BOTH aggregates into the downstream threshold
+            # filter (which then sits inside the join condition), evaluating
+            # the O(|a|+|b|) merge several times per candidate — the explode
+            # of a one-element array pins one evaluation per row
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.aggregate(
+                            shared,
+                            F.lit(0).cast(dec),
+                            lambda acc, k: acc + F.col("va")[k] * F.col("vb")[k],
+                        ).alias("dot"),
+                        F.size(shared).cast("long").alias("nsh"),
+                    )
+                )
+            ).alias("dn"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na2",
+            "nb2",
+            F.col("dn.dot").alias("dot"),
+            F.col("dn.nsh").alias("n_shared_shingles"),
         )
     )
     return (
