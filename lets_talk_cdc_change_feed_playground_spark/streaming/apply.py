@@ -22,7 +22,13 @@ STORE_ORDER = ["ts_ms", "seq"]
 
 
 def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
-    """Fold a batch of change events into the current store state."""
+    """Fold a batch of change events into the current store state.
+
+    Incremental: only keys the batch touches enter the last-write-wins
+    window (their stored row replays as a create at its materialized
+    (ts, seq)); every untouched store row passes through via an anti join —
+    per-batch fold work is O(batch), not O(accumulated state), which is
+    what lets the store outlive a long-running stream."""
     events = batch_df.select(
         "pk",
         "op",
@@ -32,9 +38,11 @@ def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         "ts_ms",
         "seq",
     )
+    passthrough = None
     if store_df is not None:
-        # stored rows replay as creates at their materialized (ts, seq)
-        events = store_df.select(
+        keys = batch_df.select("pk")
+        passthrough = store_df.join(keys, "pk", "left_anti")
+        events = store_df.join(keys, "pk", "left_semi").select(
             "pk",
             F.lit("c").alias("op"),
             F.col("event_type").alias("after_event_type"),
@@ -44,7 +52,7 @@ def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
             "seq",
         ).unionByName(events)
     w = W.partitionBy("pk").orderBy(*[F.desc(c) for c in STORE_ORDER])
-    return (
+    folded = (
         events.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("op") != "d"))
         .select(
@@ -56,6 +64,7 @@ def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
             "seq",
         )
     )
+    return folded if passthrough is None else folded.unionByName(passthrough)
 
 
 class UpsertSink:
