@@ -110,3 +110,28 @@ def test_rank_limit_pushdown_survives(spark, sf_dir, name, cap_const):
         f"{name}: rank cap no longer pushes down to a distributed top-{cap}; "
         "the global window would sort the full vocabulary in one task"
     )
+
+
+def test_allpairs_fold_not_inlined_into_join(spark, sf_dir):
+    """The AllPairs verify fold (an interpreted higher-order aggregate over
+    the shared-shingle intersection) must evaluate ONCE per candidate row.
+    Catalyst's projection collapse would otherwise substitute it into the
+    threshold filter, which then rides the verify join's condition — every
+    predicate reference re-runs the fold (measured 2-6x per row before the
+    generator barrier landed). Guards the one-element-explode barrier: no
+    physical join condition may contain the lambda fold."""
+    plan = (
+        entry.queries()["docs_allpairs_cosine"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.split("\n"):
+        if "Join" in line and "aggregate(" in line:
+            raise AssertionError(
+                "dot-product fold inlined into a join condition — the "
+                f"generator barrier regressed:\n{line[:300]}"
+            )
+    assert "Generate explode" in plan, (
+        "the one-element-explode barrier is gone from the physical plan"
+    )
