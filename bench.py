@@ -163,6 +163,14 @@ def main() -> int:
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(summary), flush=True)
+
+    # return executor storage: the session-shared persisted frames are a
+    # bench-lifetime cache, not a leak — drop them explicitly at the end so
+    # a caller embedding main() in a longer-lived driver isn't left holding
+    # every staged lane/bus/vector frame (operators/shared.py:clear_shared)
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import clear_shared
+
+    clear_shared()
     return 0 if not failures else 1
 
 

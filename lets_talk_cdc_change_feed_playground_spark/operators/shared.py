@@ -40,3 +40,22 @@ def shared_df(
         df = builder().persist(StorageLevel.MEMORY_AND_DISK)
         _CACHE[full] = df
     return df
+
+
+def clear_shared() -> int:
+    """Unpersist and drop every registered frame; returns the count dropped.
+
+    A long-lived driver (notebook, service) otherwise accumulates persisted
+    storage bounded only by MEMORY_AND_DISK spill: entries are evicted when
+    their *session* dies, never within one.  Call between workloads (the
+    bench/sweep tools do after a full pass) to return executor storage.
+    Subsequent ``shared_df`` calls simply rebuild on first use."""
+    n = 0
+    for df in _CACHE.values():
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already gone — nothing held
+    _CACHE.clear()
+    return n

@@ -40,9 +40,14 @@ def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
     )
     passthrough = None
     if store_df is not None:
-        keys = batch_df.select("pk")
-        passthrough = store_df.join(keys, "pk", "left_anti")
-        events = store_df.join(keys, "pk", "left_semi").select(
+        # null-safe key match: a NULL pk must route its stored row INTO the
+        # fold (plain = never matches NULL, which would duplicate the key —
+        # pass-through + a separately folded batch row). <=> still plans as
+        # a hash-join key, so this costs nothing over the plain equi-join.
+        keys = batch_df.select(F.col("pk").alias("__bpk"))
+        on = F.col("pk").eqNullSafe(F.col("__bpk"))
+        passthrough = store_df.join(keys, on, "left_anti")
+        events = store_df.join(keys, on, "left_semi").select(
             "pk",
             F.lit("c").alias("op"),
             F.col("event_type").alias("after_event_type"),

@@ -199,12 +199,20 @@ class EvolvingUpsertSink:
             # every real event); every untouched key's state row passes
             # through unchanged — per-batch fold work is O(batch), not
             # O(accumulated state)
-            # no distinct: semi/anti join semantics dedup the probe side
-            keys = batch_df.select("table", "pk")
+            # no distinct: semi/anti join semantics dedup the probe side.
+            # Null-safe match (<=>): a NULL table/pk must route its state row
+            # into the fold, not silently pass through next to a separately
+            # folded batch row; <=> still plans as a hash-join key.
+            keys = batch_df.select(
+                F.col("table").alias("__bt"), F.col("pk").alias("__bpk")
+            )
+            on = F.col("table").eqNullSafe(F.col("__bt")) & F.col("pk").eqNullSafe(
+                F.col("__bpk")
+            )
             prev = prev.persist()
-            passthrough = prev.join(keys, ["table", "pk"], "left_anti")
+            passthrough = prev.join(keys, on, "left_anti")
             ev = (
-                prev.join(keys, ["table", "pk"], "left_semi")
+                prev.join(keys, on, "left_semi")
                 .select(
                     "table",
                     "pk",

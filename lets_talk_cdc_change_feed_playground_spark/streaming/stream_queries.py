@@ -1610,6 +1610,13 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in count_rows:
                 by_epoch.setdefault(r["epoch"], {})[r["event_type"]] = r["n"]
             for epoch in sorted(by_epoch):
+                # re-delivery guard (UpsertSink's batch-id ledger idea): a
+                # crash between sink commit and checkpoint commit re-delivers
+                # the batch — without this the same epoch would append twice
+                # to epochs_meta (duplicate result rows, double-counted
+                # view_rows) while by_epoch_stats silently kept one entry
+                if any(m["epoch"] == epoch for m in epochs_meta):
+                    continue
                 _maintain_epoch(
                     bdf.filter(F.col("epoch") == epoch), bid, epoch, by_epoch[epoch]
                 )

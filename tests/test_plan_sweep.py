@@ -132,6 +132,11 @@ def test_allpairs_fold_not_inlined_into_join(spark, sf_dir):
                 "dot-product fold inlined into a join condition — the "
                 f"generator barrier regressed:\n{line[:300]}"
             )
-    assert "Generate explode" in plan, (
-        "the one-element-explode barrier is gone from the physical plan"
-    )
+    # the shingle explode also emits "Generate explode" lines, so assert on
+    # the barrier's OWN distinguishing shape: a one-element array of the
+    # (dot, nsh) struct whose dot field is the intersection fold
+    assert any(
+        "Generate explode(array(struct(dot," in line
+        and "array_intersect" in line
+        for line in plan.split("\n")
+    ), "the one-element-explode (dot, nsh) barrier is gone from the physical plan"
