@@ -56,6 +56,75 @@ def with_global_seq(
     )
 
 
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str | Column,
+    qs: dict[float, str],
+) -> DataFrame:
+    """EXACT linear-interpolation percentiles per group without a data-sized
+    aggregation buffer, for DISCRETE value domains.
+
+    ``percentile(col, q)`` is exact but buffers every group value in ONE
+    aggregation state and sorts it there — at 100 TB a group's full value
+    vector in a single task is the textbook unbounded-state aggregation (it
+    is how the reference computes lane lag p50/p95 on an in-memory array,
+    ``src/engine/metrics.ts:97-139``).  This computes the identical result
+    as a *weighted percentile over the value histogram*:
+
+    1. one map-side-combinable aggregation: row count per (group, value) —
+       the only pass over the data;
+    2. cumulative counts over the histogram (windows partitioned by group,
+       one row per DISTINCT value — bounded by the value domain, not the
+       data volume);
+    3. the two order statistics each quantile needs (``p = q·(n-1)``, ranks
+       ``⌊p⌋+1`` / ``⌈p⌉+1``) picked as conditional mins over the histogram,
+       interpolated exactly as Spark's ``Percentile`` does:
+       ``(⌈p⌉-p)·v_lo + (p-⌊p⌋)·v_hi`` (``v_lo`` when ``⌈p⌉=⌊p⌋``).
+
+    Contract: ``value_col`` must have bounded distinct cardinality per group
+    (integer milliseconds, bucketed doubles, enum codes…) — the histogram is
+    the scale knob.  Lag values are integer ms deltas whose spread is bounded
+    by the delivery delay, so the histogram stays small at any row count.
+    ``qs`` maps quantile → output column name.  Nulls are ignored, like
+    ``percentile``; a group of only nulls is absent (left-join it back to
+    preserve such groups).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    hist = (
+        df.select(*group_cols, v.cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*group_cols, "__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_cum = (
+        W.partitionBy(*group_cols).orderBy("__v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy(*group_cols)
+    h = hist.withColumn("__cum", F.sum("__n").over(w_cum)).withColumn(
+        "__total", F.sum("__n").over(w_all)
+    )
+    aggs, posts = [], {}
+    for q, name in qs.items():
+        p = F.lit(float(q)) * (F.col("__total") - 1).cast("double")
+        rlo = F.floor(p) + 1
+        rhi = F.ceil(p) + 1
+        aggs.append(F.min(F.when(F.col("__cum") >= rlo, F.col("__v"))).alias(f"__lo_{name}"))
+        aggs.append(F.min(F.when(F.col("__cum") >= rhi, F.col("__v"))).alias(f"__hi_{name}"))
+        posts[name] = float(q)
+    out = h.groupBy(*group_cols).agg(F.max("__total").alias("__total"), *aggs)
+    for name, q in posts.items():
+        p = F.lit(q) * (F.col("__total") - 1).cast("double")
+        out = out.withColumn(
+            name,
+            F.when(F.ceil(p) == F.floor(p), F.col(f"__lo_{name}")).otherwise(
+                (F.ceil(p) - p) * F.col(f"__lo_{name}")
+                + (p - F.floor(p)) * F.col(f"__hi_{name}")
+            ),
+        )
+    return out.select(*group_cols, *qs.values())
+
+
 def with_prefix_aggs(
     df: DataFrame,
     bucket_col: str | Column,

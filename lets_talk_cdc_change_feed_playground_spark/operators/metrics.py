@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from lets_talk_cdc_change_feed_playground_spark.functions.sequence import with_prefix_aggs
+from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
+    grouped_exact_percentiles,
+    with_prefix_aggs,
+)
+
 
 
 def normalize_lanes(log: DataFrame, polling: DataFrame, trigger: DataFrame) -> DataFrame:
@@ -53,21 +57,40 @@ def normalize_lanes(log: DataFrame, polling: DataFrame, trigger: DataFrame) -> D
 
 def lane_metrics(lanes: DataFrame) -> DataFrame:
     """M1/M2/M5 — per-lane counters, op mix, last event time and exact lag
-    percentiles (p50/p95 by linear interpolation, ``metrics.ts:97-139``)."""
-    lag = F.col("emitted_at_ms") - F.col("commit_ts_ms")
+    percentiles (p50/p95 by linear interpolation, ``metrics.ts:97-139``).
+
+    Two separate aggregations joined on the 3-row lane key: the counters
+    (whose ``countDistinct`` plans an Expand that doubles the rows flowing
+    through every sibling aggregate) and the percentiles — which run as the
+    exact weighted-histogram form, NOT the single-buffer ``percentile()``
+    that would hold a lane's full lag vector in one task."""
+    lag = (F.col("emitted_at_ms") - F.col("commit_ts_ms")).cast("double")
+    with_lag = lanes.withColumn("lag_ms", lag)
+    counters = with_lag.groupBy("method").agg(
+        F.count(F.lit(1)).alias("produced"),
+        F.sum((F.col("op") == "c").cast("int")).alias("inserts"),
+        F.sum((F.col("op") == "u").cast("int")).alias("updates"),
+        F.sum((F.col("op") == "d").cast("int")).alias("deletes"),
+        F.countDistinct("pk").alias("distinct_pks"),
+        F.max("ts_ms").alias("last_ts_ms"),
+        F.max("lag_ms").cast("long").alias("lag_ms_max"),
+    )
+    pct = grouped_exact_percentiles(
+        with_lag, ["method"], "lag_ms", {0.5: "__p50", 0.95: "__p95"}
+    )
     return (
-        lanes.withColumn("lag_ms", lag.cast("double"))
-        .groupBy("method")
-        .agg(
-            F.count(F.lit(1)).alias("produced"),
-            F.sum((F.col("op") == "c").cast("int")).alias("inserts"),
-            F.sum((F.col("op") == "u").cast("int")).alias("updates"),
-            F.sum((F.col("op") == "d").cast("int")).alias("deletes"),
-            F.countDistinct("pk").alias("distinct_pks"),
-            F.max("ts_ms").alias("last_ts_ms"),
-            F.round(F.expr("percentile(lag_ms, 0.5)"), 3).alias("lag_ms_p50"),
-            F.round(F.expr("percentile(lag_ms, 0.95)"), 3).alias("lag_ms_p95"),
-            F.max("lag_ms").cast("long").alias("lag_ms_max"),
+        counters.join(F.broadcast(pct), "method", "left")
+        .select(
+            "method",
+            "produced",
+            "inserts",
+            "updates",
+            "deletes",
+            "distinct_pks",
+            "last_ts_ms",
+            F.round("__p50", 3).alias("lag_ms_p50"),
+            F.round("__p95", 3).alias("lag_ms_p95"),
+            "lag_ms_max",
         )
         .orderBy("method")
     )
@@ -179,13 +202,19 @@ def cross_lane_summary(ops: DataFrame, lanes: DataFrame) -> DataFrame:
     lane has the best/worst p95 lag and the spread, the weakest delete
     capture, and the max write amplification. One row."""
     lag = (F.col("emitted_at_ms") - F.col("commit_ts_ms")).cast("double")
-    per_lane = (
-        lanes.withColumn("lag_ms", lag)
-        .groupBy("method")
-        .agg(
-            F.expr("percentile(lag_ms, 0.95)").alias("p95"),
-            F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes"),
-        )
+    with_lag = lanes.withColumn("lag_ms", lag)
+    deletes = with_lag.groupBy("method").agg(
+        F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes")
+    )
+    # two-phase exact p95 — same bounded-state form as lane_metrics
+    per_lane = deletes.join(
+        F.broadcast(
+            grouped_exact_percentiles(
+                with_lag, ["method"], "lag_ms", {0.95: "p95"}
+            )
+        ),
+        "method",
+        "left",
     )
     n_del = ops.filter(F.col("op") == "delete").agg(
         F.count(F.lit(1)).alias("source_deletes")
