@@ -70,6 +70,22 @@ def _infer_type(column: str, value: str | None) -> str:
     return "string"
 
 
+def _concurrently(fn, items) -> None:
+    """Run independent Spark actions (one per item) from worker threads —
+    the scheduler interleaves jobs submitted concurrently, so N small writes
+    cost ~1 job round-trip instead of N. Exceptions re-raise in the caller."""
+    if not items:
+        return
+    if len(items) == 1:
+        fn(items[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+        for f in [pool.submit(fn, it) for it in items]:
+            f.result()
+
+
 OPS_SCHEMA = StructType(
     [
         StructField("table", StringType()),
@@ -203,8 +219,14 @@ class EvolvingUpsertSink:
             # Null-safe match (<=>): a NULL table/pk must route its state row
             # into the fold, not silently pass through next to a separately
             # folded batch row; <=> still plans as a hash-join key.
-            keys = batch_df.select(
-                F.col("table").alias("__bt"), F.col("pk").alias("__bpk")
+            # broadcast the batch key-set: it is bounded by the trigger size
+            # (maxFilesPerTrigger / maxOffsetsPerTrigger), so both the anti
+            # and semi probe become broadcast joins — the accumulated state
+            # is scanned, never shuffled
+            keys = F.broadcast(
+                batch_df.select(
+                    F.col("table").alias("__bt"), F.col("pk").alias("__bpk")
+                ).distinct()
             )
             on = F.col("table").eqNullSafe(F.col("__bt")) & F.col("pk").eqNullSafe(
                 F.col("__bpk")
@@ -297,19 +319,23 @@ class EvolvingUpsertSink:
             else sorted(altered_tables)
         )
         # one read of the just-committed version, persisted across the
-        # per-table projection writes (each write would otherwise rescan it)
+        # per-table projection writes (each write would otherwise rescan it).
+        # The writes are independent jobs over disjoint table slices — submit
+        # them concurrently (Spark schedules jobs from multiple threads) so a
+        # wide ALTER batch doesn't pay one serial job round-trip per table.
         state = self.current().persist() if targets else None
         try:
-            for tbl in targets:
+            def _write(tbl: str) -> None:
                 cols = self.registry.columns(tbl)
-                wide = state.filter(F.col("table") == tbl).select(
+                state.filter(F.col("table") == tbl).select(
                     "pk",
                     *[F.element_at("data", c).alias(c) for c in cols],
                     "updated_t",
-                )
-                wide.write.mode("overwrite").parquet(
+                ).write.mode("overwrite").parquet(
                     os.path.join(self.path, "tables", tbl, f"v={nv}")
                 )
+
+            _concurrently(_write, targets)
         finally:
             if state is not None:
                 state.unpersist()
@@ -323,16 +349,23 @@ class EvolvingUpsertSink:
         state = self.current()
         if state is None:
             return
-        for tbl in sorted(self.registry.known):
+        stale = [
+            tbl
+            for tbl in sorted(self.registry.known)
+            if not os.path.isdir(os.path.join(self.path, "tables", tbl, f"v={nv}"))
+        ]  # already-current tables were rewritten by this batch's ALTER
+
+        def _write(tbl: str) -> None:
             cols = self.registry.columns(tbl)
-            vdir = os.path.join(self.path, "tables", tbl, f"v={nv}")
-            if os.path.isdir(vdir):
-                continue  # already current from this batch's ALTER rewrite
             state.filter(F.col("table") == tbl).select(
                 "pk",
                 *[F.element_at("data", c).alias(c) for c in cols],
                 "updated_t",
-            ).write.mode("overwrite").parquet(vdir)
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.path, "tables", tbl, f"v={nv}")
+            )
+
+        _concurrently(_write, stale)
 
     def table_versions(self, table: str) -> list[int]:
         return self._versions(os.path.join("tables", table))
