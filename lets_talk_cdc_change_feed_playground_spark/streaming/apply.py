@@ -46,7 +46,7 @@ def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         # a hash-join key, so this costs nothing over the plain equi-join.
         # broadcast the batch key-set (bounded by the trigger size): the
         # anti/semi probes scan the accumulated store without shuffling it
-        keys = F.broadcast(batch_df.select(F.col("pk").alias("__bpk")).distinct())
+        keys = F.broadcast(batch_df.select(F.col("pk").alias("__bpk")))
         on = F.col("pk").eqNullSafe(F.col("__bpk"))
         passthrough = store_df.join(keys, on, "left_anti")
         events = store_df.join(keys, on, "left_semi").select(

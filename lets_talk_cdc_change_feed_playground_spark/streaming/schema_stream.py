@@ -226,7 +226,7 @@ class EvolvingUpsertSink:
             keys = F.broadcast(
                 batch_df.select(
                     F.col("table").alias("__bt"), F.col("pk").alias("__bpk")
-                ).distinct()
+                )
             )
             on = F.col("table").eqNullSafe(F.col("__bt")) & F.col("pk").eqNullSafe(
                 F.col("__bpk")
