@@ -35,7 +35,11 @@ def _cases(template: str, alias_prefix: str) -> str:
     )
 
 
-WAL_SQL = f"""
+def wal_sql(fetch_ms: int = FETCH_MS) -> str:
+    """The C1 WAL fragment with a parameterizable fetch tick — the tick-phase
+    fuzz (tests/test_tick_phase_fuzz.py) rebuilds the oracle at odd
+    intervals; the judged default is baked into ``WAL_SQL`` below."""
+    return f"""
 wal AS (
   SELECT
     row_number() OVER (ORDER BY t, seq) AS lsn,
@@ -45,15 +49,20 @@ wal AS (
     {_cases("CASE WHEN op <> 'delete' THEN {c} END AS {out}", "after_")},
     t AS ts_ms,
     'tx-' || t AS tx_id,
-    ((t // {FETCH_MS}) + 1) * {FETCH_MS} AS emitted_at_ms,
+    ((t // {fetch_ms}) + 1) * {fetch_ms} AS emitted_at_ms,
     'log' AS method
   FROM src
   WINDOW w AS (PARTITION BY pk ORDER BY t, seq)
 )
 """
 
+
+WAL_SQL = wal_sql()
+
+
 # polling: effective ops -> cumulative soft-delete row state -> per-poll last
-POLL_STATE_SQL = f"""
+def poll_state_sql(poll_ms: int = POLL_MS) -> str:
+    return f"""
 eff AS (
   SELECT * FROM (
     SELECT src.*,
@@ -64,7 +73,7 @@ eff AS (
 ),
 pstate AS (
   SELECT seq, t, pk,
-         t // {POLL_MS} AS poll_id,
+         t // {poll_ms} AS poll_id,
          max(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) OVER w AS deleted,
          sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) OVER w AS version,
          {_cases("last_value(CASE WHEN op <> 'delete' THEN {c} END IGNORE NULLS) OVER w AS data_{c}", "")}
@@ -72,7 +81,7 @@ pstate AS (
   WINDOW w AS (PARTITION BY pk ORDER BY t, seq)
 ),
 polled_all AS (
-  SELECT ((poll_id + 1) * {POLL_MS}) AS poll_ts_ms,
+  SELECT ((poll_id + 1) * {poll_ms}) AS poll_ts_ms,
          CASE WHEN deleted = 1 THEN 'd' WHEN version > 1 THEN 'u' ELSE 'c' END AS op,
          pk,
          {_cases("CASE WHEN deleted = 0 THEN data_{c} END AS {out}", "after_")},
@@ -96,7 +105,12 @@ polled_soft AS (
 )
 """
 
-AUDIT_SQL = f"""
+
+POLL_STATE_SQL = poll_state_sql()
+
+
+def audit_sql(extract_ms: int = EXTRACT_MS) -> str:
+    return f"""
 audit AS (
   SELECT
     row_number() OVER (ORDER BY t, seq) AS audit_seq,
@@ -106,12 +120,15 @@ audit AS (
     {_cases("CASE WHEN op <> 'delete' THEN {c} END AS {out}", "after_")},
     t + {OVERHEAD_MS} AS commit_ts_ms,
     'tx-' || (t + {OVERHEAD_MS}) AS tx_id,
-    ((t // {EXTRACT_MS}) + 1) * {EXTRACT_MS} AS emitted_at_ms,
+    ((t // {extract_ms}) + 1) * {extract_ms} AS emitted_at_ms,
     'trigger' AS method
   FROM src
   WINDOW wprev AS (PARTITION BY pk ORDER BY t, seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 """
+
+
+AUDIT_SQL = audit_sql()
 
 # normalized three-lane event stream (metrics.normalize_lanes twin)
 LANES_SQL = """
