@@ -1493,12 +1493,14 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pf = flagged.filter(F.col("in_prefix")).select("doc_id", "shingle")
     # Candidate budget guard (measured in SCALE.md): the exact join's cost
     # is Σ_s df_prefix(s)·df(s), which one cheap aggregate over the staged
-    # shingle frame predicts BEFORE any pair materializes.  On
-    # vocabulary-dense corpora (tiny vocab ⇒ df ∝ N) candidates grow ~N²
-    # no matter the filter — the probe's 10× synthetic corpus estimated
-    # 155M candidates and exhausted local shuffle disk — so a too-big
-    # estimate fails loudly with the LSH fallback named instead of melting
-    # the cluster.  Raise the budget on a real cluster via env.
+    # shingle frame predicts BEFORE any pair materializes.  Measured on both
+    # corpus classes (SCALE.md): Zipfian real-text df keeps the estimate
+    # SUB-linear in N (exponent 0.95 at 10x, SCALE_PROBE_ZIPF.json) and the
+    # join flies; vocabulary-dense corpora (tiny vocab ⇒ df ∝ N) grow ~N²
+    # no matter the filter — the 10× dense probe estimated 155M candidates
+    # and exhausted local shuffle disk — so a too-big estimate fails loudly
+    # with the LSH fallback named instead of melting the cluster.  Raise the
+    # budget on a real cluster via env.
     import os as _os
 
     budget = int(_os.environ.get("SPARK_GRAFT_ALLPAIRS_MAX_CAND", "50000000"))
@@ -1517,9 +1519,12 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"docs_allpairs_cosine: estimated candidate pairs {int(est):,} exceed "
             f"SPARK_GRAFT_ALLPAIRS_MAX_CAND={budget:,}. The corpus is too "
-            "shingle-dense for an exact threshold join at this budget — raise "
-            "the env budget on a cluster sized for it, or use the probabilistic "
-            "near-dup path (docs_minhash_dedup / docs_simhash_nn)."
+            "shingle-dense for an exact threshold join at this budget "
+            "(measured: Zipfian real-text df keeps this estimate sub-linear "
+            "in corpus size, while fixed/tiny vocabularies grow it ~N² — "
+            "SCALE.md) — raise the env budget on a cluster sized for it, or "
+            "use the probabilistic near-dup path (docs_minhash_dedup / "
+            "docs_simhash_nn)."
         )
     cand = (
         pf.alias("a")

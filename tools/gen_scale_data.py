@@ -59,14 +59,34 @@ def gen_events(rng: np.random.Generator, n: int, n_users: int) -> pa.Table:
     )
 
 
-def gen_documents(rng: np.random.Generator, n: int, dup_frac: float = 0.002) -> pa.Table:
+def gen_documents(
+    rng: np.random.Generator, n: int, dup_frac: float = 0.002, vocab: str = "fixed"
+) -> pa.Table:
+    """``vocab='fixed'`` reproduces the driver's 31-word corpus (the dense
+    worst case: every shingle's df scales with N).  ``vocab='zipf'`` draws
+    words from a Zipf(1.3) rank distribution over a Heaps-law vocabulary
+    (V ∝ N^0.7, ≥2000 types) — the realistic heavy-tailed df profile the
+    AllPairs prefix filter exploits: the frequent head carries tiny idf
+    weight (suffix territory), the long rare tail drives candidates."""
+    if vocab == "zipf":
+        v_size = max(2000, int(2000 * (n / 5000.0) ** 0.7))
+
+        def draw(k: int) -> str:
+            ranks = np.minimum(rng.zipf(1.3, k), v_size)
+            return " ".join(f"w{int(r)}" for r in ranks)
+
+    else:
+
+        def draw(k: int) -> str:
+            return " ".join(rng.choice(VOCAB, k))
+
     texts = []
     for i in range(n):
         if texts and rng.random() < dup_frac:
             texts.append(texts[rng.integers(0, len(texts))])  # exact dups, like the driver
             continue
         k = int(rng.integers(10, 101))
-        texts.append(" ".join(rng.choice(VOCAB, k)))
+        texts.append(draw(k))
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n), pa.int64()),
@@ -95,6 +115,10 @@ def main() -> int:
     ap.add_argument("--mult", type=float, default=10.0, help="multiple of sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--vocab", choices=["fixed", "zipf"], default="fixed")
+    ap.add_argument(
+        "--docs-only", action="store_true", help="write documents.parquet only"
+    )
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
@@ -102,10 +126,14 @@ def main() -> int:
     n_users = int(1500 * args.mult)
     n_docs = int(5_000 * args.mult)
     n_emb = int(2_000 * args.mult)
-    pq.write_table(gen_events(rng, n_ev, n_users), os.path.join(args.out, "events.parquet"))
-    pq.write_table(gen_documents(rng, n_docs), os.path.join(args.out, "documents.parquet"))
-    pq.write_table(gen_embeddings(rng, n_emb), os.path.join(args.out, "embeddings.parquet"))
-    print(json.dumps({"out": args.out, "events": n_ev, "users": n_users, "documents": n_docs, "embeddings": n_emb}))
+    pq.write_table(
+        gen_documents(rng, n_docs, vocab=args.vocab),
+        os.path.join(args.out, "documents.parquet"),
+    )
+    if not args.docs_only:
+        pq.write_table(gen_events(rng, n_ev, n_users), os.path.join(args.out, "events.parquet"))
+        pq.write_table(gen_embeddings(rng, n_emb), os.path.join(args.out, "embeddings.parquet"))
+    print(json.dumps({"out": args.out, "events": None if args.docs_only else n_ev, "users": n_users, "documents": n_docs, "embeddings": None if args.docs_only else n_emb, "vocab": args.vocab}))
     return 0
 
 
