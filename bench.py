@@ -115,18 +115,28 @@ def main() -> int:
         # so the steady-state per-query numbers are honest end-to-end
         staging_sec = round(time.perf_counter() - t_stage, 3)
 
+    # Per-query walls are STEADY STATE: best-of-``repeat`` runs, so a query's
+    # first execution — which may materialize session-shared frames its
+    # family staged lazily (operators/shared.py) — never lands in its wall.
+    # That first-touch cost isn't hidden either: ``first_pass_sec`` below is
+    # the summed (run1 − best) across all queries, reported next to the
+    # explicit ``staging_sec`` warmup, so total bench cost = staging_sec +
+    # first_pass_sec + value.
     timings: dict[str, float] = {}
+    first_pass_extra = 0.0
     failures: dict[str, str] = {}
     for name in names:
         fn = queries[name]
-        best = None
+        best = first = None
         try:
             for _ in range(max(repeat, 1)):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
+                first = dt if first is None else first
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
+            first_pass_extra += first - best
         except Exception as e:  # keep benching; report the failure
             failures[name] = str(e).split("\n")[0][:200]
         print(f"# {name}: {timings.get(name, 'FAIL')}", file=sys.stderr, flush=True)
@@ -139,6 +149,7 @@ def main() -> int:
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "staging_sec": staging_sec,
+        "first_pass_sec": round(first_pass_extra, 3),
     }
     if failures:
         detail["failures"] = failures
@@ -160,6 +171,7 @@ def main() -> int:
         "n_queries": detail["n_queries"],
         "n_failures": len(failures),
         "staging_sec": staging_sec,
+        "first_pass_sec": round(first_pass_extra, 3),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(summary), flush=True)

@@ -53,29 +53,61 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT MaxSim top-k: Σ_i max_j ⟨q_i, d_j⟩ over 8×8-dim sub-vectors.
 
-    Row-local scoring over corpus × broadcast(queries): for each of the
-    query's 8 sub-vectors, ``greatest`` over the 8 doc-sub dot products;
-    the 8 maxima add left-to-right so both engines sum in the same order."""
+    Row-local scoring as ONE vectorized Arrow kernel: the query block is a
+    handful of vectors (``TOPK_QUERIES``) — it rides to the executors as a
+    numpy constant (the Pandas-UDF analogue of a broadcast dim) and each
+    corpus batch scores against ALL queries in a single einsum.  64
+    ``aggregate(zip_with(...))`` sub-dots per pair ran interpreted (no
+    codegen for higher-order lambdas) and dominated the wall; expanding to
+    explicit 512-term expressions blew past the codegen method limit and
+    was slower still.  FP-order parity with the SQL twin: einsum without
+    ``optimize`` contracts k sequentially (the fold's left-to-right order),
+    the max is exact, and the 8 maxima sum with ``add.reduce`` over an
+    8-slot axis (sequential, below numpy's pairwise threshold)."""
+    import numpy as np
+    import pandas as pd
+
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < TOPK_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < TOPK_QUERIES).select("vec_id", "v").collect(),
+        key=lambda r: r["vec_id"],
+    )  # bounded: TOPK_QUERIES rows — the broadcast dim, driver-held
+    qm = np.array([r["v"] for r in qrows], dtype=np.float64).reshape(
+        len(qrows), N_SUB, SUB_D
     )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
 
-    def sub(col, i):
-        return F.slice(col, i * SUB_D + 1, SUB_D)
+    def _scores(vs):
+        d = np.array(vs.tolist(), dtype=np.float64).reshape(-1, N_SUB, SUB_D)
+        # bit-exact FP-order parity with the SQL twin's folds: accumulate the
+        # k-contraction and the i-sum EXPLICITLY left-to-right (einsum /
+        # np.sum pick cache-friendly loop orders that differ in the last ulp)
+        sims = np.zeros((len(d), qm.shape[0], N_SUB, N_SUB))
+        for k in range(SUB_D):
+            sims += qm[None, :, :, None, k] * d[:, None, None, :, k]
+        mx = sims.max(axis=3)  # exact
+        score = mx[:, :, 0]
+        for i in range(1, N_SUB):
+            score = score + mx[:, :, i]
+        return pd.Series(list(score))
 
-    score = None
-    for i in range(N_SUB):
-        mx = F.greatest(
-            *[T.dot(sub(F.col("qv"), i), sub(F.col("v"), j)) for j in range(N_SUB)]
+    # explicit SCALAR eval type: `from __future__ import annotations`
+    # stringifies hints on an inner function, which pandas_udf can't resolve
+    maxsim_scores = F.pandas_udf(_scores, "array<double>", F.PandasUDFType.SCALAR)
+
+    pairs = (
+        e.withColumn("__scores", maxsim_scores("v"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.posexplode("__scores").alias("__qpos", "maxsim"),
         )
-        score = mx if score is None else score + mx
-
-    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        score.alias("maxsim"),
+        .withColumn(
+            "query_id",
+            F.element_at(F.array(*[F.lit(int(i)) for i in qids]), F.col("__qpos") + 1),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "neighbor_label", "maxsim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("maxsim"), "neighbor_id")
     return (
