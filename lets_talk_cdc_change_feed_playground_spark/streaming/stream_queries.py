@@ -55,7 +55,9 @@ _N_CHUNKS = 3
 # batching-invariance fuzz (tests/test_stream_fuzz.py) can vary them and
 # assert the judged outputs don't move.
 _MAX_FILES_PER_TRIGGER = 1
-_staged: dict[tuple, str] = {}
+# staged chunk dirs (str) plus cached feed-wide scalars (tuples), both
+# keyed by (applicationId, sf_dir[, kind]) — session-scoped like shared_df
+_staged: dict[tuple, object] = {}
 
 
 def _split_qs() -> list[float]:

@@ -116,7 +116,45 @@ def main() -> int:
         "docs_allpairs_cosine": (
             "exact threshold join: candidate generation + verify in "
             "HUGEINT-parity decimal(38,0); wall tracks the candidate estimate "
-            "(SCALE.md), plus ~1 pre-join estimate aggregate for the budget guard"
+            "(SCALE.md: sub-linear on Zipf text, guarded on dense vocab), "
+            "plus ~1 pre-join estimate aggregate for the budget guard"
+        ),
+        "cdc_ivm_join": (
+            "set-based delta rule: three delta-join terms + recompute audit "
+            "over staged per-epoch frames — ~8 dependent small shuffles with "
+            "broadcast dim sides; fixed per-stage cost at toy scale, each "
+            "stage map-side-combinable at volume"
+        ),
+        "cdc_verdict": (
+            "three-lane diff + ordering + convergence fold: consumes all "
+            "three staged capture lanes and the expected feed — chained "
+            "small aggregations; per-stage cost is fixed scheduling, not data"
+        ),
+        "cdc_barrier_snapshot": (
+            "consistent-cut construction: per-lane watermark weave over the "
+            "staged bus, then snapshot fold — dependent stages over tiny "
+            "frames; the weave is one shuffle per lane at any scale"
+        ),
+        "cdc_anti_entropy": (
+            "replica digest compare + repair plan: two staged replica states "
+            "diffed with null-safe row equality then bucketed merkle-style "
+            "rollups — chained small shuffles, each linear"
+        ),
+        "cdc_backlog_timeline": (
+            "produced/consumed cumulative weave: two aggregations + full "
+            "outer join + two-phase prefix over one-row-per-bucket frames; "
+            "window work never touches event-grain rows"
+        ),
+        "events_session_concurrency": (
+            "sessionize + banded interval self-join via hour-bucket explode "
+            "(each pair matches exactly once, no dedup); one events scan, "
+            "bounded per-bucket fanout at any scale"
+        ),
+        "cdc_lane_metrics": (
+            "per-lane counters + EXACT lag percentiles via the weighted "
+            "value-histogram (no data-sized aggregation buffer; histogram "
+            "bounded by the integer-ms lag domain) — two aggregations joined "
+            "on the 3-row lane key"
         ),
         "customers_rfm_segments": (
             "three independent global rank orders = three two-phase bucketed "
