@@ -601,6 +601,10 @@ class _CommitStoreSink:
                 F.col("e.lsn").alias("seq"),
             )
         )
+        # NOTE: folding these two scalars into the merge write as an
+        # Observation deadlocks — merge_batch consumes the batch frame in
+        # several plan branches, so the CollectMetrics node is not executed
+        # exactly once. One cheap dedicated action per batch stays.
         bounds = ev.agg(
             F.min("ts_ms").alias("lo"), F.max("ts_ms").alias("hi")
         ).first()
