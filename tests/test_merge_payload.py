@@ -106,3 +106,43 @@ def test_merges_work_under_exception_dedup_policy(spark, feed):
         assert folded["k1"] == {"c": "4", "z": "9"}
     finally:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
+
+def test_merge_batch_null_pk_routes_through_fold(spark):
+    """A NULL pk must behave like any other key in the incremental store
+    merge: the stored null-key row enters the fold with the batch's null-key
+    events (last-writer wins) instead of passing through next to a separately
+    folded batch row — the plain-equality semi/anti split would emit BOTH
+    (advisor finding, round 7; fixed with a null-safe <=> join key)."""
+    from pyspark.sql import functions as F
+
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply import merge_batch
+
+    cols = (
+        "pk string, op string, after_event_type string, after_value double,"
+        " after_props string, ts_ms long, seq long"
+    )
+    store = merge_batch(
+        None,
+        spark.createDataFrame(
+            [(None, "c", "old", 1.0, "{}", 100, 1), ("k1", "c", "x", 2.0, "{}", 100, 2)],
+            cols,
+        ),
+    )
+    assert store.count() == 2
+
+    merged = merge_batch(
+        store,
+        spark.createDataFrame([(None, "u", "new", 9.0, "{}", 200, 3)], cols),
+    ).collect()
+    rows = {r["pk"]: r for r in merged}
+    assert len(merged) == 2, f"null key duplicated: {merged}"
+    assert rows[None]["event_type"] == "new" and rows[None]["ts_ms"] == 200
+    assert rows["k1"]["event_type"] == "x"  # untouched key passes through
+
+    # and a null-key delete removes the row
+    after_del = merge_batch(
+        merge_batch(None, spark.createDataFrame([(None, "c", "a", 1.0, "{}", 1, 1)], cols)),
+        spark.createDataFrame([(None, "d", None, None, None, 2, 2)], cols),
+    )
+    assert after_del.filter(F.col("pk").isNull()).count() == 0
