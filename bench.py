@@ -91,11 +91,22 @@ def main() -> int:
                 docs_dedup_components,
             )
 
+            # the three capture lanes first and SEQUENTIALLY — everything
+            # else derives from them (and from the ops feed they persist),
+            # so this materializes the common ancestors exactly once
             for df in (
                 capture.log_capture(spark, sf_dir),
                 capture.polling_capture(spark, sf_dir),
                 capture.polling_capture(spark, sf_dir, include_soft_deletes=True),
                 capture.trigger_capture(spark, sf_dir),
+            ):
+                df.write.format("noop").mode("overwrite").save()
+            # the derived frames are independent persists — submit their
+            # materializing writes concurrently (Spark schedules jobs from
+            # multiple threads; 32 local cores absorb ~4 small jobs at once)
+            from concurrent.futures import ThreadPoolExecutor
+
+            derived = [
                 _lanes(spark, sf_dir),
                 _expected(spark, sf_dir),
                 *[_lane_diff(spark, sf_dir, m) for m in ("log", "polling", "trigger")],
@@ -107,8 +118,16 @@ def main() -> int:
                 _signatures(spark, sf_dir),
                 _simhash_frame(spark, sf_dir),
                 docs_dedup_components(spark, sf_dir),  # stages the edge frame
-            ):
-                df.write.format("noop").mode("overwrite").save()
+            ]
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futures = [
+                    pool.submit(
+                        lambda d: d.write.format("noop").mode("overwrite").save(), df
+                    )
+                    for df in derived
+                ]
+                for fu in futures:
+                    fu.result()
         except Exception as e:
             print(f"# warmup skipped: {e}", file=sys.stderr)
         # reported (not hidden): one-time cost of staging the shared frames,
