@@ -30,6 +30,10 @@ DEFAULT_QUERIES = [
     "docs_allpairs_cosine",
     "emb_knn_triangles",
     "stream_ivm_join",
+    # second streaming shape: keyed-state capture -> versioned upsert sink —
+    # substantiates the "fixed trigger cost amortizes into batch size" claim
+    # beyond the IVM job
+    "stream_upsert_sink",
 ]
 DEFAULT_SCALES = [
     ("x1", "/root/testdata/sf0.1", 1.0),
@@ -56,7 +60,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--out", default="SCALE_PROBE.json")
+    ap.add_argument(
+        "--scales",
+        help="comma list of label:dir:mult triples overriding the defaults",
+    )
     args = ap.parse_args()
+    scales = DEFAULT_SCALES
+    if args.scales:
+        scales = [
+            (lbl, d, float(m))
+            for lbl, d, m in (s.split(":") for s in args.scales.split(","))
+        ]
 
     import __spark_entry__ as entry_mod
     from lets_talk_cdc_change_feed_playground_spark import get_spark
@@ -68,7 +82,7 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
 
     results: dict[str, dict] = {n: {} for n in names}
-    for label, sf_dir, mult in DEFAULT_SCALES:
+    for label, sf_dir, mult in scales:
         if not os.path.isdir(sf_dir):
             print(f"# skip {label}: {sf_dir} missing", file=sys.stderr)
             continue
