@@ -36,7 +36,8 @@ AUDITED = [
     ("cdc_offset_gaps", "two-phase lag: partitioned window in offset buckets + broadcast of per-bucket maxima"),
     ("docs_pack_sequences", "global prefix sum as bucketed partial sums + broadcast prefix, no single-task window"),
     ("lineitem_heavy_hitters", "per-shard top-K summaries merged on sketch rows only; error bounds from broadcast dropped-max"),
-    ("emb_maxsim_topk", "row-local MaxSim over broadcast queries — no explode, single per-query top-k window"),
+    ("emb_maxsim_topk", "one Arrow kernel scores each corpus batch against the driver-held query block; posexplode fans out per-query scores; single per-query top-k window"),
+    ("cdc_lane_metrics", "exact lag percentiles via weighted value-histogram — one map-side-combinable (lane, value) count; no Percentile buffer holds a lane's lag vector"),
     ("emb_hamming_rerank", "bit_count XOR candidate funnel before any float dot product"),
     ("nations_trade_pagerank", "all-broadcast 4-table edge build; rank loop iterates on the checkpointed <=625-row aggregate"),
     ("docs_bm25_topk", "postings tf map-side combinable; query terms + corpus scalars broadcast; per-query top-k window"),
