@@ -80,3 +80,34 @@ def test_delivery_guarantees_semantics(spark, sf_dir):
     assert not amo["exactly_once"] and not amo["converges_after_dedup"]
     # EO: clean
     assert eo["exactly_once"] and eo["n_deliveries"] == n
+
+
+def test_stream_ivm_redelivered_epoch_is_noop(spark, sf_dir):
+    """Crash-restart re-delivery guard (advisor finding, round 7): when a
+    micro-batch is delivered AGAIN (sink committed, checkpoint didn't), the
+    already-maintained epoch must be skipped — without the guard the epoch
+    appends twice to the result (duplicate rows, double-counted view_rows).
+    Simulated end-to-end: the first staged chunk file is copied into the
+    feed with a later mtime, so its epoch re-arrives as the FINAL
+    micro-batch of a fresh run; the output must equal the clean run's."""
+    import os
+    import shutil
+    import time
+
+    from lets_talk_cdc_change_feed_playground_spark.streaming import (
+        stream_queries as SQ,
+    )
+
+    clean = SQ.stream_ivm_join(spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, sf_dir, "ivm")
+    flat = SQ._staged[key]
+    first = sorted(f for f in os.listdir(flat) if f.endswith(".parquet"))[0]
+    dup = os.path.join(flat, "zz_redelivered.parquet")
+    shutil.copy(os.path.join(flat, first), dup)
+    late = time.time() + 10_000
+    os.utime(dup, (late, late))
+    try:
+        replayed = SQ.stream_ivm_join(spark, sf_dir).collect()
+    finally:
+        os.remove(dup)
+    assert replayed == clean
