@@ -150,6 +150,12 @@ def main() -> int:
             "(each pair matches exactly once, no dedup); one events scan, "
             "bounded per-bucket fanout at any scale"
         ),
+        "docs_dsir_weights": (
+            "exact-rational DSIR scoring: one 256-bucket map-side count, then "
+            "a row-local broadcast fold over each doc's hashed tokens — the "
+            "per-token lambda runs interpreted (transcendental-free integer "
+            "ratio), which prices ~1.7 s steady at sf0.1; zero extra shuffles"
+        ),
         "cdc_lane_metrics": (
             "per-lane counters + EXACT lag percentiles via the weighted "
             "value-histogram (no data-sized aggregation buffer; histogram "
