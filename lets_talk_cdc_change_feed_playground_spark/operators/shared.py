@@ -14,12 +14,20 @@ reference's harness does with its ``received[]`` event log,
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
+# bench.py submits materializing writes from a ThreadPoolExecutor; two
+# threads racing a first-touch build would double-persist the frame and leak
+# the loser.  One driver-side lock serializes build+register.  Builders are
+# plan construction only (persist() is lazy), so holding the lock across the
+# build is cheap; REENTRANT because builders routinely call shared_df for
+# their own upstream frames (e.g. capture lanes -> ops_feed).
+_LOCK = threading.RLock()
 
 
 def shared_df(
@@ -33,12 +41,13 @@ def shared_df(
     """
     app = spark.sparkContext.applicationId
     full = (app, *key)
-    df = _CACHE.get(full)
-    if df is None:
-        for stale in [k for k in _CACHE if k[0] != app]:
-            _CACHE.pop(stale)
-        df = builder().persist(StorageLevel.MEMORY_AND_DISK)
-        _CACHE[full] = df
+    with _LOCK:
+        df = _CACHE.get(full)
+        if df is None:
+            for stale in [k for k in _CACHE if k[0] != app]:
+                _CACHE.pop(stale)
+            df = builder().persist(StorageLevel.MEMORY_AND_DISK)
+            _CACHE[full] = df
     return df
 
 
@@ -51,11 +60,12 @@ def clear_shared() -> int:
     bench/sweep tools do after a full pass) to return executor storage.
     Subsequent ``shared_df`` calls simply rebuild on first use."""
     n = 0
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already gone — nothing held
-    _CACHE.clear()
+    with _LOCK:
+        for df in _CACHE.values():
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass  # session already gone — nothing held
+        _CACHE.clear()
     return n

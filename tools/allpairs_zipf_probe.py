@@ -73,13 +73,27 @@ def main() -> int:
         t0 = time.perf_counter()
         P.docs_allpairs_cosine(spark, sf_dir).count()
         warm = time.perf_counter() - t0
+        if est_key not in P._ALLPAIRS_EST:
+            raise RuntimeError(
+                "docs_allpairs_cosine did not seed its estimate cache for "
+                f"{sf_dir} — the budget guard's error path returned early; "
+                "run the query standalone to see its failure"
+            )
         est = int(P._ALLPAIRS_EST[est_key])
-        # realized distinct candidates: rebuild the candidate frame alone
+        # realized distinct candidates: reuse the flagged-shingle frame the
+        # query itself cached (explicit failure if the cache key drifted —
+        # a None builder would otherwise die on None.persist())
         from lets_talk_cdc_change_feed_playground_spark.operators.shared import (
             shared_df,
         )
 
-        flagged = shared_df(spark, ("allpairs_flagged", sf_dir), lambda: None)
+        def _missing() -> "DataFrame":
+            raise RuntimeError(
+                "allpairs_flagged frame not cached — docs_allpairs_cosine "
+                f"must run first in this session for {sf_dir}"
+            )
+
+        flagged = shared_df(spark, ("allpairs_flagged", sf_dir), _missing)
         full = flagged.select("doc_id", "shingle")
         pf = flagged.filter(F.col("in_prefix")).select("doc_id", "shingle")
         cand = (

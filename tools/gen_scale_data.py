@@ -120,19 +120,26 @@ def main() -> int:
         "--docs-only", action="store_true", help="write documents.parquet only"
     )
     args = ap.parse_args()
-    rng = np.random.default_rng(args.seed)
+    # Independent child generator per table (SeedSequence spawn): each
+    # table's random stream depends only on (seed, its fixed child index),
+    # so adding/removing tables or reordering the generator calls (e.g.
+    # --docs-only) can never perturb another table's data — probe datasets
+    # at the same --mult/--seed stay byte-identical across tool revisions.
+    ev_rng, doc_rng, emb_rng = (
+        np.random.default_rng(s) for s in np.random.SeedSequence(args.seed).spawn(3)
+    )
     os.makedirs(args.out, exist_ok=True)
     n_ev = int(100_000 * args.mult)
     n_users = int(1500 * args.mult)
     n_docs = int(5_000 * args.mult)
     n_emb = int(2_000 * args.mult)
     pq.write_table(
-        gen_documents(rng, n_docs, vocab=args.vocab),
+        gen_documents(doc_rng, n_docs, vocab=args.vocab),
         os.path.join(args.out, "documents.parquet"),
     )
     if not args.docs_only:
-        pq.write_table(gen_events(rng, n_ev, n_users), os.path.join(args.out, "events.parquet"))
-        pq.write_table(gen_embeddings(rng, n_emb), os.path.join(args.out, "embeddings.parquet"))
+        pq.write_table(gen_events(ev_rng, n_ev, n_users), os.path.join(args.out, "events.parquet"))
+        pq.write_table(gen_embeddings(emb_rng, n_emb), os.path.join(args.out, "embeddings.parquet"))
     print(json.dumps({"out": args.out, "events": None if args.docs_only else n_ev, "users": n_users, "documents": n_docs, "embeddings": None if args.docs_only else n_emb, "vocab": args.vocab}))
     return 0
 
