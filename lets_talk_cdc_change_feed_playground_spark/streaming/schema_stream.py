@@ -411,12 +411,22 @@ from lets_talk_cdc_change_feed_playground_spark.streaming.runtime import (  # no
 )
 
 _staged: dict[tuple, str] = {}
+# local twin of stream_queries._STAGED_LOCK (module-level import would be
+# circular): family runners may stage from worker threads
+import threading as _threading  # noqa: E402
+
+_STAGED_LOCK = _threading.RLock()
 
 
 def _evolving_chunks(spark: SparkSession, sf_dir: str) -> str:
     """Stage the evolving ops feed as time-split chunk files with strictly
     increasing synthetic mtimes (FileStreamSource delivery order is mtime)."""
     key = (spark.sparkContext.applicationId, sf_dir, "schema_evo")
+    with _STAGED_LOCK:
+        return _evolving_chunks_locked(spark, sf_dir, key)
+
+
+def _evolving_chunks_locked(spark: SparkSession, sf_dir: str, key: tuple) -> str:
     if key in _staged:
         return _staged[key]
     # chunk-count knob shared with the other judged streams so the
