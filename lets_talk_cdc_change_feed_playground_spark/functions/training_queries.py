@@ -1052,6 +1052,10 @@ ORDER BY rank
 
 
 DSIR_BUCKETS = 256  # hashed-unigram feature buckets
+# session-memoized bucket→weight arrays (DSIR_BUCKETS longs each), keyed by
+# (applicationId, sf_dir) — bounded driver state, same pattern as the
+# AllPairs estimate cache
+_DSIR_WL: dict[tuple, object] = {}
 DSIR_SCALE = 10_000  # likelihood ratios reported in exact 1e-4 units
 DSIR_SEL_PCT = 0.75  # docs at/above the 75th-percentile ratio are selected
 
@@ -1073,17 +1077,49 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions.  Same ranking direction as the paper's log-ratio.
 
     Scale shape: one explode → 256-group map-side-combinable count, then the
-    complete bucket→weight table (256 rows) folds back row-locally via a
-    broadcast sorted array — scoring touches each document exactly once with
-    ZERO additional shuffles; the selection cut is a 1-row broadcast.
+    complete bucket→weight table (256 rows — bounded driver state, like the
+    capped BPE vocab) gathers back row-locally via a vectorized Arrow kernel
+    (one ``numpy.take`` per document) — scoring touches each document exactly
+    once with ZERO additional shuffles; the selection cut is a 1-row
+    broadcast.  The per-token work is Arrow-batched, never an interpreted
+    per-element lambda (the same kernel move that vectorized MaxSim,
+    ``ann_queries.py:53-120``); all arithmetic stays exact BIGINT.
     """
-    toks = _docs_t(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.transform(
-            T.token_hashes(F.col("toks")), lambda h: h % DSIR_BUCKETS
-        ).alias("tb"),
-    )
+    import numpy as np
+    import pandas as pd  # noqa: F401 — pandas_udf Series signature
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    def build_tb() -> DataFrame:
+        # per-doc token→bucket arrays: the rolling 31-hash per token (same
+        # rule as textops.token_hashes / the oracle's SQL twin), memoized per
+        # Arrow batch — the corpus vocabulary is Zipfian, so almost every
+        # token hash is a dict hit, not a re-fold
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def buckets(norm):
+            from lets_talk_cdc_change_feed_playground_spark.functions.text_kernels import (
+                _hash_token,
+            )
+
+            memo: dict[str, int] = {}
+
+            def tb(s: str) -> list[int]:
+                out = []
+                for t in s.split(" "):
+                    b = memo.get(t)
+                    if b is None:
+                        b = memo[t] = _hash_token(t) % DSIR_BUCKETS
+                    out.append(b)
+                return out
+
+            return norm.map(tb)
+
+        return _docs_t(spark, sf_dir).select(
+            "doc_id", "lang", buckets(F.col("norm")).alias("tb")
+        )
+
+    toks = shared_df(spark, ("dsir_tb", sf_dir), build_tb)
     counts = (
         toks.select("lang", F.explode("tb").alias("b"))
         .groupBy("b")
@@ -1106,23 +1142,37 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ((c_r + 1) * (tot_t + {DSIR_BUCKETS}))"
         ).alias("w"),
     )
-    wl = F.broadcast(
-        weights.agg(
-            F.expr("transform(array_sort(collect_list(struct(b, w))), x -> x.w)").alias(
-                "wl"
-            )
+    # the complete bucket→weight table: DSIR_BUCKETS rows by construction —
+    # rides to the scorer as a captured numpy array (a broadcast variable in
+    # cluster terms), exactly like the driver-held IVM dim state; memoized
+    # per session beside the persisted frames so repeated calls skip the
+    # counts round-trip
+    wkey = (spark.sparkContext.applicationId, sf_dir)
+    if wkey not in _DSIR_WL:
+        _DSIR_WL[wkey] = np.array(
+            [r["w"] for r in weights.orderBy("b").collect()], dtype=np.int64
         )
-    )
-    scored = (
-        toks.crossJoin(wl)
-        .select(
+    wl_arr = _DSIR_WL[wkey]
+    assert len(wl_arr) == DSIR_BUCKETS
+
+    @F.pandas_udf("long")
+    def wsum(tb):
+        return tb.map(
+            lambda a: int(wl_arr[np.asarray(a, dtype=np.int64)].sum())
+            if len(a)
+            else 0
+        )
+
+    def build_scored() -> DataFrame:
+        return toks.select(
             "doc_id",
             "lang",
             F.size("tb").alias("n_tokens"),
-            F.expr("aggregate(tb, 0L, (acc, x) -> acc + wl[int(x)])").alias("w_sum"),
-        )
-        .withColumn("mean_w", F.expr("w_sum div n_tokens"))
-    )
+            wsum(F.col("tb")).alias("w_sum"),
+        ).withColumn("mean_w", F.expr("w_sum div n_tokens"))
+
+    # persisted: consumed twice (the percentile cut and the final projection)
+    scored = shared_df(spark, ("dsir_scored", sf_dir), build_scored)
     cut = F.broadcast(
         scored.agg(
             F.expr(
