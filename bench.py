@@ -42,6 +42,32 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _canary(spark) -> dict:
+    """Fixed-cost load sentinel, timed at bench start and end.
+
+    Two probes whose work never changes: a CPU-bound whole-stage-codegen
+    fold and a small shuffle.  Their walls measure the MACHINE at
+    measurement time, not the engine — so a round-over-round query delta
+    can be read against the canary delta ('machine slow' vs 'plan
+    regressed') without manual A/B archaeology.  Single-shot on purpose:
+    best-of-N would hide exactly the ambient noise being measured."""
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id % 1000003)").collect()
+    cpu = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    (
+        spark.range(4_000_000)
+        .selectExpr("id % 1000 AS k")
+        .groupBy("k")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    shuffle = time.perf_counter() - t0
+    return {"cpu_sec": round(cpu, 3), "shuffle_sec": round(shuffle, 3)}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
@@ -62,6 +88,7 @@ def main() -> int:
         spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
     except Exception:
         pass
+    canary_start = _canary(spark)  # after JIT warmup, before any staging
     # Materialize the session-shared staging frames untimed (ops feed,
     # capture lanes, diff/signature frames — operators/shared.py). A
     # long-lived session runs at this steady state: the engine's design
@@ -168,6 +195,7 @@ def main() -> int:
             failures[name] = str(e).split("\n")[0][:200]
         print(f"# {name}: {timings.get(name, 'FAIL')}", file=sys.stderr, flush=True)
 
+    canary_end = _canary(spark)
     detail = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
@@ -177,6 +205,8 @@ def main() -> int:
         "n_queries": len(timings),
         "staging_sec": staging_sec,
         "first_pass_sec": round(first_pass_extra, 3),
+        "canary_start": canary_start,
+        "canary_end": canary_end,
     }
     if failures:
         detail["failures"] = failures
@@ -199,6 +229,11 @@ def main() -> int:
         "n_failures": len(failures),
         "staging_sec": staging_sec,
         "first_pass_sec": round(first_pass_extra, 3),
+        # ambient-load sentinel: mean of the fixed-cost CPU canary timed at
+        # bench start and end (full probes in BENCH_DETAIL.json)
+        "canary_sec": round(
+            (canary_start["cpu_sec"] + canary_end["cpu_sec"]) / 2, 3
+        ),
         "detail": "BENCH_DETAIL.json",
     }
     print(json.dumps(summary), flush=True)
