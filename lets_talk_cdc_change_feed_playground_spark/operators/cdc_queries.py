@@ -288,8 +288,14 @@ def cdc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Consumes the session-cached V1 diff frames (one per lane — the same
     frames the diff listing and top-k lag queries read), unions them with a
-    lane tag, and reduces to per-lane verdict aggregates. The inversion
-    running max is the bucketed two-phase pattern partitioned by lane."""
+    lane tag, and reduces to per-lane verdict aggregates in ONE fused
+    bucket pass: the full diff union is shuffled ONCE on
+    (method, __bucket); the inversion running max (the bucketed two-phase
+    pattern) and every counting aggregate (missing/extra/max-lag/bucket
+    max) ride that same clustering — the window's exchange is reused by
+    the bucket aggregation, so no per-aggregate re-shuffle (the reference
+    computes the verdict in one ``evaluate()`` pass,
+    ``harness/verifier/index.js:169-205``)."""
     methods = ("log", "polling", "trigger")
     d = None
     for m in methods:
@@ -298,53 +304,62 @@ def cdc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
-    # per-lane inversion count: bucketed running max partitioned by method
-    matched = d.filter(F.col("status") == "matched").withColumn(
-        "__bucket", F.expr("actual_idx div 65536")
+    matched = F.col("status") == "matched"
+    # missing rows carry a NULL actual_idx: they land in a NULL bucket and
+    # sort after every matched/extra row, so they never perturb the running
+    # max; extra rows carry a NULL expected_idx, so max() ignores them.
+    d2 = d.withColumn("__bucket", F.expr("actual_idx div 65536"))
+
+    # phase 1: per-(method, bucket) maxima — methods x ceil(max_idx/65536)
+    # rows, the exact frame the two-phase pattern broadcasts; the prefix
+    # max over it is a trivial ordered fold, done driver-side (collecting
+    # it costs the same driver/network envelope the broadcast did)
+    brows = (
+        d2.filter(matched)
+        .groupBy("method", "__bucket")
+        .agg(F.max("expected_idx").alias("m"))
+        .collect()
     )
-    win = (
-        W.partitionBy("method", "__bucket")
-        .orderBy("actual_idx")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    local = matched.withColumn("__local_max", F.max("expected_idx").over(win))
-    bmax = matched.groupBy("method", "__bucket").agg(
-        F.max("expected_idx").alias("__bmax")
-    )
-    pw = W.partitionBy("method").orderBy("__bucket").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    prefix = bmax.select(
-        "method", "__bucket", F.max("__bmax").over(pw).alias("__prefix_max")
-    )
-    inv = (
-        local.join(F.broadcast(prefix), ["method", "__bucket"])
-        .select(
-            "method",
-            (
-                F.col("expected_idx")
-                < F.greatest(
-                    F.coalesce(F.col("__local_max"), F.lit(-1)),
-                    F.coalesce(F.col("__prefix_max"), F.lit(-1)),
-                )
-            ).alias("inverted"),
-        )
-        .groupBy("method")
-        .agg(
-            F.coalesce(F.sum(F.col("inverted").cast("int")), F.lit(0)).alias(
-                "ordering_issues"
-            )
-        )
+    pf_rows: list[tuple] = []
+    run: dict[str, int] = {}
+    for r in sorted(brows, key=lambda r: (r["method"], r["__bucket"])):
+        pf_rows.append((r["method"], r["__bucket"], run.get(r["method"])))
+        prev = run.get(r["method"])
+        run[r["method"]] = r["m"] if prev is None else max(prev, r["m"])
+    pf = spark.createDataFrame(
+        pf_rows, "method string, __bucket long, __prefix_max long"
     )
 
-    agg = d.groupBy("method").agg(
-        F.sum((F.col("status") == "missing").cast("int")).alias("missing"),
-        F.sum((F.col("status") == "extra").cast("int")).alias("extra"),
-        F.coalesce(F.max("lag_ms"), F.lit(0)).alias("max_lag_ms"),
+    # phase 2: ONE pass — the in-bucket running max rides the
+    # (method, bucket) window, the prefix max joins in as a broadcast
+    # literal, and every verdict aggregate (missing/extra/max-lag/
+    # inversions) reduces in a single groupBy(method) over that pass
+    win = (
+        W.partitionBy("method", "__bucket")
+        .orderBy(F.asc_nulls_last("actual_idx"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = d2.withColumn(
+        "__local_max", F.max(F.when(matched, F.col("expected_idx"))).over(win)
+    )
+    inverted = matched & (
+        F.col("expected_idx")
+        < F.greatest(
+            F.coalesce(F.col("__local_max"), F.lit(-1)),
+            F.coalesce(F.col("__prefix_max"), F.lit(-1)),
+        )
     )
     return (
-        agg.join(inv, "method", "left")
-        .fillna(0, ["ordering_issues"])
+        local.join(F.broadcast(pf), ["method", "__bucket"], "left")
+        .groupBy("method")
+        .agg(
+            F.sum((F.col("status") == "missing").cast("int")).alias("missing"),
+            F.sum((F.col("status") == "extra").cast("int")).alias("extra"),
+            F.coalesce(F.sum(inverted.cast("int")), F.lit(0)).alias(
+                "ordering_issues"
+            ),
+            F.coalesce(F.max("lag_ms"), F.lit(0)).alias("max_lag_ms"),
+        )
         .select(
             "method",
             "missing",
