@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 STORE_ORDER = ["ts_ms", "seq"]
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed the contended store version first — the
+    optimistic-concurrency conflict a Delta MERGE surfaces on a lost commit
+    race.  The losing transaction was NOT applied; retry by re-reading."""
+
+
 def merge_batch(store_df: DataFrame | None, batch_df: DataFrame) -> DataFrame:
     """Fold a batch of change events into the current store state.
 
@@ -86,23 +92,46 @@ class UpsertSink:
     contract:
 
     - **Atomic commit**: the merged state is written to a staging directory
-      and ``os.rename``d to ``v={n}-b={batch_id}`` — a crash mid-write leaves
-      only ignorable staging garbage; the rename IS the transaction commit
-      (Delta's _delta_log append analog).
-    - **Batch-id ledger** (``dedup_batches=True``): the committed directory
-      name records the Spark ``batch_id``; when a crash lands between the
-      sink's commit and the stream's checkpoint commit, the restarted query
-      re-delivers the SAME batch_id and ``__call__`` skips it — no double
-      application.  Only sound under a checkpointed stream (batch ids reset
-      on checkpoint-less restarts), hence opt-in; without it a re-delivered
-      batch re-merges, which the last-write-wins fold absorbs (idempotent
-      in value, but the ledger is what makes application exactly-once).
+      and ``os.rename``d to the FIXED per-version name ``v={n}`` — a crash
+      mid-write leaves only ignorable staging garbage; the rename IS the
+      transaction commit (Delta's _delta_log append analog).
+    - **Concurrent-writer fencing**: because the commit target name is
+      contended (one ``v={n}`` per version), POSIX rename onto an existing
+      non-empty directory fails — two writers that both read version n-1
+      cannot both commit version n; the loser's rename raises
+      :class:`ConcurrentWriteError` and its staging is discarded, exactly
+      Delta's optimistic-concurrency conflict on a lost commit race.  A
+      rejected writer retries by re-reading the store (its next attempt
+      merges against the winner's state).
+    - **Batch-id ledger** (``dedup_batches=True``): each commit carries an
+      underscore-prefixed ``_batch_{id}`` marker file (invisible to
+      parquet readers, riding inside the atomic rename); when a crash lands
+      between the sink's commit and the stream's checkpoint commit, the
+      restarted query re-delivers the SAME batch_id and ``__call__`` skips
+      it — no double application.  Only sound under a checkpointed stream
+      (batch ids reset on checkpoint-less restarts), hence opt-in; without
+      it a re-delivered batch re-merges, which the last-write-wins fold
+      absorbs (idempotent in value, but the ledger is what makes
+      application exactly-once).  Legacy ``v={n}-b={id}`` directory names
+      from older stores still parse.
     """
 
     def __init__(self, spark: SparkSession, path: str, dedup_batches: bool = False):
         self.spark = spark
         self.path = path
         self.dedup_batches = dedup_batches
+
+    def _marker_batch(self, dirname: str) -> int | None:
+        """Batch id recorded inside a committed version (``_batch_{id}`` file)."""
+        try:
+            for f in os.listdir(os.path.join(self.path, dirname)):
+                if f.startswith("_batch_"):
+                    tag = f[len("_batch_"):]
+                    if tag.isdigit():
+                        return int(tag)
+        except OSError:
+            pass
+        return None
 
     def _entries(self) -> list[tuple[int, int | None, str]]:
         """Committed versions: sorted [(version, batch_id | None, dirname)]."""
@@ -116,7 +145,8 @@ class UpsertSink:
             ver = head.split("=", 1)[1]
             if not ver.isdigit():
                 continue
-            out.append((int(ver), int(btag) if btag.isdigit() else None, d))
+            b = int(btag) if btag.isdigit() else self._marker_batch(d)
+            out.append((int(ver), b, d))
         return sorted(out)
 
     def _versions(self) -> list[int]:
@@ -142,10 +172,31 @@ class UpsertSink:
         entries = self._entries()
         merged = merge_batch(self.current(), batch_df)
         nxt = (entries[-1][0] + 1) if entries else 0
+        self._commit(merged, nxt, batch_id)
+
+    def _commit(self, merged: DataFrame, nxt: int, batch_id: int) -> None:
+        """Write + atomically publish version ``nxt`` (the fencing point)."""
         staging = os.path.join(self.path, f"_staging-{nxt}-{batch_id}")
         merged.write.mode("overwrite").parquet(staging)
-        # the atomic commit: state becomes visible + batch recorded together
-        os.rename(staging, os.path.join(self.path, f"v={nxt}-b={batch_id}"))
+        # batch-id ledger marker rides INSIDE the commit: underscore files
+        # are invisible to parquet readers, and the rename publishes state
+        # and ledger entry together
+        open(os.path.join(staging, f"_batch_{batch_id}"), "w").close()
+        target = os.path.join(self.path, f"v={nxt}")
+        try:
+            os.rename(staging, target)
+        except OSError as e:
+            # another writer committed version ``nxt`` between our store
+            # read and our rename: the fixed per-version target makes the
+            # rename the serialization point (rename onto a non-empty
+            # directory fails) — reject the losing commit, Delta-style
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"version {nxt} was committed by a concurrent writer; "
+                "re-read the store and retry the merge"
+            ) from e
 
 
 def has_delta() -> bool:

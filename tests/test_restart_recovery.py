@@ -177,3 +177,76 @@ def test_ledger_parses_legacy_version_dirs(spark, tmp_path):
     assert sink._versions() == [0, 1]
     assert sink.applied_batches() == {7}
     assert sink.current().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-writer fencing (the Delta optimistic-concurrency property the
+# versioned-parquet stand-in claims to imitate)
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "pk string, op string, after_event_type string, after_value double,"
+        " after_props string, ts_ms long, seq long",
+    )
+
+
+def test_concurrent_commit_of_same_version_is_rejected(spark, tmp_path):
+    """Two sinks on one store that both read version N-1 cannot both commit
+    version N: the fixed per-version rename target serializes them — the
+    second rename raises, its staging is discarded, and the store still
+    reads the winner's state."""
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply import (
+        ConcurrentWriteError,
+        merge_batch,
+    )
+
+    store = str(tmp_path / "store")
+    a = UpsertSink(spark, store, dedup_batches=True)
+    b = UpsertSink(spark, store, dedup_batches=True)
+    a(_ev(spark, [("p1", "c", "seed", 1.0, "{}", 10, 0)]), 0)  # v=0
+
+    # both writers read the store at version 0 ...
+    base_a = a.current()
+    base_b = b.current()
+    m_a = merge_batch(base_a, _ev(spark, [("p2", "c", "from-a", 2.0, "{}", 20, 1)]))
+    m_b = merge_batch(base_b, _ev(spark, [("p3", "c", "from-b", 3.0, "{}", 30, 2)]))
+
+    # ... writer B publishes version 1 first; writer A's in-flight commit of
+    # the SAME version must be rejected, not silently double-published
+    b._commit(m_b, nxt=1, batch_id=2)
+    with pytest.raises(ConcurrentWriteError):
+        a._commit(m_a, nxt=1, batch_id=1)
+
+    # the store holds exactly the winner's state; no staging garbage left
+    assert a._versions() == [0, 1]
+    pks = {r["pk"] for r in a.current().collect()}
+    assert pks == {"p1", "p3"}
+    assert not [d for d in os.listdir(store) if d.startswith("_staging")]
+
+    # the rejected writer retries against the re-read store and lands on
+    # version 2 with BOTH writers' rows present — the Delta retry contract
+    a(_ev(spark, [("p2", "c", "from-a", 2.0, "{}", 20, 1)]), 1)
+    assert a._versions() == [0, 1, 2]
+    pks = {r["pk"] for r in a.current().collect()}
+    assert pks == {"p1", "p2", "p3"}
+    assert a.applied_batches() == {0, 1, 2}
+
+
+def test_interleaved_writers_without_race_serialize(spark, tmp_path):
+    """Non-overlapping interleaved writers (each reads after the other's
+    commit) serialize naturally into consecutive versions."""
+    store = str(tmp_path / "store")
+    a = UpsertSink(spark, store, dedup_batches=True)
+    b = UpsertSink(spark, store, dedup_batches=True)
+    a(_ev(spark, [("p1", "c", "e1", 1.0, "{}", 10, 0)]), 0)
+    b(_ev(spark, [("p2", "c", "e2", 2.0, "{}", 20, 1)]), 1)
+    a(_ev(spark, [("p1", "u", "e1b", 1.5, "{}", 30, 2)]), 2)
+    b(_ev(spark, [("p2", "d", None, None, None, 40, 3)]), 3)
+    assert a._versions() == [0, 1, 2, 3]
+    rows = {r["pk"]: r["event_type"] for r in a.current().collect()}
+    assert rows == {"p1": "e1b"}
+    # both sinks read one shared ledger
+    assert b.applied_batches() == {0, 1, 2, 3}
