@@ -6,10 +6,18 @@ frame-sampling run as Arrow-batched ``mapInPandas`` stages so the bytes never
 round-trip through Python row-at-a-time.
 
 The actual codecs (PIL/torchaudio/ffmpeg) are NOT available in this
-environment, so the decode kernels are **stubbed with a deterministic fake**
+environment, so the decode kernels default to a **deterministic fake**
 (clearly marked below): the Spark-side plumbing — schema, partitioning, UDF
-signatures, Arrow batch iteration — is real and tested, and swapping the
-fake for a real codec is a one-function change per kernel.
+signatures, Arrow batch iteration — is real and tested.
+
+**Real-codec lane** (``SPARK_GRAFT_REAL_CODECS=1``): when the env var is
+set AND the codec library imports, the image kernels decode/resample with
+PIL and video demux uses ``av`` — same schemas, same batch shapes, chosen
+per call by :func:`real_codecs_enabled`.  The judged queries and their
+DuckDB oracles stay keyed to the deterministic stand-in (the driver never
+sets the var); the day this sandbox gains PIL, one env var turns the lane
+real with zero rewiring (``tests/test_multimodal.py`` carries a
+skip-marked shape test for the real path).
 
 Scale notes: ``mapInPandas`` is a narrow transformation (no shuffle); media
 batches should be sized via ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -19,6 +27,7 @@ so a batch of decoded frames fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 from collections.abc import Iterator
 
@@ -78,6 +87,27 @@ FRAMES_SCHEMA = StructType(
 N_FEATURES = 8
 
 
+def _has_module(name: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(name) is not None
+
+
+def real_codecs_enabled(lib: str = "PIL") -> bool:
+    """True when the real-codec lane is BOTH requested
+    (``SPARK_GRAFT_REAL_CODECS=1``) and possible (``lib`` imports).
+    Requested-but-impossible raises: a silent stand-in fallback would let a
+    production run believe it decoded real media."""
+    if os.environ.get("SPARK_GRAFT_REAL_CODECS") != "1":
+        return False
+    if not _has_module(lib):
+        raise ImportError(
+            f"SPARK_GRAFT_REAL_CODECS=1 but {lib!r} is not installed — "
+            "install it or unset the flag to use the deterministic stand-in"
+        )
+    return True
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake media corpus: payload bytes derived from the id."""
     def gen(ids: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,8 +150,37 @@ def _fake_decode(content: bytes, n: int = N_FEATURES) -> list[float]:
     ]
 
 
+def _real_image_features(content: bytes, n: int = N_FEATURES) -> list[float]:
+    """REAL decode path (PIL): per-channel mean/extent pixel statistics —
+    the same output shape as the stand-in, fed from actual pixels."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("RGB")
+    px = img.getdata()
+    npx = max(len(px), 1)
+    means = [sum(p[c] for p in px) / (255.0 * npx) for c in range(3)]
+    mins = [min(p[c] for p in px) / 255.0 for c in range(3)]
+    w, h = img.size
+    out = means + mins + [w / 4096.0, h / 4096.0]
+    return out[:n] + [0.0] * max(0, n - len(out))
+
+
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + featurize every media row (Arrow-batched, shuffle-free)."""
+    """Decode + featurize every media row (Arrow-batched, shuffle-free).
+
+    Stand-in lane: features hash the payload bytes (deterministic, oracle-
+    keyed).  Real lane (``SPARK_GRAFT_REAL_CODECS=1`` + PIL): image rows
+    are decoded and featurized from pixels; non-image rows keep the byte
+    stand-in (their codecs — ffmpeg/torchaudio — gate separately)."""
+    use_real = real_codecs_enabled()
+
+    def decode(kind: str, content: bytes) -> list[float]:
+        if use_real and kind == "image":
+            return _real_image_features(content)
+        return _fake_decode(content)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -137,7 +196,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                             "<I", hashlib.sha256(b).digest()[:4]
                         )[0]
                     ),
-                    "features": pdf["content"].map(_fake_decode),
+                    "features": [
+                        decode(k, bytes(c))
+                        for k, c in zip(pdf["kind"], pdf["content"])
+                    ],
                 }
             )
 
@@ -147,18 +209,44 @@ def extract_features(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame.
 
-    STUB decode: frames are deterministic slices of the payload; a real
-    implementation demuxes with ffmpeg/av at the same batch shape (1 input
-    row → N output rows inside one Arrow batch)."""
+    Stand-in lane: frames are deterministic slices of the payload.  Real
+    lane (``SPARK_GRAFT_REAL_CODECS=1`` + ``av``): PyAV demux/decode at the
+    same batch shape (1 input row → N output rows inside one Arrow batch),
+    each sampled frame re-encoded PNG."""
+    use_real = real_codecs_enabled("av")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 if row.kind != "video":
                     continue
+                content = bytes(row.content)
+                if use_real:
+                    import io
+
+                    import av
+
+                    with av.open(io.BytesIO(content)) as container:
+                        step = every_ms / 1000.0
+                        nxt, idx = 0.0, 0
+                        for frame in container.decode(video=0):
+                            if frame.time is None or frame.time + 1e-9 < nxt:
+                                continue
+                            buf = io.BytesIO()
+                            frame.to_image().save(buf, format="PNG")
+                            out.append(
+                                {
+                                    "media_id": row.media_id,
+                                    "frame_idx": idx,
+                                    "frame": buf.getvalue(),
+                                }
+                            )
+                            idx += 1
+                            nxt += step
+                    continue
                 duration = row.meta["duration_ms"] or 0
                 n_frames = max(1, duration // every_ms)
-                content = bytes(row.content)
                 for i in range(int(n_frames)):
                     lo = (i * 16) % max(len(content) - 16, 1)
                     out.append(
@@ -202,37 +290,52 @@ def _fit_box(w: int, h: int, box: int = THUMB_BOX) -> tuple[int, int]:
 def resize_media(media: DataFrame, box: int = THUMB_BOX) -> DataFrame:
     """Decode → aspect-fit resize for visual media (Arrow, shuffle-free).
 
-    STUB decode/resample: the "thumbnail" is the sha256 digest of the
-    payload tagged with the target dims (a real kernel does
-    ``PIL.Image.open(...).thumbnail((box, box))`` at the same batch shape);
-    the aspect-ratio fit math and every byte of Spark plumbing are real.
-    Audio rows are filtered JVM-side BEFORE the Python kernel so the Arrow
-    channel never carries rows the kernel would drop."""
+    Stand-in lane: the "thumbnail" is the sha256 digest of the payload
+    tagged with the target dims; the aspect-ratio fit math and every byte
+    of Spark plumbing are real.  Real lane (``SPARK_GRAFT_REAL_CODECS=1``
+    + PIL): decode, resample to the fit box, re-encode PNG — same schema,
+    same batch shape, source dims read from the decoded image.  Audio rows
+    are filtered JVM-side BEFORE the Python kernel so the Arrow channel
+    never carries rows the kernel would drop."""
+    use_real = real_codecs_enabled()
+
+    def one(row) -> dict:
+        content = bytes(row.content)
+        if use_real:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(content))
+            w, h = img.size
+            dw, dh = _fit_box(w, h, box)
+            buf = io.BytesIO()
+            img.convert("RGB").resize((dw, dh)).save(buf, format="PNG")
+            thumb = buf.getvalue()
+            out_bytes = len(thumb)
+        else:
+            w = int(row.meta["width"])
+            h = int(row.meta["height"])
+            dw, dh = _fit_box(w, h, box)
+            thumb = hashlib.sha256(content + f"x{dw}x{dh}".encode()).digest()
+            out_bytes = dw * dh * 3
+        return {
+            "media_id": row.media_id,
+            "kind": row.kind,
+            "src_w": w,
+            "src_h": h,
+            "dst_w": dw,
+            "dst_h": dh,
+            "thumb": thumb,
+            "thumb_sha": hashlib.sha256(thumb).hexdigest()
+            if use_real
+            else thumb.hex(),
+            "out_bytes": out_bytes,
+        }
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for row in pdf.itertuples(index=False):
-                w = int(row.meta["width"])
-                h = int(row.meta["height"])
-                dw, dh = _fit_box(w, h, box)
-                content = bytes(row.content)
-                thumb = hashlib.sha256(
-                    content + f"x{dw}x{dh}".encode()
-                ).digest()
-                rows.append(
-                    {
-                        "media_id": row.media_id,
-                        "kind": row.kind,
-                        "src_w": w,
-                        "src_h": h,
-                        "dst_w": dw,
-                        "dst_h": dh,
-                        "thumb": thumb,
-                        "thumb_sha": thumb.hex(),
-                        "out_bytes": dw * dh * 3,
-                    }
-                )
+            rows = [one(row) for row in pdf.itertuples(index=False)]
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     visual = media.filter(F.col("meta.width").isNotNull())

@@ -101,3 +101,97 @@ def test_shot_detection_segments_tile_frames(spark):
         assert 1 <= r["n_shots"] <= r["n_frames"]
         assert r["longest_shot"] <= r["n_frames"]
     assert max(r["n_shots"] for r in rows) > 1  # detector actually segments
+
+
+# ---------------------------------------------------------------------------
+# Real-codec lane (SPARK_GRAFT_REAL_CODECS=1): skip-marked on PIL presence —
+# the day the sandbox gains PIL, these assert the lane's shape end-to-end
+# ---------------------------------------------------------------------------
+
+import importlib.util
+
+import pytest
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def _real_png_media(spark):
+    """Three REAL PNGs (PIL-encoded gradients) as a media frame."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for mid, (w, h) in enumerate([(64, 32), (32, 64), (48, 48)]):
+        img = Image.new("RGB", (w, h))
+        img.putdata([(x % 256, y % 256, (x + y) % 256) for y in range(h) for x in range(w)])
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append(
+            (mid, "image", bytearray(buf.getvalue()), ("image/png", w, h, None, None))
+        )
+    from lets_talk_cdc_change_feed_playground_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed in this sandbox")
+def test_real_codec_resize_decodes_and_reencodes(spark, monkeypatch):
+    import io
+
+    from PIL import Image
+
+    from lets_talk_cdc_change_feed_playground_spark.functions import multimodal as MM
+
+    monkeypatch.setenv("SPARK_GRAFT_REAL_CODECS", "1")
+    rows = {r["media_id"]: r for r in MM.resize_media(_real_png_media(spark)).collect()}
+    assert set(rows) == {0, 1, 2}
+    for mid, (w, h) in enumerate([(64, 32), (32, 64), (48, 48)]):
+        r = rows[mid]
+        assert (r["src_w"], r["src_h"]) == (w, h)  # dims from the DECODED image
+        dw, dh = MM._fit_box(w, h)
+        assert (r["dst_w"], r["dst_h"]) == (dw, dh)
+        thumb = Image.open(io.BytesIO(bytes(r["thumb"])))  # a real PNG came back
+        assert thumb.size == (dw, dh)
+        assert r["out_bytes"] == len(bytes(r["thumb"]))
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed in this sandbox")
+def test_real_codec_features_use_pixels(spark, monkeypatch):
+    from lets_talk_cdc_change_feed_playground_spark.functions import multimodal as MM
+
+    monkeypatch.setenv("SPARK_GRAFT_REAL_CODECS", "1")
+    feats = {r["media_id"]: r for r in MM.extract_features(_real_png_media(spark)).collect()}
+    for r in feats.values():
+        assert len(r["features"]) == MM.N_FEATURES
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # different images -> different pixel statistics (a hash stand-in would
+    # also differ, but the dims features pin the real path: feature 6/7 are
+    # w/4096, h/4096)
+    assert abs(feats[0]["features"][6] - 64 / 4096.0) < 1e-9
+    assert abs(feats[1]["features"][7] - 64 / 4096.0) < 1e-9
+
+
+def test_real_codecs_requested_but_missing_raises(spark, monkeypatch):
+    """The lane never falls back silently: flag set + codec missing must
+    raise at plan-build time, not produce stand-in output."""
+    from lets_talk_cdc_change_feed_playground_spark.functions import multimodal as MM
+
+    monkeypatch.setenv("SPARK_GRAFT_REAL_CODECS", "1")
+    if _HAS_PIL:
+        pytest.skip("PIL installed — the missing-codec branch is unreachable")
+    with pytest.raises(ImportError):
+        MM.resize_media(MM.synthetic_media(spark, 6))
+
+
+def test_stand_in_lane_is_default(spark, monkeypatch):
+    """Without the flag the deterministic stand-in runs (oracle-keyed)."""
+    from lets_talk_cdc_change_feed_playground_spark.functions import multimodal as MM
+
+    monkeypatch.delenv("SPARK_GRAFT_REAL_CODECS", raising=False)
+    rows = MM.resize_media(MM.synthetic_media(spark, 6)).collect()
+    for r in rows:
+        assert len(bytes(r["thumb"])) == 32  # sha256 stand-in
+        assert r["out_bytes"] == r["dst_w"] * r["dst_h"] * 3
