@@ -39,7 +39,7 @@ def test_stream_schema_capture_matches_batch(spark):
         assert vers == list(range(1, len(vers) + 1))
 
 
-def test_sink_schema_gains_columns_mid_stream(spark, tmp_path):
+def test_sink_schema_gains_columns_mid_stream(spark, tmp_path, monkeypatch):
     """A column that first appears in micro-batch 2 must (a) produce an
     op='s' row versioned AFTER batch 1's columns, and (b) appear as a REAL
     parquet column in the wide projection's later versions only — the
@@ -47,7 +47,15 @@ def test_sink_schema_gains_columns_mid_stream(spark, tmp_path):
     import os
     import time
 
-    from lets_talk_cdc_change_feed_playground_spark.streaming import schema_stream
+    from lets_talk_cdc_change_feed_playground_spark.streaming import (
+        schema_stream,
+        stream_queries,
+    )
+
+    # this test's premise is chunk boundaries == batch boundaries (the ALTER
+    # must land mid-stream), so pin one staged file per trigger regardless
+    # of the judged default granularity
+    monkeypatch.setattr(stream_queries, "_MAX_FILES_PER_TRIGGER", 1)
 
     chunk1 = [
         ("users", "p1", 100, 0, "update", {"name": "ann"}),
