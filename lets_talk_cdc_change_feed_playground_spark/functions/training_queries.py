@@ -324,43 +324,90 @@ ORDER BY s.doc_id
 
 
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: broadcast the ``K_IVF`` coarse centroids (deterministic
-    seeding — the lowest vec_ids, as in :func:`.pipeline_queries.emb_ivf_topk`),
-    assign every vector to its best cell map-side, then compare pairs only
-    within a cell; cosine ≥ ``SEM_COS_MIN`` marks the higher id a duplicate
-    of its lowest-id leader.  The cells play the cluster role of the
-    SemDeDup recipe: candidate pairs grow per-cell, not corpus²."""
+    """SemDeDup: assign every vector to its best of ``K_IVF`` coarse
+    centroids (deterministic seeding — the lowest vec_ids, as in
+    :func:`.pipeline_queries.emb_ivf_topk`), then compare pairs only within
+    a cell; cosine ≥ ``SEM_COS_MIN`` marks the higher id a duplicate of its
+    lowest-id leader.  The cells play the cluster role of the SemDeDup
+    recipe: candidate pairs grow per-cell, not corpus².
+
+    Kernelized (round 8, the MaxSim playbook — ``ann_queries.py:53-120``):
+    the centroid block is bounded driver state (``K_IVF`` rows); assignment
+    is one Arrow ``mapInPandas`` pass (a 64-step dim loop of vectorized
+    multiply-adds per batch), and the within-cell pair comparison is one
+    ``applyInPandas`` kernel per cell (dim-ordered outer-product
+    accumulation, O(m²) floats per cell — the same asymptotics as the
+    self-join it replaces at a ~100× lower constant, and cell size is the
+    SemDeDup recipe's own bound).  Accumulation order is pinned to the
+    oracle's sequential fold (ascending dim), so every cosine is bit-equal
+    to the DuckDB twin and no threshold boundary can flip."""
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.withColumn("nrm", T.l2_norm(F.col("v")))
-    cents = n.filter(F.col("vec_id") < K_IVF).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    crows = e.filter(F.col("vec_id") < K_IVF).orderBy("vec_id").collect()
+    C = np.array([list(r["v"]) for r in crows], dtype=np.float64)
+
+    def _norms(M: "np.ndarray") -> "np.ndarray":
+        # sqrt of the SEQUENTIAL sum of squares in dim order — bit-equal to
+        # the oracle's list_reduce fold
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for d in range(M.shape[1]):
+            acc = acc + M[:, d] * M[:, d]
+        return np.sqrt(acc)
+
+    cn = _norms(C)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            nrm = _norms(V)
+            dot = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(V.shape[1]):
+                dot = dot + np.outer(V[:, d], C[:, d])
+            ccos = dot / (nrm[:, None] * cn[None, :])
+            # argmax takes the FIRST maximum — the (ccos DESC, cent_id ASC)
+            # tiebreak of the window form
+            cell = np.argmax(ccos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "nrm": nrm,
+                    "cell": cell.astype("int64"),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign_kernel, "vec_id long, v array<double>, nrm double, cell long"
     )
-    scored = n.crossJoin(F.broadcast(cents)).withColumn(
-        "ccos", T.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    )
-    wv = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
-    assign = (
-        scored.withColumn("crn", F.row_number().over(wv))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell"))
-    )
-    a = assign.select(
-        F.col("vec_id").alias("vid_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell"
-    )
-    b = assign.select(
-        F.col("vec_id").alias("vid_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
-    )
-    cos = T.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    dup = (
-        a.join(b, "cell")
-        .filter(F.col("vid_a") < F.col("vid_b"))
-        .filter(cos >= SEM_COS_MIN)
-        .groupBy(F.col("vid_b").alias("vec_id"))
-        .agg(F.min("vid_a").alias("keeper"))
+
+    def cell_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        m = V.shape[0]
+        dot = np.zeros((m, m), dtype=np.float64)
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            dot = dot + np.outer(col, col)
+        cos = dot / (nrm[:, None] * nrm[None, :])
+        ids = pdf["vec_id"].to_numpy()
+        mask = cos >= SEM_COS_MIN
+        out_ids, keepers = [], []
+        for j in range(m):
+            hits = np.nonzero(mask[:j, j])[0]
+            if len(hits):
+                out_ids.append(int(ids[j]))
+                keepers.append(int(ids[hits[0]]))  # ids sorted → min leader
+        return pd.DataFrame({"vec_id": out_ids, "keeper": keepers})
+
+    dup = assigned.groupBy("cell").applyInPandas(
+        cell_kernel, "vec_id long, keeper long"
     )
     return (
         e.select("vec_id")
