@@ -120,15 +120,23 @@ def main() -> int:
             "plus ~1 pre-join estimate aggregate for the budget guard"
         ),
         "cdc_ivm_join": (
-            "set-based delta rule: three delta-join terms + recompute audit "
-            "over staged per-epoch frames — ~8 dependent small shuffles with "
-            "broadcast dim sides; fixed per-stage cost at toy scale, each "
-            "stage map-side-combinable at volume"
+            "set-based delta rule, fused (r8): dim-side deltas are driver "
+            "arithmetic over the memoized (epoch,type) count table; one "
+            "conditional aggregation per staged fact frame (d_R pass, "
+            "R-versions validity pass) — two small shuffles + one action"
         ),
         "cdc_verdict": (
-            "three-lane diff + ordering + convergence fold: consumes all "
-            "three staged capture lanes and the expected feed — chained "
-            "small aggregations; per-stage cost is fixed scheduling, not data"
+            "three-lane diff verdict, fused (r8): phase-1 per-bucket maxima "
+            "(collected, the two-phase envelope) + ONE window pass where "
+            "every aggregate reduces in a single groupBy(lane) — two jobs "
+            "over the staged lane diffs"
+        ),
+        "cdc_retention_expiry": (
+            "retention vs consumer progress: re-derives the A6 rate-limit "
+            "closed form (two-phase bucketed sequence) then per-partition "
+            "offset aggregation — dependent small shuffles over staged "
+            "frames; fixed per-stage scheduling at toy scale, linear at "
+            "volume"
         ),
         "cdc_barrier_snapshot": (
             "consistent-cut construction: per-lane watermark weave over the "
@@ -151,10 +159,10 @@ def main() -> int:
             "bounded per-bucket fanout at any scale"
         ),
         "docs_dsir_weights": (
-            "exact-rational DSIR scoring: one 256-bucket map-side count, then "
-            "a row-local broadcast fold over each doc's hashed tokens — the "
-            "per-token lambda runs interpreted (transcendental-free integer "
-            "ratio), which prices ~1.7 s steady at sf0.1; zero extra shuffles"
+            "exact-rational DSIR scoring, kernelized (r8): one 256-bucket "
+            "map-side count, then a vectorized Arrow token->bucket kernel + "
+            "numpy take per document over the session-memoized weight "
+            "table — row-local, zero extra shuffles, exact BIGINT"
         ),
         "cdc_lane_metrics": (
             "per-lane counters + EXACT lag percentiles via the weighted "
