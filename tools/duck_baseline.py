@@ -164,6 +164,23 @@ def main() -> int:
             "numpy take per document over the session-memoized weight "
             "table — row-local, zero extra shuffles, exact BIGINT"
         ),
+        "cdc_restart_convergence": (
+            "two checkpointed streaming runs BY DESIGN (injected crash "
+            "between sink commit and checkpoint commit, then restart from "
+            "the same checkpoint) + ledger-deduped merges — the wall is the "
+            "failure scenario being judged, not a query plan"
+        ),
+        "stream_ivm_join": (
+            "six versioned state commits (one per maintenance epoch) + the "
+            "deferred one-pass delta-rule stats; immutable parquet versions "
+            "ARE the audited state design the set-difference stats read — "
+            "per-trigger cost is micro-batch machinery, state O(batch)"
+        ),
+        "stream_schema_evolution": (
+            "per-batch registry observation (one distributed agg + bounded "
+            "collect) + evolving-store merge + per-ALTER projection writes; "
+            "micro-batch machinery over O(batch) state — the live DDL path"
+        ),
         "cdc_lane_metrics": (
             "per-lane counters + EXACT lag percentiles via the weighted "
             "value-histogram (no data-sized aggregation buffer; histogram "
