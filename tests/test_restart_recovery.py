@@ -250,3 +250,58 @@ def test_interleaved_writers_without_race_serialize(spark, tmp_path):
     assert rows == {"p1": "e1b"}
     # both sinks read one shared ledger
     assert b.applied_batches() == {0, 1, 2, 3}
+
+
+def test_threaded_writers_race_one_commit_wins(spark, tmp_path):
+    """TRUE concurrency: two sinks commit from two driver threads with no
+    coordination. Allowed outcomes: they serialize (consecutive versions)
+    or the loser raises ConcurrentWriteError — never a silent lost update,
+    never a duplicate version, never staging garbage."""
+    import threading
+
+    from lets_talk_cdc_change_feed_playground_spark.streaming.apply import (
+        ConcurrentWriteError,
+    )
+
+    store = str(tmp_path / "store")
+    a = UpsertSink(spark, store, dedup_batches=True)
+    b = UpsertSink(spark, store, dedup_batches=True)
+    a(_ev(spark, [("p1", "c", "seed", 1.0, "{}", 10, 0)]), 0)  # v=0
+
+    errors: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def run(sink, rows, bid):
+        df = _ev(spark, rows)
+        barrier.wait()
+        try:
+            sink(df, bid)
+        except ConcurrentWriteError as e:
+            errors.append(e)
+
+    t1 = threading.Thread(
+        target=run, args=(a, [("p2", "c", "from-a", 2.0, "{}", 20, 1)], 1)
+    )
+    t2 = threading.Thread(
+        target=run, args=(b, [("p3", "c", "from-b", 3.0, "{}", 30, 2)], 2)
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert len(errors) <= 1  # at most one loser
+    vs = a._versions()
+    assert vs == list(range(len(vs)))  # consecutive, no duplicate versions
+    assert not [d for d in os.listdir(store) if d.startswith("_staging")]
+    pks = {r["pk"] for r in a.current().collect()}
+    if errors:
+        # exactly one committed on top of v=0; the loser's row is absent
+        # and a retry lands it
+        assert len(vs) == 2 and len(pks) == 2 and "p1" in pks
+        loser_rows = {"p2", "p3"} - pks
+        (missing,) = loser_rows
+        rows = {
+            "p2": [("p2", "c", "from-a", 2.0, "{}", 20, 1)],
+            "p3": [("p3", "c", "from-b", 3.0, "{}", 30, 2)],
+        }[missing]
+        (a if missing == "p2" else b)(_ev(spark, rows), 3)
+        pks = {r["pk"] for r in a.current().collect()}
+    assert pks == {"p1", "p2", "p3"}
