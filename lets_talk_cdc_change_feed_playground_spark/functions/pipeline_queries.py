@@ -1505,6 +1505,8 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     budget = int(_os.environ.get("SPARK_GRAFT_ALLPAIRS_MAX_CAND", "50000000"))
     est_key = (spark.sparkContext.applicationId, sf_dir)
+    for _k in [k for k in _ALLPAIRS_EST if k[0] != est_key[0]]:
+        _ALLPAIRS_EST.pop(_k)  # dead-session hygiene, like shared_df
     est = _ALLPAIRS_EST.get(est_key)
     if est is None:
         est = (

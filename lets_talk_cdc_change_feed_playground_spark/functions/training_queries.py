@@ -1195,6 +1195,8 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per session beside the persisted frames so repeated calls skip the
     # counts round-trip
     wkey = (spark.sparkContext.applicationId, sf_dir)
+    for _k in [k for k in _DSIR_WL if k[0] != wkey[0]]:
+        _DSIR_WL.pop(_k)  # dead-session hygiene, like shared_df
     if wkey not in _DSIR_WL:
         _DSIR_WL[wkey] = np.array(
             [r["w"] for r in weights.orderBy("b").collect()], dtype=np.int64

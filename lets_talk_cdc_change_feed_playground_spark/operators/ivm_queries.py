@@ -91,6 +91,8 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result hash are unchanged."""
     ops = ops_feed(spark, sf_dir)
     mkey = (spark.sparkContext.applicationId, sf_dir)
+    for _k in [k for k in _IVM_META if k[0] != mkey[0]]:
+        _IVM_META.pop(_k)  # dead-session hygiene, like shared_df
     if mkey not in _IVM_META:
         t0 = ops.agg(F.min("t")).first()[0]
         counts = (

@@ -71,14 +71,23 @@ _staged: dict[tuple, object] = {}
 _STAGED_LOCK = threading.RLock()
 
 
+def _evict_stale(app: str) -> None:
+    """Drop entries from dead sessions (same hygiene as shared_df): a
+    long-lived process otherwise accumulates one dict entry per staged feed
+    per session.  Caller holds _STAGED_LOCK."""
+    for k in [k for k in _staged if k[0] != app]:
+        _staged.pop(k)
+
+
 def _locked(fn):
     """Serialize a stager: its memo check, distributed build, and store run
     under one reentrant lock (drivers-side only; builds are rare)."""
 
     @functools.wraps(fn)
-    def inner(*a, **k):
+    def inner(spark, *a, **k):
         with _STAGED_LOCK:
-            return fn(*a, **k)
+            _evict_stale(spark.sparkContext.applicationId)
+            return fn(spark, *a, **k)
 
     return inner
 
@@ -234,6 +243,7 @@ def _fam_art(spark: SparkSession, sf_dir: str, fam: str, member: str):
         return runner(spark, sf_dir, only=member)[member]
     key = (spark.sparkContext.applicationId, sf_dir, "family", fam)
     with _STAGED_LOCK:
+        _evict_stale(key[0])
         if key not in _staged:
             _staged[key] = runner(spark, sf_dir)
         return _staged[key][member]
