@@ -131,6 +131,12 @@ def main() -> int:
             "every aggregate reduces in a single groupBy(lane) — two jobs "
             "over the staged lane diffs"
         ),
+        "cdc_value_coercion": (
+            "row-local canonical-form coercion (regex num/trim/map compare) "
+            "evaluated per event through the REAL coercion path — one scan, "
+            "zero shuffles beyond the output order; pure per-row expression "
+            "cost, embarrassingly parallel at volume"
+        ),
         "cdc_retention_expiry": (
             "retention vs consumer progress: re-derives the A6 rate-limit "
             "closed form (two-phase bucketed sequence) then per-partition "
