@@ -139,6 +139,7 @@ def main() -> int:
                 *[_lane_diff(spark, sf_dir, m) for m in ("log", "polling", "trigger")],
                 pg.bus_feed(spark, sf_dir),
                 pg.bus_feed(spark, sf_dir, drop_p=0.0),
+                pg.rate_limited_frame(spark, sf_dir),
                 _ledger(spark, sf_dir, 0.0),
                 _ledger(spark, sf_dir, pg.DROP_P),
                 _docs_t(spark, sf_dir),

@@ -1400,6 +1400,8 @@ LIMIT {PMI_TOPK}
 
 ALLPAIRS_T_NUM, ALLPAIRS_T_DEN = 1, 2  # cosine threshold t = 1/2
 _ALLPAIRS_EST: dict[tuple, int | None] = {}  # (appId, sf_dir) -> candidate estimate
+_ALLPAIRS_NDOCS: dict[tuple, int] = {}  # (appId, sf_dir) -> corpus doc count
+_ALLPAIRS_STATS: dict[tuple, int] = {}  # (appId, sf_dir) -> max per-doc norm2
 
 
 def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,11 +1424,12 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     If a pair shares no prefix shingle of EITHER side, all shared mass
     lies in both suffixes and cosine ≤ t·t < t — so candidates are the
     two prefix⋈full equi-joins on the shingle (Σ_s df_prefix(s)·df(s),
-    never Σ_s df(s)² and never |docs|²); the exact verify then joins each
-    candidate pair to two per-doc ``map<shingle,w>`` columns, intersects
-    their key sets natively and folds the dot product over only the shared
-    shingles — per-pair lambda work O(|a∩b|), no per-shingle row
-    re-explosion.  Decimal bound: dot² ≤ 10²⁸ at a 500M-doc corpus —
+    never Σ_s df(s)² and never |docs|²); the exact verify joins each
+    candidate pair back to the posting lists — doc_a's full list, then an
+    equi-join on (doc_b, shingle) that keeps exactly the shared shingles —
+    and folds the dot product in one map-side-combinable hash aggregation:
+    every verify operator is whole-stage-codegen, no interpreted per-pair
+    lambda anywhere.  Decimal bound: dot² ≤ 10²⁸ at a 500M-doc corpus —
     inside decimal(38)/HUGEINT on both engines."""
     d = _docs_t(spark, sf_dir)
     dec = "decimal(38,0)"
@@ -1474,6 +1477,17 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ww.select(
             "doc_id",
             "shingle",
+            # sid: 64-bit shingle id — every downstream join (candidate
+            # generation, verify posting joins, the pair distinct) keys on
+            # this LONG instead of the ~25-40 char shingle string.  String
+            # hashing/equality dominated the join probes (measured: ~35M
+            # string-keyed probes cost 240-300 s of CPU per run; long keys
+            # cut the constant several-fold).  Exactness is FENCED, not
+            # assumed: the session's stats job counts distinct shingles vs
+            # distinct sids and the query refuses to run on a collision
+            # (probability ~n²/2⁶⁴ — at 10⁹ shingles still ~0.03 — but a
+            # silent merge would corrupt dot products, so it is checked).
+            F.xxhash64("shingle").alias("sid"),
             "w",
             F.sum("w2")
             .over(wn.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
@@ -1489,8 +1503,8 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(ALLPAIRS_T_NUM * ALLPAIRS_T_NUM) * F.col("norm2"),
         ),
     )
-    full = flagged.select("doc_id", "shingle")
-    pf = flagged.filter(F.col("in_prefix")).select("doc_id", "shingle")
+    full = flagged.select("doc_id", "sid")
+    pf = flagged.filter(F.col("in_prefix")).select("doc_id", "sid")
     # Candidate budget guard (measured in SCALE.md): the exact join's cost
     # is Σ_s df_prefix(s)·df(s), which one cheap aggregate over the staged
     # shingle frame predicts BEFORE any pair materializes.  Measured on both
@@ -1507,16 +1521,45 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_key = (spark.sparkContext.applicationId, sf_dir)
     for _k in [k for k in _ALLPAIRS_EST if k[0] != est_key[0]]:
         _ALLPAIRS_EST.pop(_k)  # dead-session hygiene, like shared_df
+    for _k in [k for k in _ALLPAIRS_NDOCS if k[0] != est_key[0]]:
+        _ALLPAIRS_NDOCS.pop(_k)
+    for _k in [k for k in _ALLPAIRS_STATS if k[0] != est_key[0]]:
+        _ALLPAIRS_STATS.pop(_k)
     est = _ALLPAIRS_EST.get(est_key)
     if est is None:
-        est = (
-            pf.groupBy("shingle")
+        row = (
+            pf.groupBy("sid")
             .agg(F.count(F.lit(1)).alias("dfp"))
-            .join(full.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfn")), "shingle")
-            .agg(F.sum(F.col("dfp").cast(dec) * F.col("dfn").cast(dec)).alias("est"))
-            .first()["est"]
+            .join(full.groupBy("sid").agg(F.count(F.lit(1)).alias("dfn")), "sid")
+            .agg(
+                F.sum(F.col("dfp").cast(dec) * F.col("dfn").cast(dec)).alias("est"),
+            )
+            .crossJoin(
+                # the sid exactness fence and the arithmetic-width bound ride
+                # the same one-off stats job: 1:1 shingle↔sid on THIS corpus
+                # ⇒ long-keyed joins compute exactly the string-keyed
+                # result; max(norm2) bounds every dot product (Cauchy-
+                # Schwarz: dot ≤ √(na2·nb2) ≤ max norm2)
+                flagged.agg(
+                    F.countDistinct("shingle").alias("n_sh"),
+                    F.countDistinct("sid").alias("n_sid"),
+                    F.max("norm2").alias("max_norm2"),
+                )
+            )
+            .first()
         )
+        if row["n_sh"] != row["n_sid"]:
+            raise RuntimeError(
+                "docs_allpairs_cosine: xxhash64 shingle-id collision on this "
+                f"corpus ({row['n_sh']:,} shingles -> {row['n_sid']:,} ids); "
+                "the long-keyed join would silently merge two shingles. "
+                "Re-shingle with a different tokenization or fall back to "
+                "string-keyed joins."
+            )
+        est = row["est"]
         _ALLPAIRS_EST[est_key] = est  # corpus-stable: one aggregate per session
+        _ALLPAIRS_STATS[est_key] = int(row["max_norm2"] or 0)
+    max_norm2 = _ALLPAIRS_STATS[est_key]
     if est is not None and int(est) > budget:
         raise RuntimeError(
             f"docs_allpairs_cosine: estimated candidate pairs {int(est):,} exceed "
@@ -1528,96 +1571,120 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "use the probabilistic near-dup path (docs_minhash_dedup / "
             "docs_simhash_nn)."
         )
-    cand = (
-        pf.alias("a")
-        .join(full.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .unionByName(
-            full.alias("a")
-            .join(pf.alias("b"), "shingle")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-        )
-        .distinct()
-    )
-    # Verify via per-doc weight MAPS, not a per-shingle row explosion: joining
-    # cand to doc_a's full posting list materializes |cand|·avg_len rows
-    # (measured 34.6M rows for 541k candidates at sf0.1) through two shuffles.
-    # Instead each pair joins to two map<shingle,w> columns (one row per doc;
-    # the planner broadcasts the doc-vector side while it fits, and degrades
-    # to doc_id-keyed shuffle hash joins beyond it) and the dot product folds
-    # over the native key-set intersection — rows stay at |cand|.
-    # staged: both verify joins read this frame, and persisting it gives the
-    # planner EXACT size stats (one map row per doc) — without them the
-    # aggregate's estimate dwarfs the candidate frame's and the planner
-    # broadcasts the candidate side instead, re-running the whole candidate
-    # join inside each broadcast build (measured: 2 x ~5 s per run)
-    docvec = shared_df(
+    # The candidate frame is corpus-stable and EXPENSIVE (the raw pair
+    # explosion is the Σ df_prefix·df cost the budget guard prices), so it
+    # persists session-wide like the shingle frame above.  This is also a
+    # correctness-of-cost guard against AQE: materializing broadcast builds
+    # runs each build's subtree as its own non-adaptive job, and with cand
+    # unpersisted the planner was measured re-executing the full candidate
+    # join inside MULTIPLE such jobs per run (50-830 s of executor time,
+    # varying run to run with which shuffle→broadcast conversions fired);
+    # persisted, any re-execution is a ~9 MB cache read.
+    norms = flagged.groupBy("doc_id").agg(F.max("norm2").alias("n2"))
+    cand = shared_df(
         spark,
-        ("allpairs_docvec", sf_dir),
-        lambda: flagged.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("shingle", F.col("w").cast(dec)))
-            ).alias("vec"),
-            F.max("norm2").alias("n2"),
+        ("allpairs_cand", sf_dir),
+        lambda: (
+            pf.alias("a")
+            .join(full.alias("b"), "sid")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .unionByName(
+                full.alias("a")
+                .join(pf.alias("b"), "sid")
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+                )
+            )
+            .distinct()
         ),
     )
-    # shared keys via the NATIVE array_intersect (hash-set build per pair),
-    # then a lambda fold over only the shared keys: higher-order functions
-    # evaluate interpreted (no codegen), so per-pair lambda work must be
-    # O(|a∩b|) — a map_zip_with over the union of both key sets ran the
-    # interpreted path |a|+|b| times per pair and was ~3x slower end-to-end
-    shared = F.array_intersect(F.map_keys("va"), F.map_keys("vb"))
+    # Verify via the POSTING-LIST equi-join, fully whole-stage-codegen: cand
+    # joins doc_a's full posting list (|cand|·avg_len skinny rows, measured
+    # 34.6M at sf0.1), an equi-join on (doc_b, shingle) keeps exactly the
+    # shared shingles, and ONE map-side-combinable aggregation folds the
+    # exact decimal dot product.  Two earlier forms lost to this one:
+    # (a) a map<shingle,w>-per-doc fold kept rows at |cand| but ran an
+    # INTERPRETED per-pair lambda (higher-order functions never codegen)
+    # whose evaluation count depended on how AQE compiled the stage —
+    # measured run-to-run on identical cached inputs, the same verify stage
+    # burned 25→157 s of pure CPU when the fold re-evaluated per candidate;
+    # (b) leaving join strategy to AQE made it BROADCAST the skinny
+    # candidate frame, re-executing the whole candidate join inside each
+    # broadcast build, non-adaptively (measured swing: 50-830 s of executor
+    # time).  The posting-list form has none of that surface: hash joins +
+    # hash agg only, deterministic cost, exact integer arithmetic preserved
+    # (decimal products summed — associative, no float boundary).
+    # Join strategy is picked DRIVER-SIDE from the measured corpus size:
+    # below the env bound the posting/norm sides broadcast (they are
+    # df-bounded, far smaller than the candidate explosion); past it they
+    # are corpus-sized and pin doc-keyed shuffle hash joins — the plan that
+    # survives at volume.
+    nd = _ALLPAIRS_NDOCS.get(est_key)
+    if nd is None:
+        nd = d.count()  # one count over the staged corpus, memoized per session
+        _ALLPAIRS_NDOCS[est_key] = nd
+    bcast_docs = int(_os.environ.get("SPARK_GRAFT_ALLPAIRS_BCAST_DOCS", "200000"))
+    if nd <= bcast_docs:
+        def build_side(side: DataFrame) -> DataFrame:
+            return F.broadcast(side)
+    else:
+        def build_side(side: DataFrame) -> DataFrame:
+            return side.hint("shuffle_hash")
+    # Arithmetic width is picked from the measured corpus bound, not hoped:
+    # every dot product obeys dot ≤ √(na2·nb2) ≤ max(norm2) (Cauchy-
+    # Schwarz), and each partial-aggregation accumulator is a partial sum of
+    # one pair's dot, so max(norm2) < 2⁶² makes LONG arithmetic provably
+    # overflow-free on the 34M-row hot path (~10× cheaper per row than
+    # BigDecimal); a corpus whose weights outgrow that bound (≈500M-doc idf
+    # scale) automatically takes the decimal(38,0) path the oracle's
+    # HUGEINT mirrors.  Either way the result is the same exact integer —
+    # the long path casts to decimal once per GROUP, after the fold.
+    long_safe = 0 < max_norm2 < (1 << 62)
+    wcol = F.col("w") if long_safe else F.col("w").cast(dec)
+    postings = flagged.select("doc_id", "sid", wcol.alias("w"))
     dots = (
         cand.join(
-            docvec.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("vec").alias("va"),
-                F.col("n2").alias("na2"),
+            build_side(
+                postings.select(
+                    F.col("doc_id").alias("doc_a"),
+                    "sid",
+                    F.col("w").alias("wa"),
+                )
             ),
             "doc_a",
         )
         .join(
-            docvec.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("vec").alias("vb"),
-                F.col("n2").alias("nb2"),
+            build_side(
+                postings.select(
+                    F.col("doc_id").alias("doc_b"),
+                    "sid",
+                    F.col("w").alias("wb"),
+                )
+            ),
+            ["doc_b", "sid"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast(dec).alias("dot"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
+        )
+        # norms attach AFTER the fold, once per surviving pair — the 34M-row
+        # explosion carries only three longs and the group key stays two
+        # longs; the cached cand keeps the distinct's HashPartitioning
+        # (doc_a, doc_b), so this aggregation needs no exchange of its own
+        .join(
+            F.broadcast(
+                norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
             ),
             "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "na2",
-            "nb2",
-            # generator barrier: without it Catalyst collapses the projection
-            # and inlines BOTH aggregates into the downstream threshold
-            # filter (which then sits inside the join condition), evaluating
-            # the O(|a|+|b|) merge several times per candidate — the explode
-            # of a one-element array pins one evaluation per row
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.aggregate(
-                            shared,
-                            F.lit(0).cast(dec),
-                            lambda acc, k: acc + F.col("va")[k] * F.col("vb")[k],
-                        ).alias("dot"),
-                        F.size(shared).cast("long").alias("nsh"),
-                    )
-                )
-            ).alias("dn"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "na2",
-            "nb2",
-            F.col("dn.dot").alias("dot"),
-            F.col("dn.nsh").alias("n_shared_shingles"),
         )
     )
     return (
@@ -1637,7 +1704,15 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cosine"),
         )
-        .orderBy("doc_a", "doc_b")
+        # NOT .orderBy: a global sort's RangePartitioning runs a SAMPLE job
+        # over its child, and with no exchange below it that re-executed the
+        # entire verify pipeline — the whole query ran TWICE per call
+        # (measured: twin heavy stages, one writing 0 rows, every run).
+        # The surviving pair set is ≪ corpus by construction (it is the
+        # near-duplicate report), so one round-robin exchange into a single
+        # partition + an in-partition sort orders it with no sampling pass.
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b")
     )
 
 

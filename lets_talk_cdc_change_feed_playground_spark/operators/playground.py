@@ -317,6 +317,26 @@ def rate_limited_consume(
     )
 
 
+def rate_limited_frame(
+    spark: SparkSession, sf_dir: str, per_tick: int = 8, tick_ms: int = TICK_MS
+) -> DataFrame:
+    """Session-shared :func:`rate_limited_consume` over the default bus.
+
+    The A6 closed form costs two two-phase bucketed passes over the bus;
+    both judged consumers of it (``cdc_rate_limited_consume`` and the
+    retention-expiry GC audit) ask for the identical parameterization, so
+    stage it once per session like the bus itself (see :mod:`.shared`)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    return shared_df(
+        spark,
+        ("rate_limited", sf_dir, per_tick, tick_ms),
+        lambda: rate_limited_consume(
+            bus_feed(spark, sf_dir), per_tick=per_tick, tick_ms=tick_ms
+        ),
+    )
+
+
 def offset_dedup(bus: DataFrame) -> DataFrame:
     """A8 — exactly-once consumption: deterministic redelivery (every event
     whose ``hash31(lsn) % 10 == 0`` arrives twice) deduped on

@@ -164,7 +164,7 @@ def cdc_offset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_rate_limited_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — per-event consume tick under the token-bucket rate limit."""
-    return pg.rate_limited_consume(pg.bus_feed(spark, sf_dir)).orderBy(
+    return pg.rate_limited_frame(spark, sf_dir).orderBy(
         "partition", "consume_tick", "lsn"
     )
 

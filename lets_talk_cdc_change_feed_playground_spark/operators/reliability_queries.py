@@ -425,7 +425,7 @@ def cdc_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     horizon = bus.agg(F.max("delivery_ts").alias("horizon"))
     rate = (
-        pg.rate_limited_consume(bus, per_tick=_RATE_PER_TICK)
+        pg.rate_limited_frame(spark, sf_dir, per_tick=_RATE_PER_TICK)
         .select("lsn", "consume_tick")
         .join(delivered, "lsn")
         .crossJoin(F.broadcast(horizon))
@@ -1401,8 +1401,9 @@ def cdc_barrier_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       idempotent-consumer rule): always converges; the judged verdict.
 
     Scale: zone classification is a projection over the shared bus frame;
-    folds are one groupBy(pk) each; diffs are pk-keyed full joins; output
-    is one row per partition + one verdict row.
+    the three recovery folds are ONE groupBy(pk) with zone-conditional
+    ``max_by`` aggregates (not three filtered folds full-joined back on the
+    same key); output is one row per partition + one verdict row.
     """
     bus = pg.bus_feed(spark, sf_dir, drop_p=0.0)
     tb = bus.selectExpr(
@@ -1422,26 +1423,33 @@ def cdc_barrier_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("zone") == "post", 1)), F.lit(0)).cast("long").alias("post_events"),
     )
 
-    st = F.max_by(
-        F.struct(
-            F.col("op").alias("op"),
-            F.col("event_type").alias("et"),
-            F.col("value").alias("val"),
-            F.col("lsn").alias("lsn"),
-        ),
-        F.col("lsn"),
-    ).alias("st")
-    truth = cls.filter(F.col("zone") != "post").groupBy("pk").agg(st)
-    cutf = cls.filter(F.col("zone") == "cut").groupBy("pk").agg(st)
-    chanf = cls.filter(F.col("zone") == "channel").groupBy("pk").agg(st)
+    st = F.struct(
+        F.col("op").alias("op"),
+        F.col("event_type").alias("et"),
+        F.col("value").alias("val"),
+        F.col("lsn").alias("lsn"),
+    )
 
-    # one per-pk master frame carries truth/cut/channel states side by side;
-    # all three recovery diffs fall out of a single aggregation pass (no
-    # repeated fold evaluation per diff)
+    def zone_fold(cond, name: str):
+        # max_by ignores rows whose ordering value is NULL, so gating both
+        # the struct and the ordering key on the zone predicate folds only
+        # that zone's rows; a pk with no such rows yields NULL — exactly the
+        # row the former per-zone aggregate + full join produced.
+        return F.max_by(F.when(cond, st), F.when(cond, F.col("lsn"))).alias(name)
+
+    # one per-pk master frame carries truth/cut/channel states side by side:
+    # ONE groupBy(pk) with zone-conditional folds replaces three filtered
+    # aggregates + two pk full joins (same shuffle key three times over);
+    # truth spans every non-post row, so its key set covers cut ∪ channel
+    # and the conditional folds lose nothing the full joins kept.
     master = (
-        truth.select(F.col("pk"), F.col("st").alias("tst"))
-        .join(cutf.select(F.col("pk"), F.col("st").alias("cst")), "pk", "full")
-        .join(chanf.select(F.col("pk"), F.col("st").alias("hst")), "pk", "full")
+        cls.filter(F.col("zone") != "post")
+        .groupBy("pk")
+        .agg(
+            F.max_by(st, F.col("lsn")).alias("tst"),
+            zone_fold(F.col("zone") == "cut", "cst"),
+            zone_fold(F.col("zone") == "channel", "hst"),
+        )
         .withColumn("nst", F.coalesce(F.col("hst"), F.col("cst")))
         .withColumn(
             "vst",

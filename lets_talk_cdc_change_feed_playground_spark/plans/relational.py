@@ -2384,29 +2384,66 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quartile = equal-width rank bucket ((rank-1)*4 div n)+1 — rank via the
     # two-phase bucketed sequence, so no customer-sized single-task window
     # (ntile would force one); identical closed form on both engines.
+    # The three metric ranks share ONE sequence pass: each customer explodes
+    # to (metric, bucket, tiebreak) rows and with_global_seq runs partitioned
+    # by metric — one bucket aggregation + one partitioned window instead of
+    # three chained passes re-shuffling the customer frame per metric.
+    # Per-metric total orders are encoded exactly as the chained form had
+    # them: r = (recency asc, custkey), f = (frequency desc, custkey),
+    # m = ($1000-coarsened monetary desc buckets; monetary desc, custkey).
     from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
         with_global_seq,
     )
 
     n_c = per_cust.agg(F.count(F.lit(1)).alias("n_cust"))
-    ranked = with_global_seq(
-        per_cust, "recency_days", ["recency_days", "o_custkey"], out_col="rk_r"
-    )
-    ranked = with_global_seq(
-        ranked, F.expr("-frequency"), ["o_custkey"], out_col="rk_f"
-    )
-    ranked = with_global_seq(
-        ranked,
-        F.expr("-cast(monetary * 100 as decimal(38,0)) div 100000"),
-        [F.desc("monetary"), "o_custkey"],
-        out_col="rk_m",
-    )
-    scored = ranked.crossJoin(F.broadcast(n_c)).select(
+    zero = F.lit(0).cast("decimal(38,2)")
+    ex = per_cust.select(
         "o_custkey",
-        F.expr("cast((rk_r - 1) * 4 div n_cust + 1 as int)").alias("r"),
-        F.expr("cast((rk_f - 1) * 4 div n_cust + 1 as int)").alias("f"),
-        F.expr("cast((rk_m - 1) * 4 div n_cust + 1 as int)").alias("m"),
         "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").cast("long").alias("bucket"),
+                    zero.alias("ord1"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency")).cast("long").alias("bucket"),
+                    zero.alias("ord1"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.expr(
+                        "-cast(monetary * 100 as decimal(38,0)) div 100000"
+                    ).cast("long").alias("bucket"),
+                    (-F.col("monetary")).cast("decimal(38,2)").alias("ord1"),
+                ),
+            )
+        ).alias("mx"),
+    ).select("o_custkey", "monetary", "mx.metric", "mx.bucket", "mx.ord1")
+    ranked = with_global_seq(
+        ex,
+        "bucket",
+        ["ord1", "o_custkey"],
+        out_col="rk",
+        partition_cols=("metric",),
+    )
+    scored = (
+        ranked.crossJoin(F.broadcast(n_c))
+        .select(
+            "o_custkey",
+            "metric",
+            "monetary",
+            F.expr("cast((rk - 1) * 4 div n_cust + 1 as int)").alias("q"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("metric") == "r", F.col("q"))).alias("r"),
+            F.max(F.when(F.col("metric") == "f", F.col("q"))).alias("f"),
+            F.max(F.when(F.col("metric") == "m", F.col("q"))).alias("m"),
+            F.max("monetary").alias("monetary"),
+        )
     )
     return (
         scored.groupBy("r", "f", "m")
