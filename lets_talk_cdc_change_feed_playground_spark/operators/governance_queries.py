@@ -399,55 +399,66 @@ def cdc_anti_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ("ae_replica_b", sf_dir), lambda: b_live.unionByName(ghosts)
     )
 
-    def summarize(df: DataFrame, side: str) -> DataFrame:
-        keyed = df.select(
+    # Both replicas flow through ONE tagged union per phase instead of
+    # per-side aggregates stitched with full outer joins: the bucket
+    # summary is a single groupBy(bucket) with side-conditional sums, and
+    # the drill-down is a single groupBy(bucket, pk) with side-conditional
+    # state columns — half the shuffles of the join form, identical rows
+    # (a missing side aggregates to NULL exactly where the full join put
+    # one).
+    def tagged(df: DataFrame, side) -> DataFrame:
+        return df.select(
+            F.lit(side).alias("side"),
             (hash31(F.concat(F.lit("b:"), F.col("pk"))) % AE_BUCKETS).alias("bucket"),
+            "pk",
+            "event_type",
+            "value",
+            "props",
             hash31(
                 F.concat_ws(
                     "|", "pk", "event_type", F.col("value").cast("string"), "props"
                 )
             ).alias("ck"),
         )
-        return keyed.groupBy("bucket").agg(
-            F.count(F.lit(1)).cast("long").alias(f"{side}_count"),
-            F.sum("ck").cast("long").alias(f"{side}_ck"),
-        )
-    sa, sb = summarize(a, "a"), summarize(b, "b")
+
+    both = tagged(a, 0).unionByName(tagged(b, 1))
+    is_a, is_b = F.col("side") == 0, F.col("side") == 1
     diverged = (
-        sa.join(sb, "bucket", "full")
-        .select(
-            "bucket",
-            F.coalesce("a_count", F.lit(0)).alias("a_count"),
-            F.coalesce("b_count", F.lit(0)).alias("b_count"),
-            F.coalesce("a_ck", F.lit(0)).alias("a_ck"),
-            F.coalesce("b_ck", F.lit(0)).alias("b_ck"),
+        both.groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum(is_a.cast("long")), F.lit(0)).alias("a_count"),
+            F.coalesce(F.sum(F.when(is_b, 1)), F.lit(0)).alias("b_count"),
+            F.coalesce(F.sum(F.when(is_a, F.col("ck"))), F.lit(0)).cast("long").alias("a_ck"),
+            F.coalesce(F.sum(F.when(is_b, F.col("ck"))), F.lit(0)).cast("long").alias("b_ck"),
         )
         .filter((F.col("a_count") != F.col("b_count")) | (F.col("a_ck") != F.col("b_ck")))
     )
     # drill-down restricted to diverged buckets (broadcast semi on bucket id)
-    abkt = a.withColumn(
-        "bucket", hash31(F.concat(F.lit("b:"), F.col("pk"))) % AE_BUCKETS
-    ).join(F.broadcast(diverged.select("bucket")), "bucket")
-    bbkt = b.withColumn(
-        "bucket", hash31(F.concat(F.lit("b:"), F.col("pk"))) % AE_BUCKETS
-    ).join(F.broadcast(diverged.select("bucket")), "bucket")
     drill = (
-        abkt.alias("x")
-        .join(bbkt.alias("y"), ["bucket", "pk"], "full")
+        both.join(F.broadcast(diverged.select("bucket")), "bucket")
+        .groupBy("bucket", "pk")
+        .agg(
+            F.max(is_a).alias("in_a"),
+            F.max(is_b).alias("in_b"),
+            F.max(F.when(is_a, F.col("event_type"))).alias("a_et"),
+            F.max(F.when(is_b, F.col("event_type"))).alias("b_et"),
+            F.max(F.when(is_a, F.col("value"))).alias("a_val"),
+            F.max(F.when(is_b, F.col("value"))).alias("b_val"),
+            F.max(F.when(is_a, F.col("props"))).alias("a_props"),
+            F.max(F.when(is_b, F.col("props"))).alias("b_props"),
+        )
         .select(
             "bucket",
             "pk",
-            F.col("x.event_type").isNotNull().alias("in_a"),
-            F.col("y.event_type").isNotNull().alias("in_b"),
+            "in_a",
+            "in_b",
             (
-                F.col("x.event_type").isNotNull()
-                & F.col("y.event_type").isNotNull()
+                F.col("in_a")
+                & F.col("in_b")
                 & (
-                    (F.col("x.event_type") != F.col("y.event_type"))
-                    | (F.col("x.value") != F.col("y.value"))
-                    | ~(
-                        F.col("x.props").eqNullSafe(F.col("y.props"))
-                    )
+                    (F.col("a_et") != F.col("b_et"))
+                    | (F.col("a_val") != F.col("b_val"))
+                    | ~(F.col("a_props").eqNullSafe(F.col("b_props")))
                 )
             ).alias("mismatch"),
         )

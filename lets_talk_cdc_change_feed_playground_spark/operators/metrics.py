@@ -258,32 +258,43 @@ def backlog_timeline(
     delivery time); backlog is the difference (``src/engine/metrics.ts:23-31``,
     ``src/changefeed/model.ts:375-381``).
 
-    Shape: the per-lane consumed counts are folded into ONE row per bucket
-    (conditional counts — the lane set is the engine's fixed three), the
-    cumulative pass runs two-phase over that single bucket sequence, and the
-    per-lane rows are unpivoted back out at the end. One aggregation + one
-    outer join + one prefix pass regardless of lane count; window work runs
-    over one row per bucket, never per event."""
-    produced = (
-        ops.groupBy((F.expr(f"t div {bucket_ms}") * bucket_ms).alias("bucket_ms"))
-        .agg(F.count(F.lit(1)).alias("n_produced"))
+    Shape: produced and per-lane consumed counts come out of ONE aggregation
+    over the UNION of both feeds (conditional sums — the lane set is the
+    engine's fixed three), so there is a single shuffle and no outer join.
+    The cumulative pass is a direct running sum over the bucket frame: that
+    window is unpartitioned but its input is one row per TIME BUCKET — a
+    domain-bounded frame (hours of feed horizon, never event-grain), the
+    same bounded-state argument as the lag-percentile value histogram — so
+    it is not a data-sized single-task window at any volume."""
+    zeros = [F.lit(0).alias(f"n_{i}") for i in range(len(methods))]
+    u = ops.select(
+        (F.expr(f"t div {bucket_ms}") * bucket_ms).alias("bucket_ms"),
+        F.lit(1).alias("n_p"),
+        *zeros,
+    ).unionByName(
+        lanes.select(
+            (F.expr(f"(emitted_at_ms - 1) div {bucket_ms}") * bucket_ms).alias(
+                "bucket_ms"
+            ),
+            F.lit(0).alias("n_p"),
+            *[
+                (F.col("method") == m).cast("int").alias(f"n_{i}")
+                for i, m in enumerate(methods)
+            ],
+        )
     )
-    consumed = lanes.groupBy(
-        (F.expr(f"(emitted_at_ms - 1) div {bucket_ms}") * bucket_ms).alias("bucket_ms")
-    ).agg(
+    counts = u.groupBy("bucket_ms").agg(
+        F.sum("n_p").alias("n_produced"),
+        *[F.sum(f"n_{i}").alias(f"n_{i}") for i in range(len(methods))],
+    )
+    run_w = W.orderBy("bucket_ms").rowsBetween(W.unboundedPreceding, 0)
+    j = counts.select(
+        "bucket_ms",
+        F.sum("n_produced").over(run_w).alias("produced"),
         *[
-            F.sum((F.col("method") == m).cast("long")).alias(f"n_{i}")
-            for i, m in enumerate(methods)
-        ]
-    )
-    j = produced.join(consumed, "bucket_ms", "full").fillna(
-        0, ["n_produced"] + [f"n_{i}" for i in range(len(methods))]
-    )
-    j = with_prefix_aggs(
-        j,
-        F.expr(f"bucket_ms div {86_400_000}"),
-        ["bucket_ms"],
-        sums={"produced": "n_produced", **{f"c_{i}": f"n_{i}" for i in range(len(methods))}},
+            F.sum(f"n_{i}").over(run_w).alias(f"c_{i}")
+            for i in range(len(methods))
+        ],
     )
     stack_args = ", ".join(f"'{m}', c_{i}" for i, m in enumerate(methods))
     return (
