@@ -142,14 +142,19 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("*", F.expr("tmin + ((tmax - tmin) * 3) div 4").alias("t_req"))
 
     base = ops.crossJoin(F.broadcast(mx))
-    requested = (
-        base.filter(
-            (hash31(F.concat(F.lit("gdpr:"), F.col("pk"))) % GDPR_MOD == 0)
-            & (F.col("t") <= F.col("t_req"))
+    # one aggregation over the hash-matching slice classifies every candidate
+    # key: pre-request events make it a requested key, post-request events are
+    # the late writes erasure must suppress — the separate requested/late/
+    # n_req scans of the feed collapse into this single pass (guide §2.4)
+    req_stats = (
+        base.filter(hash31(F.concat(F.lit("gdpr:"), F.col("pk"))) % GDPR_MOD == 0)
+        .groupBy("pk")
+        .agg(
+            F.sum((F.col("t") <= F.col("t_req")).cast("int")).alias("__pre"),
+            F.sum((F.col("t") > F.col("t_req")).cast("int")).alias("__post"),
         )
-        .select("pk")
-        .distinct()
     )
+    requested = req_stats.filter(F.col("__pre") > 0).select("pk")
     # the request set is tiny — a single-partition window over it is bounded
     tomb = (
         requested.crossJoin(F.broadcast(mx))
@@ -179,41 +184,14 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(tomb)
         ),
     )
-    late = (
-        base.join(F.broadcast(requested), "pk", "semi")
-        .filter(F.col("t") > F.col("t_req"))
-        .agg(F.count(F.lit(1)).cast("long").alias("late_writes_suppressed"))
+    # n_requested and late_writes_suppressed read the SAME classified-key
+    # aggregate — no second or third pass over the feed
+    req_scalars = req_stats.filter(F.col("__pre") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_requested"),
+        F.coalesce(F.sum("__post"), F.lit(0))
+        .cast("long")
+        .alias("late_writes_suppressed"),
     )
-    n_req = requested.agg(F.count(F.lit(1)).cast("long").alias("n_requested"))
-
-    def lane_stats(events: DataFrame, method: str, order_col: str, has_d: bool) -> DataFrame:
-        # one aggregation pass per lane — tombstone and resident counters come
-        # out of the same scan, so each capture plan is evaluated exactly once
-        ev = events.join(F.broadcast(requested), "pk", "semi")
-        if has_d:
-            w = W.partitionBy("pk").orderBy(F.desc(order_col))
-            stats = ev.withColumn("__rn", F.row_number().over(w)).agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("op") == "d", 1)), F.lit(0)
-                ).cast("long").alias("tombstones_emitted"),
-                F.coalesce(
-                    F.sum(F.when((F.col("__rn") == 1) & (F.col("op") != "d"), 1)),
-                    F.lit(0),
-                ).cast("long").alias("resident_after"),
-            )
-        else:
-            # polling (hard deletes invisible): a key stays resident in the
-            # sink as soon as it was ever emitted
-            stats = ev.agg(
-                F.lit(0).cast("long").alias("tombstones_emitted"),
-                F.count_distinct(F.col("pk")).cast("long").alias("resident_after"),
-            )
-        return stats.select(
-            F.lit(method).alias("method"),
-            "tombstones_emitted",
-            "resident_after",
-            (F.col("resident_after") == 0).alias("erasure_complete"),
-        )
 
     # the three erased-feed capture lanes are Pandas keyed folds — stage each
     # once per session (same shared-lane design as the primary feed's lanes)
@@ -227,14 +205,74 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit = shared_df(
         spark, ("gdpr_audit", sf_dir), lambda: capture.trigger_capture_ops(src2)
     )
+    # fused lane verdicts (guide §2.4): one tagged union + a two-phase
+    # (method, pk) aggregate replaces three per-lane window+aggregate passes.
+    # Per key, max_by(op, ord) is the lane's final op (lsn/audit_seq are
+    # unique per lane, so the arg-max is deterministic where it is consumed);
+    # resident/tombstone semantics per lane are unchanged: log/trigger count
+    # keys whose last op is not a delete, polling (hard deletes invisible)
+    # counts every key ever emitted and reports zero tombstones.
+    tagged = (
+        wal.select(
+            "pk", "op", F.col("lsn").cast("long").alias("__ord"),
+            F.lit("log").alias("method"),
+        )
+        .unionByName(
+            polled.select(
+                "pk", "op", F.col("poll_ts_ms").cast("long").alias("__ord"),
+                F.lit("polling").alias("method"),
+            )
+        )
+        .unionByName(
+            audit.select(
+                "pk", "op", F.col("audit_seq").cast("long").alias("__ord"),
+                F.lit("trigger").alias("method"),
+            )
+        )
+    )
+    per_pk = (
+        tagged.join(F.broadcast(requested), "pk", "semi")
+        .groupBy("method", "pk")
+        .agg(
+            F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("__d"),
+            F.max_by("op", "__ord").alias("__last_op"),
+        )
+    )
+    per_method = per_pk.groupBy("method").agg(
+        F.sum("__d").alias("__tomb"),
+        F.sum(F.when(F.col("__last_op") != "d", 1).otherwise(0)).alias("__res_last"),
+        F.count(F.lit(1)).alias("__res_any"),
+    )
+    # a lane with zero requested-key rows still reports a zero row (the
+    # unfused form aggregated each lane globally, so empty input gave zeros)
+    methods = spark.createDataFrame(
+        [("log",), ("polling",), ("trigger",)], "method string"
+    )
     lanes = (
-        lane_stats(wal, "log", "lsn", True)
-        .unionByName(lane_stats(polled, "polling", "poll_ts_ms", False))
-        .unionByName(lane_stats(audit, "trigger", "audit_seq", True))
+        methods.join(F.broadcast(per_method), "method", "left")
+        .select(
+            "method",
+            F.coalesce(
+                F.when(F.col("method") == "polling", F.lit(0)).otherwise(
+                    F.col("__tomb")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tombstones_emitted"),
+            F.coalesce(
+                F.when(F.col("method") == "polling", F.col("__res_any")).otherwise(
+                    F.col("__res_last")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("resident_after"),
+        )
+        .withColumn("erasure_complete", F.col("resident_after") == 0)
     )
     return (
-        lanes.crossJoin(F.broadcast(n_req))
-        .crossJoin(F.broadcast(late))
+        lanes.crossJoin(F.broadcast(req_scalars))
         .select(
             "method",
             "n_requested",
