@@ -42,6 +42,19 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative driver-JVM GC wall (ms) across all collectors."""
+    try:
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        total = 0
+        it = beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return int(total)
+    except Exception:
+        return -1
+
+
 def _canary(spark) -> dict:
     """Fixed-cost load sentinel, timed at bench start and end.
 
@@ -180,6 +193,8 @@ def main() -> int:
     timings: dict[str, float] = {}
     first_pass_extra = 0.0
     failures: dict[str, str] = {}
+    gc_ms_per_query: dict[str, int] = {}
+    gc_before = _jvm_gc_ms(spark)
     for name in names:
         fn = queries[name]
         best = first = None
@@ -194,7 +209,14 @@ def main() -> int:
             first_pass_extra += first - best
         except Exception as e:  # keep benching; report the failure
             failures[name] = str(e).split("\n")[0][:200]
-        print(f"# {name}: {timings.get(name, 'FAIL')}", file=sys.stderr, flush=True)
+        gc_now = _jvm_gc_ms(spark)
+        gc_ms_per_query[name] = gc_now - gc_before
+        gc_before = gc_now
+        print(
+            f"# {name}: {timings.get(name, 'FAIL')} (gc +{gc_ms_per_query[name]}ms)",
+            file=sys.stderr,
+            flush=True,
+        )
 
     canary_end = _canary(spark)
     detail = {
@@ -208,6 +230,11 @@ def main() -> int:
         "first_pass_sec": round(first_pass_extra, 3),
         "canary_start": canary_start,
         "canary_end": canary_end,
+        # driver-JVM GC wall attributed per timed query (ms): reads the
+        # session-pressure curve (heap churn from hundreds of jobs + dozens
+        # of persisted frames) against each wall, the same "machine or
+        # plan?" discipline as the canary
+        "gc_ms": gc_ms_per_query,
     }
     if failures:
         detail["failures"] = failures

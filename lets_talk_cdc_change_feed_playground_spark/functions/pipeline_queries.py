@@ -831,25 +831,56 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _docs_t(spark, sf_dir).select(
         "doc_id", "lang", "source", K.bigram_hashes_kernel(F.col("norm")).alias("sh")
     ).filter(F.size("sh") > 0)
-    a = s.select(
-        "lang", "source", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")
+    # Posting-list form (guide §2.3/§8: shuffle keys, not payloads): the
+    # old shape joined whole bigram-hash ARRAYS through a block-quadratic
+    # (lang, source) self-join — |block|² pairs each paying an
+    # array_intersect even when the docs share nothing.  Exploding to
+    # (block, bigram, doc) posting rows turns the pair space into
+    # Σ_g df(g)² rows of five longs, generated ONLY for pairs that share at
+    # least one bigram, and the intersect size falls out of one map-side-
+    # combinable count per pair.  Value-identical: the kernel emits
+    # DISTINCT hashes, so count(shared) = |sa ∩ sb|, and a pair sharing no
+    # bigram can never pass 21·i ≥ |sa| + |sb| (both sizes are ≥ 1).
+    # both join sides read this frame, and the plan's self-join would
+    # otherwise evaluate the Python bigram kernel once PER SIDE per run —
+    # stage the posting rows once per session (the same shared-frame design
+    # as the minhash/simhash signature frames)
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    ex = shared_df(
+        spark,
+        ("ngram_postings", sf_dir),
+        lambda: s.select(
+            "lang",
+            "source",
+            "doc_id",
+            F.size("sh").alias("sz"),
+            F.explode("sh").alias("g"),
+        ),
     )
-    b = s.select(
-        "lang", "source", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")
+    a = ex.select(
+        "lang", "source", "g",
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"),
     )
-    # compute the intersect ONCE per pair, and threshold in exact integers:
-    # j >= 1/20  ⟺  21*i >= sa + sb  (0.05 is not binary-exact, so a double
-    # compare could disagree between engines at the boundary)
+    b = ex.select(
+        "lang", "source", "g",
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"),
+    )
+    # threshold in exact integers: j >= 1/20 ⟺ 21*i >= sa + sb (0.05 is
+    # not binary-exact, so a double compare could disagree between engines
+    # at the boundary)
     pairs = (
-        a.join(b, ["lang", "source"])
+        a.join(b, ["lang", "source", "g"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("lang", "source", "doc_a", "doc_b", "sza", "szb")
+        .agg(F.count(F.lit(1)).cast("int").alias("isz"))
         .select(
             "lang",
             "source",
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sa", "sb")).alias("isz"),
-            (F.size("sa") + F.size("sb")).alias("ssz"),
+            "isz",
+            (F.col("sza") + F.col("szb")).alias("ssz"),
         )
     )
     return (

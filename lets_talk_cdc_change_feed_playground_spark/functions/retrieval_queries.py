@@ -331,6 +331,12 @@ def emb_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
     lo_first = F.struct("du", "u") < F.struct("dv", "v")
+    # the (degree, id) orientation key packs into ONE long — d ≤ |E| and
+    # vec_id both fit 31 bits, and (d << 32) + id preserves the (d, id)
+    # lexicographic order exactly — so the wedge fan-out (the |E|·outdeg
+    # hot path) shuffles and compares a single long instead of a 2-field
+    # struct (guide §2.3 narrower types), and the closing join probes one
+    # packed (a << 32) + b long instead of a composite 2-long key
     oriented = shared_df(
         spark,
         ("knn_tri_oriented", sf_dir),
@@ -341,17 +347,24 @@ def emb_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
             F.when(
                 lo_first,
-                F.struct(F.col("dv").alias("kd"), F.col("v").alias("kx")),
+                F.shiftleft(F.col("dv"), 32) + F.col("v"),
             )
-            .otherwise(F.struct(F.col("du").alias("kd"), F.col("u").alias("kx")))
+            .otherwise(F.shiftleft(F.col("du"), 32) + F.col("u"))
             .alias("tk"),
         ),
     )
     o1 = oriented.select("s", F.col("t").alias("a"), F.col("tk").alias("ka"))
     o2 = oriented.select("s", F.col("t").alias("b"), F.col("tk").alias("kb"))
-    wedges = o1.join(o2, "s").filter(F.col("ka") < F.col("kb")).select("s", "a", "b")
+    wedges = (
+        o1.join(o2, "s")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("s", "a", "b", (F.shiftleft(F.col("a"), 32) + F.col("b")).alias("ab"))
+    )
     tris = wedges.join(
-        oriented.select(F.col("s").alias("a"), F.col("t").alias("b")), ["a", "b"]
+        oriented.select(
+            (F.shiftleft(F.col("s"), 32) + F.col("t")).alias("ab")
+        ),
+        "ab",
     )
     # one scan of the (unpersisted) triangle frame: a 3-way union would
     # recompute the wedge + closing joins once per branch — explode the

@@ -97,6 +97,19 @@ def grouped_exact_percentiles(
         .groupBy(*group_cols, "__v")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
+    return percentiles_from_hist(hist, group_cols, qs)
+
+
+def percentiles_from_hist(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: dict[float, str],
+) -> DataFrame:
+    """Steps 2-3 of :func:`grouped_exact_percentiles` over a prebuilt value
+    histogram — ``hist`` must carry ``(*group_cols, __v double, __n long)``
+    with one row per (group, distinct value).  Callers that stage one
+    histogram per session (several metric queries percentile the same lag
+    column) skip re-running the data pass entirely."""
     w_cum = (
         W.partitionBy(*group_cols).orderBy("__v").rowsBetween(W.unboundedPreceding, 0)
     )

@@ -603,29 +603,58 @@ def events_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     modulus, exact integer estimate arithmetic — value-identical on both
     engines (no float, no RNG)."""
     ev = load_events(spark, sf_dir)
-    elems = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .select(
-            F.when(F.col("event_type") == "click", "A").otherwise("B").alias("side"),
-            (
-                hash31(
-                    F.concat(
-                        F.col("user_id").cast("string"),
-                        F.lit(":"),
-                        F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {DAY_MS}").cast("string"),
-                    ),
-                    mod=KMV_P,
-                )
-                # Knuth multiplicative finisher: the bare 31-fold is locally
-                # arithmetic (near-identical strings -> near-identical
-                # hashes), which skews K-min densities; one multiply
-                # re-mixes it.  Exact integer, identical in both engines.
-                * THETA_MIX
-                % KMV_P
-            ).alias("h"),
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # ONE heavy pass over events (guide §2.4): groupBy(h) with per-side
+    # presence flags replaces distinct((side, h)) — the same shuffle count
+    # but every downstream branch (per-side sketches, union sketch,
+    # intersection, exact audit) now derives from this one-row-per-hash
+    # frame.  Staged per session because AQE runs each broadcast build as
+    # its own job, where exchange reuse never applies — unstaged, the
+    # events scan + hash re-executed once per broadcast branch (measured:
+    # six ~10 s stages per run at sf0.1, all recomputing this subtree).
+    def build_g() -> DataFrame:
+        return (
+            ev.filter(F.col("event_type").isin("click", "purchase"))
+            .select(
+                F.when(F.col("event_type") == "click", "A").otherwise("B").alias("side"),
+                (
+                    hash31(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.expr(f"(unix_micros(cast(ts as timestamp)) div 1000) div {DAY_MS}").cast("string"),
+                        ),
+                        mod=KMV_P,
+                    )
+                    # Knuth multiplicative finisher: the bare 31-fold is
+                    # locally arithmetic (near-identical strings ->
+                    # near-identical hashes), which skews K-min densities;
+                    # one multiply re-mixes it.  Exact integer, identical
+                    # in both engines.
+                    * THETA_MIX
+                    % KMV_P
+                ).alias("h"),
+            )
+            .groupBy("h")
+            .agg(
+                F.max(F.when(F.col("side") == "A", 1).otherwise(0)).alias("inA"),
+                F.max(F.when(F.col("side") == "B", 1).otherwise(0)).alias("inB"),
+            )
         )
-        .distinct()
-    )
+
+    g = shared_df(spark, ("theta_g", sf_dir), build_g)
+    # melt the flags back to the distinct (side, h) element set — row-local
+    # over the cached frame, value-identical to distinct((side, h))
+    elems = g.select(
+        "h",
+        F.explode(
+            F.expr(
+                "filter(array(CASE WHEN inA = 1 THEN 'A' END,"
+                " CASE WHEN inB = 1 THEN 'B' END), x -> x IS NOT NULL)"
+            )
+        ).alias("side"),
+    ).select("side", "h")
     # two-phase per-side K smallest: per-bucket rank, then rank over <= BKTS*K survivors
     b = elems.withColumn("bkt", F.col("h") % THETA_BKTS)
     w1 = W.partitionBy("side", "bkt").orderBy("h")
@@ -657,12 +686,7 @@ def events_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
     exact = (
-        elems.groupBy("h")
-        .agg(
-            F.max(F.when(F.col("side") == "A", 1).otherwise(0)).alias("inA"),
-            F.max(F.when(F.col("side") == "B", 1).otherwise(0)).alias("inB"),
-        )
-        .agg(
+        g.agg(
             F.sum("inA").cast("long").alias("na_exact"),
             F.sum("inB").cast("long").alias("nb_exact"),
             F.count(F.lit(1)).cast("long").alias("union_exact"),

@@ -216,6 +216,32 @@ def _lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lane_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, op, lag_ms) value histogram over the normalized lanes, one
+    row per distinct triple with its count and max commit ts — the mergeable
+    summary five metric queries read instead of each re-scanning the lane
+    frame (guide §2.4: two ops keyed the same way share one pass).  Bounded
+    by (3 lanes × 3 ops × lag-value domain), never by event volume — lag is
+    an integer ms delta capped by the delivery delay, the same bounded-
+    domain argument as the exact-percentile histogram it generalizes."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    def build() -> DataFrame:
+        lanes = _lanes(spark, sf_dir)
+        return lanes.groupBy(
+            "method",
+            "op",
+            (F.col("emitted_at_ms") - F.col("commit_ts_ms"))
+            .cast("double")
+            .alias("__v"),
+        ).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max("ts_ms").alias("__max_ts"),
+        )
+
+    return shared_df(spark, ("lane_hist", sf_dir), build)
+
+
 def _lane_actual(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     if method == "log":
         ev = capture.log_capture(spark, sf_dir)
@@ -435,12 +461,14 @@ def cdc_convergence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_lane_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return metrics.lane_metrics(_lanes(spark, sf_dir))
+    return metrics.lane_metrics(_lanes(spark, sf_dir), hist=_lane_hist(spark, sf_dir))
 
 
 def cdc_cross_lane_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 — best/worst lag lanes, spread, weakest delete capture."""
-    return metrics.cross_lane_summary(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
+    return metrics.cross_lane_summary(
+        ops_feed(spark, sf_dir), _lanes(spark, sf_dir), hist=_lane_hist(spark, sf_dir)
+    )
 
 
 def cdc_recent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,15 +478,19 @@ def cdc_recent_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_missed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return metrics.missed_deletes(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
+    return metrics.missed_deletes(
+        ops_feed(spark, sf_dir), _lanes(spark, sf_dir), hist=_lane_hist(spark, sf_dir)
+    )
 
 
 def cdc_write_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return metrics.write_amplification(ops_feed(spark, sf_dir), _lanes(spark, sf_dir))
+    return metrics.write_amplification(
+        ops_feed(spark, sf_dir), _lanes(spark, sf_dir), hist=_lane_hist(spark, sf_dir)
+    )
 
 
 def cdc_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return metrics.event_stats(_lanes(spark, sf_dir))
+    return metrics.event_stats(_lanes(spark, sf_dir), hist=_lane_hist(spark, sf_dir))
 
 
 def cdc_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from lets_talk_cdc_change_feed_playground_spark.functions.sequence import (
     grouped_exact_percentiles,
+    percentiles_from_hist,
     with_prefix_aggs,
 )
 
@@ -55,15 +56,20 @@ def normalize_lanes(log: DataFrame, polling: DataFrame, trigger: DataFrame) -> D
     return l.unionByName(p).unionByName(t)
 
 
-def lane_metrics(lanes: DataFrame) -> DataFrame:
+def lane_metrics(lanes: DataFrame, hist: DataFrame | None = None) -> DataFrame:
     """M1/M2/M5 — per-lane counters, op mix, last event time and exact lag
     percentiles (p50/p95 by linear interpolation, ``metrics.ts:97-139``).
 
-    Two separate aggregations joined on the 3-row lane key: the counters
-    (whose ``countDistinct`` plans an Expand that doubles the rows flowing
-    through every sibling aggregate) and the percentiles — which run as the
-    exact weighted-histogram form, NOT the single-buffer ``percentile()``
-    that would hold a lane's full lag vector in one task."""
+    With ``hist`` (the staged ``(method, op, __v lag, __n, __max_ts)``
+    summary — ``cdc_queries._lane_hist``): every counter except the pk
+    distinct-count folds out of the histogram rows, and the percentiles run
+    on it directly — ONE residual pass over the lane frame (the distinct)
+    instead of two full scans.  Without it: the counters aggregate the lane
+    frame (whose ``countDistinct`` plans an Expand that doubles the rows
+    flowing through every sibling aggregate) and the percentiles run their
+    own histogram pass — both the exact weighted-histogram form, NOT the
+    single-buffer ``percentile()`` that would hold a lane's full lag vector
+    in one task."""
     lag = (F.col("emitted_at_ms") - F.col("commit_ts_ms")).cast("double")
     with_lag = lanes.withColumn("lag_ms", lag)
     counters = with_lag.groupBy("method").agg(
@@ -75,9 +81,18 @@ def lane_metrics(lanes: DataFrame) -> DataFrame:
         F.max("ts_ms").alias("last_ts_ms"),
         F.max("lag_ms").cast("long").alias("lag_ms_max"),
     )
-    pct = grouped_exact_percentiles(
-        with_lag, ["method"], "lag_ms", {0.5: "__p50", 0.95: "__p95"}
-    )
+    if hist is not None:
+        pct = percentiles_from_hist(
+            hist.filter(F.col("__v").isNotNull())
+            .groupBy("method", "__v")
+            .agg(F.sum("__n").alias("__n")),
+            ["method"],
+            {0.5: "__p50", 0.95: "__p95"},
+        )
+    else:
+        pct = grouped_exact_percentiles(
+            with_lag, ["method"], "lag_ms", {0.5: "__p50", 0.95: "__p95"}
+        )
     return (
         counters.join(F.broadcast(pct), "method", "left")
         .select(
@@ -148,7 +163,9 @@ def recent_lag_metrics(
     )
 
 
-def missed_deletes(ops: DataFrame, lanes: DataFrame) -> DataFrame:
+def missed_deletes(
+    ops: DataFrame, lanes: DataFrame, hist: DataFrame | None = None
+) -> DataFrame:
     """M3 — per lane: source hard deletes vs captured ``d`` events
     (``src/modes/queryBased.ts:286-288``). Polling with soft deletes hidden
     misses all of them; log/trigger capture every one."""
@@ -156,8 +173,15 @@ def missed_deletes(ops: DataFrame, lanes: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("source_deletes")
     )
     captured = (
-        lanes.groupBy("method")
-        .agg(F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes"))
+        (lanes if hist is None else hist)
+        .groupBy("method")
+        .agg(
+            F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes")
+            if hist is None
+            else F.sum(
+                F.when(F.col("op") == "d", F.col("__n")).otherwise(0)
+            ).alias("captured_deletes")
+        )
     )
     return (
         captured.crossJoin(F.broadcast(src))
@@ -171,14 +195,24 @@ def missed_deletes(ops: DataFrame, lanes: DataFrame) -> DataFrame:
     )
 
 
-def write_amplification(ops: DataFrame, lanes: DataFrame) -> DataFrame:
+def write_amplification(
+    ops: DataFrame, lanes: DataFrame, hist: DataFrame | None = None
+) -> DataFrame:
     """M4 — ``(source_writes + extra_writes) / source_writes`` per lane
     (``src/engine/metrics.ts:60-73``): the trigger lane writes one audit row
     per source op (``src/modes/triggerBased.ts:217``); log/polling add none.
     """
     n_ops = ops.agg(F.count(F.lit(1)).alias("source_writes"))
-    extra = lanes.groupBy("method").agg(
-        F.sum((F.col("method") == "trigger").cast("int")).alias("extra_writes")
+    extra = (
+        lanes.groupBy("method").agg(
+            F.sum((F.col("method") == "trigger").cast("int")).alias("extra_writes")
+        )
+        if hist is None
+        else hist.groupBy("method").agg(
+            F.sum(
+                F.when(F.col("method") == "trigger", F.col("__n")).otherwise(0)
+            ).alias("extra_writes")
+        )
     )
     return (
         extra.crossJoin(F.broadcast(n_ops))
@@ -197,22 +231,39 @@ def write_amplification(ops: DataFrame, lanes: DataFrame) -> DataFrame:
     )
 
 
-def cross_lane_summary(ops: DataFrame, lanes: DataFrame) -> DataFrame:
+def cross_lane_summary(
+    ops: DataFrame, lanes: DataFrame, hist: DataFrame | None = None
+) -> DataFrame:
     """M6 — the comparator's summary panel (``web/App.tsx:985-1020``): which
     lane has the best/worst p95 lag and the spread, the weakest delete
-    capture, and the max write amplification. One row."""
+    capture, and the max write amplification. One row.  With ``hist`` the
+    delete counts and the exact p95 both fold out of the staged lag
+    histogram — no pass over the lane frame at all."""
     lag = (F.col("emitted_at_ms") - F.col("commit_ts_ms")).cast("double")
     with_lag = lanes.withColumn("lag_ms", lag)
-    deletes = with_lag.groupBy("method").agg(
-        F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes")
-    )
-    # two-phase exact p95 — same bounded-state form as lane_metrics
-    per_lane = deletes.join(
-        F.broadcast(
-            grouped_exact_percentiles(
-                with_lag, ["method"], "lag_ms", {0.95: "p95"}
+    if hist is not None:
+        deletes = hist.groupBy("method").agg(
+            F.sum(F.when(F.col("op") == "d", F.col("__n")).otherwise(0)).alias(
+                "captured_deletes"
             )
-        ),
+        )
+        pct = percentiles_from_hist(
+            hist.filter(F.col("__v").isNotNull())
+            .groupBy("method", "__v")
+            .agg(F.sum("__n").alias("__n")),
+            ["method"],
+            {0.95: "p95"},
+        )
+    else:
+        deletes = with_lag.groupBy("method").agg(
+            F.sum((F.col("op") == "d").cast("int")).alias("captured_deletes")
+        )
+        # two-phase exact p95 — same bounded-state form as lane_metrics
+        pct = grouped_exact_percentiles(
+            with_lag, ["method"], "lag_ms", {0.95: "p95"}
+        )
+    per_lane = deletes.join(
+        F.broadcast(pct),
         "method",
         "left",
     )
@@ -234,14 +285,22 @@ def cross_lane_summary(ops: DataFrame, lanes: DataFrame) -> DataFrame:
     )
 
 
-def event_stats(lanes: DataFrame) -> DataFrame:
+def event_stats(lanes: DataFrame, hist: DataFrame | None = None) -> DataFrame:
     """M8 — per-lane, per-op counts plus each op's share of the lane total
-    (``assets/app.js:2966-3019``)."""
+    (``assets/app.js:2966-3019``).  With ``hist`` the (method, op) grain
+    folds out of the staged histogram rows."""
     w = W.partitionBy("method")
+    per_op = (
+        lanes.groupBy("method", "op").agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("last_ts_ms")
+        )
+        if hist is None
+        else hist.groupBy("method", "op").agg(
+            F.sum("__n").alias("n"), F.max("__max_ts").alias("last_ts_ms")
+        )
+    )
     return (
-        lanes.groupBy("method", "op")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("last_ts_ms"))
-        .withColumn("lane_total", F.sum("n").over(w))
+        per_op.withColumn("lane_total", F.sum("n").over(w))
         .withColumn("share", F.expr("(n * 10000) div lane_total") / 10000.0)
         .orderBy("method", "op")
     )

@@ -148,33 +148,57 @@ def replay_fold(ops: DataFrame, drop_columns: tuple[str, ...] = ()) -> DataFrame
     The merge is the conf-independent object spread
     (:func:`..functions.maps.merge_maps`) — correct under any caller's
     ``mapKeyDedupPolicy``."""
-    events = ops.select(
-        "table", "pk", F.struct("t", "seq", "op", "after").alias("e")
+    # Relational form of the ordered merge fold (guide §2.3 "aggregate
+    # before you shuffle" / §4.1 built-ins over interpreted lambdas).  The
+    # fold's observable state is fully determined by two facts per key —
+    # (a) the last delete resets the row, so only updates AFTER it
+    # contribute, and (b) within those, the LAST write per column wins
+    # (object-spread merge).  So instead of collect_list-ing every event
+    # into one aggregation buffer and running an interpreted
+    # array_sort + aggregate fold per key (state sized by the key's event
+    # count — the unbounded-buffer antipattern), this computes:
+    #   1. per (table, pk): last event time + last delete time (hash agg);
+    #   2. update payload entries exploded to (key, column, value) rows,
+    #      kept only past the last delete (join reuses the groupBy's
+    #      partitioning);
+    #   3. per (table, pk, column): max_by(value, (t, seq)) — the merge;
+    #   4. per (table, pk): map_from_entries over the ≤ schema-width
+    #      surviving columns (buffer bounded by table width, not data).
+    # explode_outer keeps keys whose post-delete updates carry an empty
+    # payload map: the fold yields an EMPTY (non-null) row for those,
+    # and only keys with no update after their last delete are dropped.
+    events = ops.select("table", "pk", "t", "seq", "op", "after")
+    ks = events.groupBy("table", "pk").agg(
+        F.max(F.struct("t", "seq")).alias("last"),
+        F.max(F.when(F.col("op") == "delete", F.struct("t", "seq"))).alias("__dl"),
     )
-    # structs containing maps are not orderable — sort with an explicit
-    # (t, seq) comparator instead of the default field-wise ordering
-    by_time = lambda l, r: (  # noqa: E731
-        F.when(l["t"] < r["t"], -1)
-        .when(l["t"] > r["t"], 1)
-        .when(l["seq"] < r["seq"], -1)
-        .when(l["seq"] > r["seq"], 1)
-        .otherwise(0)
-        .cast("int")
+    upd = events.filter(F.col("op") != "delete").select(
+        "table",
+        "pk",
+        "t",
+        "seq",
+        F.explode_outer(F.map_entries(_project(F.col("after"), drop_columns))).alias(
+            "kv"
+        ),
     )
-    folded = events.groupBy("table", "pk").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("e"), by_time),
-            F.lit(None).cast("map<string,string>"),
-            lambda acc, e: (
-                F.when(e["op"] == "delete", F.lit(None).cast("map<string,string>"))
-                .otherwise(_merge_maps(acc, _project(e["after"], drop_columns)))
-            ),
-        ).alias("data"),
-        F.max(F.struct("e.t", "e.seq")).alias("last"),
+    alive = upd.join(ks.select("table", "pk", "__dl"), ["table", "pk"]).filter(
+        F.col("__dl").isNull() | (F.struct("t", "seq") > F.col("__dl"))
     )
-    return (
-        folded.filter(F.col("data").isNotNull())
-        .select("table", "pk", "data", F.col("last.t").alias("updated_t"))
+    colv = alive.groupBy("table", "pk", F.col("kv.key").alias("__k")).agg(
+        F.max_by(F.col("kv.value"), F.struct("t", "seq")).alias("__v")
+    )
+    folded = colv.groupBy("table", "pk").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.filter(
+                    F.collect_list(F.struct(F.col("__k"), F.col("__v"))),
+                    lambda e: e["__k"].isNotNull(),
+                )
+            )
+        ).alias("data")
+    )
+    return folded.join(ks.select("table", "pk", "last"), ["table", "pk"]).select(
+        "table", "pk", "data", F.col("last.t").alias("updated_t")
     )
 
 
