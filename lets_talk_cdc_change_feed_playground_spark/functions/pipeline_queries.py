@@ -495,11 +495,21 @@ def emb_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    pairs = n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # the scored query x corpus frame is consumed by this query AND by
+    # emb_ann_recall (which re-ranks all three searches) -- stage the one
+    # interpreted-dot scoring pass per session (guide §2.4; the ranking
+    # window below stays per-call work)
+    pairs = shared_df(
+        spark,
+        ("brute_pairs", sf_dir),
+        lambda: n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -547,14 +557,22 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
         F.col("bucket").alias("qbucket"),
     )
-    pairs = n.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # staged like brute_pairs: one bucket-join + interpreted-dot scoring
+    # pass per session, shared with emb_ann_recall
+    pairs = shared_df(
+        spark,
+        ("lsh_pairs", sf_dir),
+        lambda: n.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -611,7 +629,15 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cent_id").alias("cell"),
         )
     )
-    pairs = assign.alias("a").join(
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # staged like brute_pairs/lsh_pairs: the assignment subtree feeds both
+    # join sides (it would otherwise run twice per call) and the scored
+    # cell-probe frame is shared with emb_ann_recall
+    pairs = shared_df(
+        spark,
+        ("ivf_pairs", sf_dir),
+        lambda: assign.alias("a").join(
         F.broadcast(probe.alias("p")),
         (F.col("a.cell") == F.col("p.cell"))
         & (F.col("a.vec_id") != F.col("p.query_id")),
@@ -621,6 +647,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.label").alias("neighbor_label"),
         (T.dot(F.col("p.qv"), F.col("a.v")) / (F.col("p.qn") * F.col("a.nrm"))).alias(
             "cosine"
+        ),
         ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -2196,8 +2223,17 @@ def docs_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark side is deduplicated before the join and the 5% flag is
     exact integer arithmetic. Fingerprinting runs in the Arrow kernel
     (Catalyst twin cross-checked in tests)."""
-    ng = _docs_t(spark, sf_dir).select(
-        "doc_id", K.contam_ngram_hashes_kernel(F.col("norm")).alias("ngs")
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # the benchmark side, the corpus side, and the per-doc totals all read
+    # the kernel output — staged once per session, the Python n-gram kernel
+    # would otherwise run once per plan branch per run (guide §2.4)
+    ng = shared_df(
+        spark,
+        ("contam_ngrams", sf_dir),
+        lambda: _docs_t(spark, sf_dir).select(
+            "doc_id", K.contam_ngram_hashes_kernel(F.col("norm")).alias("ngs")
+        ),
     )
     ex = ng.select("doc_id", F.explode("ngs").alias("ngh"))
     bench = ex.filter(F.col("doc_id") % BENCH_MOD == 0).select("ngh").distinct()

@@ -1293,9 +1293,15 @@ def cdc_mirror_maker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("b_offset") > F.col("committed_b"), F.col("ck")).otherwise(0))
         .cast("long")
         .alias("ck_b"),
+        # committed_a/b are constant per partition (they came in through the
+        # committed join) — folding them out of the same aggregation removes
+        # the final re-join, whose broadcast build re-executed the whole
+        # committed subtree as a separate job (guide §2.4)
+        F.max("committed_a").alias("committed_a"),
+        F.max("committed_b").alias("committed_b"),
     )
     return (
-        rem_agg.join(committed, "partition")
+        rem_agg
         .select(
             F.col("partition").cast("long").alias("partition"),
             "a_high",

@@ -138,7 +138,13 @@ def test_allpairs_verify_plan_invariants(spark, sf_dir):
         "global sort returned to the AllPairs tail — its RangePartitioning "
         "sample job re-executes the entire verify pipeline once per call"
     )
-    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan, (
-        "the candidate frame is no longer session-persisted — AQE broadcast "
-        "builds would re-execute the candidate join per run"
+    assert (
+        "InMemoryTableScan" in plan
+        or "Scan In-memory" in plan
+        or "Scan ExistingRDD" in plan
+    ), (
+        "the candidate frame is no longer session-materialized — AQE broadcast "
+        "builds would re-execute the candidate join per run (persisted frames "
+        "scan as InMemoryTableScan; localCheckpointed ones as Scan ExistingRDD, "
+        "which cannot recompute at all)"
     )
