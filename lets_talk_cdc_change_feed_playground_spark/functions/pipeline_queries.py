@@ -1460,6 +1460,7 @@ ALLPAIRS_T_NUM, ALLPAIRS_T_DEN = 1, 2  # cosine threshold t = 1/2
 _ALLPAIRS_EST: dict[tuple, int | None] = {}  # (appId, sf_dir) -> candidate estimate
 _ALLPAIRS_NDOCS: dict[tuple, int] = {}  # (appId, sf_dir) -> corpus doc count
 _ALLPAIRS_STATS: dict[tuple, int] = {}  # (appId, sf_dir) -> max per-doc norm2
+_ALLPAIRS_BC: dict[tuple, object] = {}  # (appId, sf_dir) -> posting-table broadcast
 
 
 def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,9 +1486,13 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     never Σ_s df(s)² and never |docs|²); the exact verify joins each
     candidate pair back to the posting lists — doc_a's full list, then an
     equi-join on (doc_b, shingle) that keeps exactly the shared shingles —
-    and folds the dot product in one map-side-combinable hash aggregation:
-    every verify operator is whole-stage-codegen, no interpreted per-pair
-    lambda anywhere.  Decimal bound: dot² ≤ 10²⁸ at a 500M-doc corpus —
+    and folds the dot product per pair.  At broadcast scale (posting table
+    ≤ SPARK_GRAFT_ALLPAIRS_BCAST_DOCS docs, long-safe weights) the two
+    equi-joins + fold run as vectorized pandas merges inside mapInPandas
+    (~20-30× less CPU per fan-out row than the JVM join shape — measured);
+    past that the same joins run as whole-stage-codegen shuffle-hash joins
+    + one map-side-combinable hash aggregation.  No interpreted per-pair
+    lambda anywhere on either path.  Decimal bound: dot² ≤ 10²⁸ at a 500M-doc corpus —
     inside decimal(38)/HUGEINT on both engines."""
     d = _docs_t(spark, sf_dir)
     dec = "decimal(38,0)"
@@ -1583,6 +1588,8 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ALLPAIRS_NDOCS.pop(_k)
     for _k in [k for k in _ALLPAIRS_STATS if k[0] != est_key[0]]:
         _ALLPAIRS_STATS.pop(_k)
+    for _k in [k for k in _ALLPAIRS_BC if k[0] != est_key[0]]:
+        _ALLPAIRS_BC.pop(_k)
     est = _ALLPAIRS_EST.get(est_key)
     if est is None:
         row = (
@@ -1700,34 +1707,93 @@ def docs_allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HUGEINT mirrors.  Either way the result is the same exact integer —
     # the long path casts to decimal once per GROUP, after the fold.
     long_safe = 0 < max_norm2 < (1 << 62)
-    wcol = F.col("w") if long_safe else F.col("w").cast(dec)
-    postings = flagged.select("doc_id", "sid", wcol.alias("w"))
-    dots = (
-        cand.join(
-            build_side(
-                postings.select(
-                    F.col("doc_id").alias("doc_a"),
-                    "sid",
-                    F.col("w").alias("wa"),
+    if long_safe and nd <= bcast_docs:
+        # Vectorized verify (guide §4.2, the MaxSim/SemDeDup playbook): the
+        # JVM broadcast-join fan-out materializes |cand|·avg_len rows just
+        # to find the shared-shingle subset — measured 77-133 s of CPU for
+        # 34.6 M fan-out rows at sf0.1, and a synthetic twin of the pure
+        # join shape reproduces the per-row constant, so the shape, not the
+        # plan, is the cost.  Inside mapInPandas the same two equi-joins
+        # run as pandas hash merges on int64 keys at ~20-30× less CPU per
+        # row.  Gated exactly like the broadcast path (posting table is
+        # df-bounded and ≤ bcast_docs docs) and on the proven-long-safe
+        # bound: every product wa·wb and every partial dot is ≤ max_norm2
+        # < 2⁶² (Cauchy-Schwarz), so int64 arithmetic is overflow-free and
+        # bit-identical to the decimal fold.  cand is distinct and hash-
+        # partitioned, so each pair folds in exactly one task; the result
+        # casts to decimal once per PAIR, after the fold, like the JVM path.
+        post_bc = _ALLPAIRS_BC.get(est_key)
+        if post_bc is None:
+            post_pdf = flagged.select("doc_id", "sid", "w").toPandas()
+            post_bc = spark.sparkContext.broadcast(post_pdf)
+            _ALLPAIRS_BC[est_key] = post_bc
+
+        def _verify_kernel(batches):
+            import pandas as pd  # noqa: F401
+
+            post = post_bc.value
+            pa = post.rename(columns={"doc_id": "doc_a", "w": "wa"})
+            pb = post.rename(columns={"doc_id": "doc_b", "w": "wb"})
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = pdf.merge(pa, on="doc_a").merge(pb, on=["doc_b", "sid"])
+                if not len(m):
+                    continue
+                m["__p"] = m["wa"].to_numpy() * m["wb"].to_numpy()
+                g = m.groupby(["doc_a", "doc_b"], as_index=False, sort=False).agg(
+                    dot=("__p", "sum"), n_shared_shingles=("sid", "size")
                 )
-            ),
+                yield g.astype(
+                    {
+                        "doc_a": "int64",
+                        "doc_b": "int64",
+                        "dot": "int64",
+                        "n_shared_shingles": "int64",
+                    }
+                )
+
+        folded = cand.mapInPandas(
+            _verify_kernel,
+            "doc_a long, doc_b long, dot long, n_shared_shingles long",
+        ).select(
             "doc_a",
+            "doc_b",
+            F.col("dot").cast(dec).alias("dot"),
+            "n_shared_shingles",
         )
-        .join(
-            build_side(
-                postings.select(
-                    F.col("doc_id").alias("doc_b"),
-                    "sid",
-                    F.col("w").alias("wb"),
-                )
-            ),
-            ["doc_b", "sid"],
+    else:
+        wcol = F.col("w") if long_safe else F.col("w").cast(dec)
+        postings = flagged.select("doc_id", "sid", wcol.alias("w"))
+        folded = (
+            cand.join(
+                build_side(
+                    postings.select(
+                        F.col("doc_id").alias("doc_a"),
+                        "sid",
+                        F.col("w").alias("wa"),
+                    )
+                ),
+                "doc_a",
+            )
+            .join(
+                build_side(
+                    postings.select(
+                        F.col("doc_id").alias("doc_b"),
+                        "sid",
+                        F.col("w").alias("wb"),
+                    )
+                ),
+                ["doc_b", "sid"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.sum(F.col("wa") * F.col("wb")).cast(dec).alias("dot"),
+                F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
+            )
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.col("wa") * F.col("wb")).cast(dec).alias("dot"),
-            F.count(F.lit(1)).cast("long").alias("n_shared_shingles"),
-        )
+    dots = (
+        folded
         # norms attach AFTER the fold, once per surviving pair — the 34M-row
         # explosion carries only three longs and the group key stays two
         # longs; the cached cand keeps the distinct's HashPartitioning

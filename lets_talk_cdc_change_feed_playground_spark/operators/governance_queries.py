@@ -145,14 +145,23 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one aggregation over the hash-matching slice classifies every candidate
     # key: pre-request events make it a requested key, post-request events are
     # the late writes erasure must suppress — the separate requested/late/
-    # n_req scans of the feed collapse into this single pass (guide §2.4)
-    req_stats = (
-        base.filter(hash31(F.concat(F.lit("gdpr:"), F.col("pk"))) % GDPR_MOD == 0)
-        .groupBy("pk")
-        .agg(
-            F.sum((F.col("t") <= F.col("t_req")).cast("int")).alias("__pre"),
-            F.sum((F.col("t") > F.col("t_req")).cast("int")).alias("__post"),
-        )
+    # n_req scans of the feed collapse into this single pass (guide §2.4).
+    # Session-staged: the request set feeds the tombstone build, the lane
+    # semi-join AND the scalar counters, and each of those broadcast builds
+    # would otherwise re-run this full feed scan as its own job.
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    req_stats = shared_df(
+        spark,
+        ("gdpr_req_stats", sf_dir),
+        lambda: (
+            base.filter(hash31(F.concat(F.lit("gdpr:"), F.col("pk"))) % GDPR_MOD == 0)
+            .groupBy("pk")
+            .agg(
+                F.sum((F.col("t") <= F.col("t_req")).cast("int")).alias("__pre"),
+                F.sum((F.col("t") > F.col("t_req")).cast("int")).alias("__post"),
+            )
+        ),
     )
     requested = req_stats.filter(F.col("__pre") > 0).select("pk")
     # the request set is tiny — a single-partition window over it is bounded
