@@ -156,38 +156,57 @@ def replay_fold(ops: DataFrame, drop_columns: tuple[str, ...] = ()) -> DataFrame
     # (object-spread merge).  So instead of collect_list-ing every event
     # into one aggregation buffer and running an interpreted
     # array_sort + aggregate fold per key (state sized by the key's event
-    # count — the unbounded-buffer antipattern), this computes:
-    #   1. per (table, pk): last event time + last delete time (hash agg);
-    #   2. update payload entries exploded to (key, column, value) rows,
-    #      kept only past the last delete (join reuses the groupBy's
-    #      partitioning);
-    #   3. per (table, pk, column): max_by(value, (t, seq)) — the merge;
+    # count — the unbounded-buffer antipattern), this computes, in ONE pass
+    # over the input (the payload-construction expressions upstream are
+    # often the dominant per-row cost, so the earlier 3-consumer shape —
+    # key-stats aggregate, exploded updates, final join — re-ran them 3×):
+    #   1. payload entries exploded to (key, column, value) rows — deletes
+    #      and empty update payloads keep a single null-entry row, so every
+    #      event still carries its (t, seq) into step 2;
+    #   2. per (table, pk): last event time + last delete time as window
+    #      maxima over the key partition (the shuffle this window pins is
+    #      the ONLY exchange: both downstream aggregations group on
+    #      supersets of (table, pk) and reuse its partitioning);
+    #   3. per (table, pk, column): max_by(value, (t, seq)) over post-
+    #      delete update rows — the merge;
     #   4. per (table, pk): map_from_entries over the ≤ schema-width
     #      surviving columns (buffer bounded by table width, not data).
     # explode_outer keeps keys whose post-delete updates carry an empty
     # payload map: the fold yields an EMPTY (non-null) row for those,
     # and only keys with no update after their last delete are dropped.
     events = ops.select("table", "pk", "t", "seq", "op", "after")
-    ks = events.groupBy("table", "pk").agg(
-        F.max(F.struct("t", "seq")).alias("last"),
-        F.max(F.when(F.col("op") == "delete", F.struct("t", "seq"))).alias("__dl"),
-    )
-    upd = events.filter(F.col("op") != "delete").select(
+    empty = F.create_map().cast("map<string,string>")
+    entries = events.select(
         "table",
         "pk",
         "t",
         "seq",
-        F.explode_outer(F.map_entries(_project(F.col("after"), drop_columns))).alias(
-            "kv"
-        ),
+        "op",
+        F.explode_outer(
+            F.map_entries(
+                F.when(F.col("op") == "delete", empty).otherwise(
+                    _project(F.col("after"), drop_columns)
+                )
+            )
+        ).alias("kv"),
     )
-    alive = upd.join(ks.select("table", "pk", "__dl"), ["table", "pk"]).filter(
-        F.col("__dl").isNull() | (F.struct("t", "seq") > F.col("__dl"))
+    w_key = W.partitionBy("table", "pk")
+    stats = entries.select(
+        "*",
+        F.max(F.struct("t", "seq")).over(w_key).alias("__last"),
+        F.max(F.when(F.col("op") == "delete", F.struct("t", "seq")))
+        .over(w_key)
+        .alias("__dl"),
+    )
+    alive = stats.filter(
+        (F.col("op") != "delete")
+        & (F.col("__dl").isNull() | (F.struct("t", "seq") > F.col("__dl")))
     )
     colv = alive.groupBy("table", "pk", F.col("kv.key").alias("__k")).agg(
-        F.max_by(F.col("kv.value"), F.struct("t", "seq")).alias("__v")
+        F.max_by(F.col("kv.value"), F.struct("t", "seq")).alias("__v"),
+        F.max("__last").alias("__l"),
     )
-    folded = colv.groupBy("table", "pk").agg(
+    return colv.groupBy("table", "pk").agg(
         F.map_from_entries(
             F.array_sort(
                 F.filter(
@@ -195,11 +214,9 @@ def replay_fold(ops: DataFrame, drop_columns: tuple[str, ...] = ()) -> DataFrame
                     lambda e: e["__k"].isNotNull(),
                 )
             )
-        ).alias("data")
-    )
-    return folded.join(ks.select("table", "pk", "last"), ["table", "pk"]).select(
-        "table", "pk", "data", F.col("last.t").alias("updated_t")
-    )
+        ).alias("data"),
+        F.max("__l").alias("__last"),
+    ).select("table", "pk", "data", F.col("__last.t").alias("updated_t"))
 
 
 def _drop_key(col_name: str):

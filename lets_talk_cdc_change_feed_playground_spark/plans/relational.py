@@ -1579,20 +1579,35 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 
 # shipdate, keep orders where exactly one supplier ships at the max.
 # --------------------------------------------------------------------------
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan form: one map-side-combinable (order, supplier) aggregate
+    # replaces the two full lineitem passes of the aggregate-then-join shape
+    # (the join-back on (orderkey, shipdate = max_ship) re-scanned lineitem).
+    # A supplier has a lineitem row at the order's latest ship date iff its
+    # own per-order max ship date equals the order max, so every latest-row
+    # statistic folds out of the pair grain: n_supp = pair count per order,
+    # n_latest = pairs attaining the max, suppkey = min such supplier.  The
+    # order-level window and the follow-up aggregate both key on l_orderkey,
+    # so the pair shuffle is the only exchange until the tiny suppkey rollup.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.max("l_shipdate").alias("__max_ship"),
-    ).filter(F.col("__n_supp") >= 2)
-    latest = li.join(
-        per_order,
-        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_shipdate") == F.col("__max_ship")),
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("__ms")
     )
+    w_ord = W.partitionBy("l_orderkey")
     sole = (
-        latest.groupBy("l_orderkey")
+        per_pair.select(
+            "*",
+            F.count(F.lit(1)).over(w_ord).alias("__n_supp"),
+            F.max("__ms").over(w_ord).alias("__max_ship"),
+        )
+        .filter(F.col("__n_supp") >= 2)
+        .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("__n_latest"),
-            F.min("l_suppkey").alias("__suppkey"),
+            F.sum((F.col("__ms") == F.col("__max_ship")).cast("int")).alias(
+                "__n_latest"
+            ),
+            F.min(
+                F.when(F.col("__ms") == F.col("__max_ship"), F.col("l_suppkey"))
+            ).alias("__suppkey"),
         )
         .filter(F.col("__n_latest") == 1)
     )
@@ -2502,8 +2517,20 @@ def parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.expr("cast(l_extendedprice * (1 - l_discount) as decimal(38,6))").alias("rev"),
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum("rev").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    # Session-staged: the prefix machinery below consumes the per-part
+    # aggregate three times (local window pass, per-bucket totals broadcast
+    # build, final join) and the grand total a fourth — unstaged, each
+    # consumer re-ran the full lineitem scan + aggregation as its own job
+    # (same fix as the RFM per-customer frame).  The staged frame is part-
+    # grain: bounded by |part|, not |lineitem|.
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    per_part = shared_df(
+        spark,
+        ("abc_per_part", sf_dir),
+        lambda: li.groupBy("l_partkey").agg(
+            F.sum("rev").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+        ),
     )
     tot = per_part.agg(F.sum("revenue").alias("tot_rev"))
     # running revenue via the two-phase prefix pattern (bucket = coarse

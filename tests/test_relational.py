@@ -71,10 +71,14 @@ def test_q15_max_is_single_row_broadcast(spark, sf_dir):
 
 
 def test_q21_no_unpartitioned_window(spark, sf_dir):
-    """Sole-latest-shipper is aggregate-then-join — a global window over
-    lineitem would single-task at scale."""
+    """Sole-latest-shipper folds out of one (order, supplier) pair aggregate:
+    lineitem is scanned exactly once, and the order-level stats window is
+    PARTITIONED by l_orderkey — a global (unpartitioned) window over lineitem
+    would single-task at scale."""
     plan = R.q21_waiting_suppliers(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "windowspecdefinition(l_orderkey" in plan
+    assert "windowspecdefinition()" not in plan  # no partition-less window
     assert "TakeOrderedAndProject" in plan
 
 

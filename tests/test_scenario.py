@@ -104,6 +104,16 @@ def test_replay_fold_partial_updates(spark, crud):
     assert state["u4"]["name"] == "Barbara" and state["u4"]["active"] == "true"
 
 
+def test_replay_fold_single_exchange(spark, crud):
+    """The fold is one pass: a single hash exchange on (table, pk) feeds the
+    window and both aggregations — the earlier shape re-executed the payload
+    construction three times (key-stats aggregate, exploded updates, final
+    join)."""
+    plan = SE.replay_fold(crud.ops_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_replay_fold_merges_partials(spark, crud):
     # drop the final delete of u2 to check the merge: name from insert,
     # email from update 2, tier from update 3
