@@ -41,6 +41,12 @@ BPE_VOCAB = 300  # letter-only vocabulary head the trainer fits on
 KN_D_NUM, KN_D_DEN = 3, 4  # Kneser-Ney absolute discount D = 3/4
 KN_TOPK = 30
 
+# (appId, sf_dir) -> trained merge table; the trainer is deterministic, so
+# the 8-row table is session-constant (bounded driver state, like the
+# AllPairs estimate memos) — encode calls stop re-running the trainer's
+# corpus pass.
+_BPE_MERGES: dict[tuple, list[tuple[str, str]]] = {}
+
 
 # ---------------------------------------------------------------------------
 # BPE trainer
@@ -185,56 +191,62 @@ def _bpe_sql() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _spark_merge_fold(mx: str, my: str) -> str:
-    """One trained merge applied greedily left-to-right over the space-joined
-    symbol string, as a JVM-side ``aggregate`` higher-order fold — the Spark
-    twin of :func:`_merge_fold_sql` (same "out|prev" string state, no UDF).
-    ``mx``/``my`` come from the trainer and match ``^[a-z]+$``, so inlining
-    them as SQL literals is safe."""
-    merged = mx + my
-    step = f"""CASE
-      WHEN split_part(st, '|', 2) = '' THEN concat(split_part(st, '|', 1), '|', e)
-      WHEN split_part(st, '|', 2) = '{mx}' AND e = '{my}'
-        THEN CASE WHEN split_part(st, '|', 1) = '' THEN concat('{merged}', '|')
-                  ELSE concat(split_part(st, '|', 1), ' ', '{merged}', '|') END
-      ELSE concat(CASE WHEN split_part(st, '|', 1) = '' THEN ''
-                       ELSE concat(split_part(st, '|', 1), ' ') END,
-                  split_part(st, '|', 2), '|', e)
-    END"""
-    fin = """CASE WHEN split_part(st, '|', 2) = '' THEN split_part(st, '|', 1)
-       WHEN split_part(st, '|', 1) = '' THEN split_part(st, '|', 2)
-       ELSE concat(split_part(st, '|', 1), ' ', split_part(st, '|', 2)) END"""
-    return f"aggregate(split(sym, ' '), '|', (st, e) -> {step}, st -> {fin})"
-
-
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the TRAINED merge table: per-document word
     count, BPE token count, character baseline, and merge hits.
 
     The 100 TB shape is dictionary encoding: the corpus is tokenized once
-    per DISTINCT word (the merge folds run JVM-side as ``aggregate``
-    higher-order functions — no Python boundary), then the per-word token
-    counts join back to the exploded corpus on the word key.  Encoding cost
-    scales with vocabulary size, not corpus size; the merge table itself is
-    8 rows collected from the trainer (:func:`docs_bpe_merges`)."""
-    merges = [
-        (r["merge_x"], r["merge_y"])
-        for r in docs_bpe_merges(spark, sf_dir).collect()
-    ]
+    per DISTINCT word, then the per-word token counts join back to the
+    exploded corpus on the word key.  Encoding cost scales with vocabulary
+    size, not corpus size; the merge table itself is 8 rows collected from
+    the trainer (:func:`docs_bpe_merges`) and memoized per session — the
+    trainer's corpus pass is not re-paid on every encode call.
+
+    The per-word tokenizer runs as ONE vectorized-batch kernel applying
+    :func:`_bpe_apply_merge` (the same greedy fold the trainer itself uses,
+    so parity with the SQL-fold oracle is by construction): the earlier
+    form chained ``BPE_ROUNDS`` interpreted ``aggregate`` higher-order
+    expressions, each a full interpreted pass over the vocabulary — the
+    classic guide §4.2 trade (higher-order Catalyst folds never codegen;
+    a per-batch native loop beats 8 interpreted expression trees)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for _k in [k for k in _BPE_MERGES if k[0] != key[0]]:
+        _BPE_MERGES.pop(_k)
+    merges = _BPE_MERGES.get(key)
+    if merges is None:
+        merges = [
+            (r["merge_x"], r["merge_y"])
+            for r in docs_bpe_merges(spark, sf_dir).collect()
+        ]
+        _BPE_MERGES[key] = merges
     d = _docs_t(spark, sf_dir)
     per_doc = (
         d.select("doc_id", F.explode("toks").alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
     )
-    vocab = per_doc.select("word").distinct().withColumn(
-        "sym", F.expr("array_join(split(word, ''), ' ')")
-    )
-    for mx, my in merges:
-        vocab = vocab.withColumn("sym", F.expr(_spark_merge_fold(mx, my)))
-    enc = vocab.select(
-        "word",
-        F.size(F.split("sym", " ")).cast("long").alias("n_toks"),
-        F.length("word").cast("long").alias("n_chars"),
+    vocab = per_doc.select("word").distinct()
+
+    def _encode_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            words = pdf["word"].tolist()
+            n_toks = []
+            for w in words:
+                sym = " ".join(w)
+                for mx, my in merges:
+                    sym = _bpe_apply_merge(sym, mx, my)
+                n_toks.append(sym.count(" ") + 1)
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "n_toks": pd.Series(n_toks, dtype="int64"),
+                    "n_chars": pd.Series([len(w) for w in words], dtype="int64"),
+                }
+            )
+
+    enc = vocab.mapInPandas(
+        _encode_kernel, "word string, n_toks long, n_chars long"
     )
     return (
         per_doc.join(enc, "word")

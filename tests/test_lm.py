@@ -59,6 +59,20 @@ def test_bpe_encode_compresses(spark, sf_dir):
     assert sum(r["merge_hits"] for r in rows) > 0
 
 
+def test_bpe_encode_single_kernel_and_memoized_trainer(spark, sf_dir):
+    """The per-word tokenizer is ONE vectorized kernel (not BPE_ROUNDS
+    chained interpreted aggregate folds), and the trained merge table is
+    memoized per session so encode calls stop re-running the trainer's
+    corpus pass."""
+    df = L.docs_bpe_encode(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in L._BPE_MERGES
+    assert len(L._BPE_MERGES[key]) == L.BPE_ROUNDS
+
+
 def test_ccnet_buckets_tile_each_language(spark):
     from lets_talk_cdc_change_feed_playground_spark.functions.lm_queries import (
         docs_ccnet_buckets,
