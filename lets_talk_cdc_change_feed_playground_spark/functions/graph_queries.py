@@ -52,48 +52,60 @@ def nations_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped weighted PageRank on the nation trade graph, ``PR_ITERS``
     exact-integer rounds; returns final micro-unit ranks with degrees."""
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # Materialize the nation×nation edge aggregate once: it is the output of
-    # the heavy 4-table join chain, and the lazy rank loop would otherwise
-    # re-execute that chain every iteration (4× the dominant cost). ≤625
-    # rows regardless of scale factor — the classic iterate-on-the-aggregate
-    # split; a cluster run would checkpoint()/write it to a staging table.
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
-    outw = edges.groupBy("u").agg(F.sum("w").alias("w_out"))
-    ew = edges.join(outw, "u")
+    # Materialize the nation×nation edge aggregate ONCE PER SESSION: it is
+    # the output of the heavy 4-table join chain (the only part of this
+    # query that scales with data volume).  The earlier per-call
+    # localCheckpoint re-ran the join chain on every invocation (profiled:
+    # one 8.7 s-CPU lineitem-scan stage per call).  ≤625 rows regardless of
+    # scale factor — the classic iterate-on-the-aggregate split; a cluster
+    # run would checkpoint()/write it to a staging table.
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import (
+        local_df,
+        shared_df,
+    )
+
+    edges = shared_df(
+        spark, ("trade_edges", sf_dir), lambda: _trade_edges(spark, sf_dir)
+    )
+    # The rank loop runs DRIVER-SIDE on the collected ≤625-row aggregate
+    # (bounded by |nation|² at every SF — the same bounded-driver-state
+    # pattern as cdc_ivm_join's dim memo and the BPE trainer).  The earlier
+    # lazy join-per-iteration chain made every iteration's broadcast build
+    # re-execute all previous iterations' plans (profiled: ten 0.1-0.7 s
+    # re-execution jobs per call, growing with iteration depth).  Arithmetic
+    # is the same exact-integer form: per-edge r·w div w_out summed, then
+    # the damped update with two separate integer divisions — all operands
+    # non-negative, so Python // matches SQL div exactly.
+    e_rows = [(r["u"], r["v"], r["w"]) for r in edges.collect()]
+    w_out: dict[int, int] = {}
+    w_in: dict[int, int] = {}
+    for u, v, w in e_rows:
+        w_out[u] = w_out.get(u, 0) + w
+        w_in[v] = w_in.get(v, 0) + w
 
     n_nodes = 25  # |nation| is fixed at every TPC-H scale factor
     base = PR_MASS // n_nodes
-    ranks = n.select(
-        F.col("n_nationkey").alias("node"), F.lit(base).cast("long").alias("r")
-    )
+    nodes = [r["n_nationkey"] for r in n.select("n_nationkey").collect()]
+    ranks = {node: base for node in nodes}
     for _ in range(PR_ITERS):
-        contrib = (
-            ew.join(ranks, ew.u == ranks.node)
-            .select("v", F.expr("r * w div w_out").alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("csum"))
-        )
-        ranks = (
-            ranks.join(contrib, ranks.node == contrib.v, "left")
-            .select(
-                "node",
-                F.expr(
-                    f"cast({PR_D_DEN - PR_D_NUM}L * {base} div {PR_D_DEN}"
-                    f" + {PR_D_NUM}L * coalesce(csum, 0L) div {PR_D_DEN} as long)"
-                ).alias("r"),
-            )
-        )
-    inw = edges.groupBy("v").agg(F.sum("w").alias("w_in"))
+        csum: dict[int, int] = {}
+        for u, v, w in e_rows:
+            csum[v] = csum.get(v, 0) + ranks[u] * w // w_out[u]
+        ranks = {
+            node: (PR_D_DEN - PR_D_NUM) * base // PR_D_DEN
+            + PR_D_NUM * csum.get(node, 0) // PR_D_DEN
+            for node in nodes
+        }
+    final = local_df(spark,
+        [
+            (node, ranks[node], w_out.get(node, 0), w_in.get(node, 0))
+            for node in nodes
+        ],
+        "node INT, rank_micro BIGINT, w_out BIGINT, w_in BIGINT",
+    )
     return (
-        ranks.join(n, ranks.node == n.n_nationkey)
-        .join(outw.withColumnRenamed("u", "node"), "node", "left")
-        .join(inw.withColumnRenamed("v", "node"), "node", "left")
-        .select(
-            "n_name",
-            F.col("r").alias("rank_micro"),
-            F.coalesce("w_out", F.lit(0)).alias("w_out"),
-            F.coalesce("w_in", F.lit(0)).alias("w_in"),
-        )
+        final.join(F.broadcast(n), final.node == n.n_nationkey)
+        .select("n_name", "rank_micro", "w_out", "w_in")
         .orderBy(F.desc("rank_micro"), "n_name")
     )
 

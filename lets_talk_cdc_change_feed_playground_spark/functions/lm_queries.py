@@ -134,7 +134,9 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mx, my), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         rows.append((r, mx, my, c))
         vocab = [(w, n, _bpe_apply_merge(sym, mx, my)) for w, n, sym in vocab]
-    return spark.createDataFrame(
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import local_df
+
+    return local_df(spark,
         rows, "round INT, merge_x STRING, merge_y STRING, pair_count BIGINT"
     ).orderBy("round")
 

@@ -352,7 +352,9 @@ def cdc_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         pf_rows.append((r["method"], r["__bucket"], run.get(r["method"])))
         prev = run.get(r["method"])
         run[r["method"]] = r["m"] if prev is None else max(prev, r["m"])
-    pf = spark.createDataFrame(
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import local_df
+
+    pf = local_df(spark,
         pf_rows, "method string, __bucket long, __prefix_max long"
     )
 

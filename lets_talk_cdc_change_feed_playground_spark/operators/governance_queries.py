@@ -52,7 +52,7 @@ from lets_talk_cdc_change_feed_playground_spark.operators.playground_queries imp
     _PCT,
     _bus_sql,
 )
-from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+from lets_talk_cdc_change_feed_playground_spark.operators.shared import local_df, shared_df
 
 GDPR_MOD = 7  # ~1/7 of keys request erasure: hash31('gdpr:'||pk) % 7 == 0
 
@@ -254,7 +254,7 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # a lane with zero requested-key rows still reports a zero row (the
     # unfused form aggregated each lane globally, so empty input gave zeros)
-    methods = spark.createDataFrame(
+    methods = local_df(spark,
         [("log",), ("polling",), ("trigger",)], "method string"
     )
     lanes = (

@@ -55,7 +55,7 @@ from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
     OPS_SQL,
     ops_feed,
 )
-from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+from lets_talk_cdc_change_feed_playground_spark.operators.shared import local_df, shared_df
 
 #: Maintenance-batch width (ms): 5 days -> 6 epochs over the 30-day feed.
 EPOCH_MS = 432_000_000
@@ -190,7 +190,7 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- fact pass 1: every d_r-side quantity in one groupBy(epoch) ----
     # per-(epoch, type) S-side literals: hot-before flag (term1) and net S
     # weight (term3) — a broadcast of epochs x types rows
-    sw = spark.createDataFrame(
+    sw = local_df(spark,
         [
             (
                 e,
@@ -227,7 +227,7 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in all_types
         if net_ds.get((e, t), 0) != 0
     ] + [(e, e, t, "direct", 1) for e in epochs for t in hot[e]]
-    probes = spark.createDataFrame(
+    probes = local_df(spark,
         probe_rows, "pbe long, check_at long, pbt string, tag string, pw long"
     )
     agg_v = (
@@ -247,7 +247,7 @@ def cdc_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- assembly over the literal epoch chain (epochs rows) ----
-    ep = spark.createDataFrame(
+    ep = local_df(spark,
         [(e, gross_s[e][0], gross_s[e][1]) for e in epochs],
         "be long, d_s_ins long, d_s_del long",
     )

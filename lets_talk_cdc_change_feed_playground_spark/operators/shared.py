@@ -112,6 +112,43 @@ def _anchor_to_cache(spark: SparkSession, built: DataFrame) -> DataFrame:
         return built
 
 
+def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Small driver-literal frame as a constant LocalRelation (VALUES form).
+
+    ``spark.createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` pickled slices and spawns a Python worker PER
+    SLICE on first compute — measured 0.5-0.8 s per call in a 32-core
+    session for a 25-row frame, paid again on every re-execution (and once
+    more inside any broadcast build of the frame).  The VALUES form plans
+    as a constant-folded ``LocalRelation``: zero RDD, zero Python workers,
+    exact schema via per-column casts.  Scalars only (int/float/str/bool/
+    None); ``schema`` is the same DDL string ``createDataFrame`` takes
+    (simple types only — a parenthesised type carrying a comma, e.g.
+    ``decimal(38,2)``, would break the split).
+    """
+    if not rows:  # VALUES needs >= 1 tuple; empty stays on the classic path
+        return spark.createDataFrame([], schema)
+    cols = [c.strip() for c in schema.split(",")]
+    names = [c.split(None, 1)[0] for c in cols]
+    types = [c.split(None, 1)[1] for c in cols]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return repr(v)
+
+    vals = ",".join("(" + ",".join(lit(v) for v in row) + ")" for row in rows)
+    inner = ",".join(f"c{i}" for i in range(len(names)))
+    sel = ",".join(
+        f"CAST(c{i} AS {t}) AS `{nm}`" for i, (nm, t) in enumerate(zip(names, types))
+    )
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS t({inner})")
+
+
 def clear_shared() -> int:
     """Unpersist and drop every registered frame; returns the count dropped.
 

@@ -1726,28 +1726,55 @@ ORDER BY s_acctbal DESC, p_partkey LIMIT 20
 # comparisons are exact on both engines.
 # --------------------------------------------------------------------------
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
+    # Single-pass funnel: the three stage frames chained per-stage joins and
+    # each fed TWO consumers (the next stage's join and its own count), so
+    # the events scan ran six times per call (profiled: six 32-task jobs at
+    # 2.6-5.6 s CPU each).  The stage thresholds are per-user scalars — first
+    # view, first click after it, first purchase after that — so one shuffle
+    # by user_id and three stacked conditional-min windows (same partition
+    # spec: one sort, no further exchange) compute the whole funnel; the
+    # per-user rollup reuses the window partitioning and the final count is
+    # a 1-row two-phase aggregate (guide §2.4).
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    wu = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
-    pch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("tv"),
+        F.max("t_click").alias("tc"),
+        F.max("t_purchase").alias("tp"),
     )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(pch.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    return per_user.agg(
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click_after_view"),
+        F.count("tp").alias("n_purchase_after_click"),
     )
 
 

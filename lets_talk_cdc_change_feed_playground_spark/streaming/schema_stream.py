@@ -48,6 +48,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from lets_talk_cdc_change_feed_playground_spark.operators.shared import local_df
 from lets_talk_cdc_change_feed_playground_spark.operators.schema_evolution import (  # noqa: E402
     _TYPE_BOOL as _TYPE_BOOL_RE,
     _TYPE_NUM as _TYPE_NUM_RE,
@@ -528,7 +529,7 @@ def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     one oracle pins both."""
     registry, sink = run_schema_evolution_stream(spark, sf_dir)
 
-    schema_rows = spark.createDataFrame(
+    schema_rows = local_df(spark,
         [
             (tbl, "schema", col, col_type, int(next_ver))
             for (tbl, _op, _t, _seq, _act, col, col_type, _pv, next_ver) in registry.events

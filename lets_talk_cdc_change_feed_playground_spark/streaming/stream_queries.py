@@ -38,6 +38,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from lets_talk_cdc_change_feed_playground_spark.operators.shared import local_df
 from lets_talk_cdc_change_feed_playground_spark.operators.ops_feed import (
     OPS_SQL,
     ops_feed,
@@ -699,7 +700,7 @@ def _commit_chunks(spark: SparkSession, sf_dir: str) -> str:
         part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
         _pin_chunk(os.path.join(cdir, part), os.path.join(flat, f"{i:02d}.parquet"), i)
         lo = hi
-    hb = spark.createDataFrame(
+    hb = local_df(spark,
         [
             (
                 _HB_TX,
@@ -1164,7 +1165,8 @@ def stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, c in enumerate(nonzero):
         cum += c
         rows.append((i, c, cap, cum, total - cum, c <= cap))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "batch_seq long, consumed long, cap long, cum_consumed long, "
         "backlog_after long, within_cap boolean",
@@ -2062,7 +2064,7 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, m in enumerate(epochs_meta)
             for et in all_types
         ]
-        wdf = spark.createDataFrame(
+        wdf = local_df(spark,
             wrows, "__wj int, __wet string, __hot long, __net long"
         )
         stats = (
@@ -2106,7 +2108,8 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dv_net, view_rows, m["direct"], view_rows == m["direct"],
             )
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         results,
         "epoch long, d_r_ins long, d_r_del long, d_s_ins long, d_s_del long,"
         " dv_net long, view_rows long, view_rows_direct long, converged boolean",
