@@ -72,6 +72,21 @@ def get_spark(
         # map_concat(existing, after) must be the JS object-spread merge:
         # later keys win (src/domain/storage.ts:133-164 semantics)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # Bound the plan-description strings generated per query execution
+        # (SQLExecutionStart + every AQE plan-update event rebuilds one).
+        # Session-staged frames are handed out as InMemoryRelation leaves
+        # whose string form embeds the full builder plan — and a staged
+        # frame built over another staged frame embeds ITS string too, so
+        # the text grows multiplicatively while the actual plan tree stays
+        # tiny (measured: a 20-node triangle-count plan printed 9.7 MB and
+        # burned ~0.8 s of driver CPU per execution on strings nothing
+        # consumes — the UI is off).  128 KiB keeps explain() useful; full
+        # dumps for the plan-evidence files raise it per-session
+        # (tools/dump_plan.py).
+        .config(
+            "spark.sql.maxPlanStringLength",
+            os.environ.get("SPARK_GRAFT_MAX_PLAN_STR", str(128 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

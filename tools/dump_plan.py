@@ -29,6 +29,9 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from lets_talk_cdc_change_feed_playground_spark import get_spark
 
+    # evidence dumps want the FULL plan text — lift the session's bounded
+    # plan-string cap (sessions default to 128 KiB; see session.py)
+    os.environ.setdefault("SPARK_GRAFT_MAX_PLAN_STR", str(64 * 1024 * 1024))
     spark = get_spark("plan-dump")
     qs = entry_mod.queries()
     os.makedirs(args.out_dir, exist_ok=True)
