@@ -86,31 +86,41 @@ def lineitem_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nfile"),
     )
 
-    def audit(df: DataFrame, file_col: str, layout: str) -> DataFrame:
-        cut = (2 ** Z_BITS - 1) * Z_PRED_NUM // Z_PRED_DEN
-        per_file = df.groupBy(F.col(file_col).alias("file_id")).agg(
-            F.count(F.lit(1)).cast("long").alias("rows"),
-            F.min("ra").alias("a_min"), F.max("ra").alias("a_max"),
-            F.min("rb").alias("b_min"), F.max("rb").alias("b_max"),
-        )
-        agg = per_file.agg(
-            F.lit(layout).alias("layout"),
-            F.count(F.lit(1)).cast("long").alias("n_files"),
-            F.sum("rows").cast("long").alias("n_rows"),
-            F.sum(
-                F.when((F.col("a_min") > cut) | (F.col("b_min") > cut), 1).otherwise(0)
-            ).cast("long").alias("files_skipped"),
-            # exact integer mean (double avg + cast would round vs truncate
-            # differently across engines)
-            F.sum(
-                (F.col("a_max") - F.col("a_min")) + (F.col("b_max") - F.col("b_min"))
-            ).alias("span_sum"),
-        )
-        return agg.withColumn("mean_span", F.expr("span_sum div n_files")).drop("span_sum")
-
+    # ONE pass audits BOTH layouts: each row explodes into its (layout,
+    # file_id) pair, so the per-file min-max stats for the z-ordered and the
+    # insertion-ordered assignment come out of a single scan + one two-phase
+    # aggregation — the earlier per-layout audit() union re-ran the scaled
+    # projection scan per branch (profiled: two 0.5 s 32-task jobs).
+    cut = (2 ** Z_BITS - 1) * Z_PRED_NUM // Z_PRED_DEN
+    tagged = files.select(
+        "ra",
+        "rb",
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), F.col("zfile").alias("file_id")),
+                F.struct(F.lit("insertion").alias("layout"), F.col("nfile").alias("file_id")),
+            )
+        ).alias("lf"),
+    ).select("ra", "rb", F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id"))
+    per_file = tagged.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.min("ra").alias("a_min"), F.max("ra").alias("a_max"),
+        F.min("rb").alias("b_min"), F.max("rb").alias("b_max"),
+    )
+    agg = per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.sum(
+            F.when((F.col("a_min") > cut) | (F.col("b_min") > cut), 1).otherwise(0)
+        ).cast("long").alias("files_skipped"),
+        # exact integer mean (double avg + cast would round vs truncate
+        # differently across engines)
+        F.sum(
+            (F.col("a_max") - F.col("a_min")) + (F.col("b_max") - F.col("b_min"))
+        ).alias("span_sum"),
+    )
     return (
-        audit(files, "zfile", "zorder")
-        .unionByName(audit(files, "nfile", "insertion"))
+        agg.withColumn("mean_span", F.expr("span_sum div n_files"))
         .select(
             "layout",
             "n_files",
