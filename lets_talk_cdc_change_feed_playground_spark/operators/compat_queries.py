@@ -94,25 +94,41 @@ def cdc_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"n_after": 0})
         .join(F.broadcast(tbl), "table")
     )
-    adds = sp.select(
-        "table",
-        "column",
+    # one pass over sp emits BOTH event kinds: the add/baseline row always,
+    # the drop row behind its threshold — the earlier adds/drops union
+    # re-executed the spans⋈after⋈tbl chain once per branch (guide §2.4)
+    ev_add = F.struct(
         F.col("first.t").alias("t"),
         F.col("first.seq").alias("seq"),
         F.when(F.col("first") == F.col("t0"), F.lit("baseline"))
         .otherwise(F.lit("add"))
         .alias("action"),
-        "n_after",
     )
-    drops = sp.filter(F.col("n_after") >= DROP_MIN).select(
-        "table",
-        "column",
-        F.col("last.t").alias("t"),
-        F.col("last.seq").alias("seq"),
-        F.lit("drop").alias("action"),
-        "n_after",
+    ev_drop = F.when(
+        F.col("n_after") >= DROP_MIN,
+        F.struct(
+            F.col("last.t").alias("t"),
+            F.col("last.seq").alias("seq"),
+            F.lit("drop").alias("action"),
+        ),
     )
-    events = adds.unionByName(drops)
+    events = (
+        sp.select(
+            "table",
+            "column",
+            "n_after",
+            F.explode(F.array(ev_add, ev_drop)).alias("ev"),
+        )
+        .filter(F.col("ev").isNotNull())
+        .select(
+            "table",
+            "column",
+            F.col("ev.t").alias("t"),
+            F.col("ev.seq").alias("seq"),
+            F.col("ev.action").alias("action"),
+            "n_after",
+        )
+    )
     wv = W.partitionBy("table").orderBy("t", "seq", "action", "column")
     classified = events.withColumn("version", F.row_number().over(wv)).withColumn(
         "compat",
