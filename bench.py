@@ -7,6 +7,22 @@ The per-query timing map (~6 KB for 212 queries) is written to
 BENCH_DETAIL.json next to this script and echoed to stderr — the driver
 captures only a ~2 KB stdout tail, so the final line must stay small.
 
+Headline semantics (round-9 measurement fix, per the round-8 verdict):
+``value`` is the END-TO-END wall — staging_sec (shared-frame warmup)
++ first_pass_sec (summed first-touch extra across queries) + steady_sec
+(sum of best-of-N per-query walls).  Rounds 1-8 reported the steady sum
+alone as ``value`` while the untimed staging region grew, which made
+round-over-round value comparisons overstate gains; all three components
+stay on the summary line, and ``steady_sec`` carries the old meaning so
+the historical series remains computable (r08 equivalent end-to-end =
+70.5 + 103.9 + 171.7 = 346.1 s).  The per-query ``queries`` map is
+unchanged: steady-state best-of-N, same names.
+
+The detail file is written BOTH to BENCH_DETAIL.json (historical name)
+and BENCH_DETAIL_c{cpus}.json — the driver re-runs the bench at a lower
+core count, and in round 8 that second run clobbered the 32-core
+per-query map; per-config names keep both runs' details readable.
+
 Each query is fully materialized through the noop sink (forces execution of
 the whole plan — ``count()`` alone would let Catalyst prune unreferenced
 projections). Env knobs:
@@ -191,6 +207,7 @@ def main() -> int:
     # explicit ``staging_sec`` warmup, so total bench cost = staging_sec +
     # first_pass_sec + value.
     timings: dict[str, float] = {}
+    first_extra: dict[str, float] = {}
     first_pass_extra = 0.0
     failures: dict[str, str] = {}
     gc_ms_per_query: dict[str, int] = {}
@@ -206,6 +223,7 @@ def main() -> int:
                 first = dt if first is None else first
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
+            first_extra[name] = round(first - best, 3)
             first_pass_extra += first - best
         except Exception as e:  # keep benching; report the failure
             failures[name] = str(e).split("\n")[0][:200]
@@ -219,15 +237,28 @@ def main() -> int:
         )
 
     canary_end = _canary(spark)
+    steady_sec = round(sum(timings.values()), 3)
+    # MEASUREMENT FIX (round 9, per the r08 verdict): the headline value is
+    # the honest END-TO-END wall, not the steady sum — staging and first-pass
+    # work is real computation from the parquet inputs and belongs inside the
+    # compared number. steady_sec keeps the old meaning for the series.
+    end_to_end = round(staging_sec + first_pass_extra + steady_sec, 3)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     detail = {
         "metric": "total_query_wall_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": end_to_end,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
         "n_queries": len(timings),
+        "steady_sec": steady_sec,
         "staging_sec": staging_sec,
         "first_pass_sec": round(first_pass_extra, 3),
+        # per-query first-touch extra (run1 − best): attributes the
+        # first_pass_sec total so lazily-staged shared frames' one-time
+        # materialization cost is readable per query family
+        "first_extra": first_extra,
         "canary_start": canary_start,
         "canary_end": canary_end,
         # driver-JVM GC wall attributed per timed query (ms): reads the
@@ -238,23 +269,28 @@ def main() -> int:
     }
     if failures:
         detail["failures"] = failures
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError as e:
-        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+    here = os.path.dirname(os.path.abspath(__file__))
+    # per-config detail next to the historical name: the driver's low-core
+    # re-run must not clobber the main run's per-query map (r08 lesson)
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{cpus}.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError as e:
+            print(f"# could not write {fname}: {e}", file=sys.stderr)
     print(json.dumps(detail), file=sys.stderr, flush=True)
 
-    # Compact final stdout line (<200 bytes) — the driver's tail capture is
-    # ~2 KB, so the per-query map must NOT be on stdout (round 1 + 3 lesson).
+    # Compact final stdout line (<2 KB driver tail capture) — the per-query
+    # map must NOT be on stdout (round 1 + 3 lesson).
     summary = {
         "metric": "total_query_wall_sec",
-        "value": detail["value"],
+        "value": end_to_end,
         "unit": "sec",
         "sf": detail["sf"],
+        "cpus": cpus,
         "n_queries": detail["n_queries"],
         "n_failures": len(failures),
+        "steady_sec": steady_sec,
         "staging_sec": staging_sec,
         "first_pass_sec": round(first_pass_extra, 3),
         # ambient-load sentinel: mean of the fixed-cost CPU canary timed at

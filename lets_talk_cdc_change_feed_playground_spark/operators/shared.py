@@ -29,6 +29,7 @@ re-shuffles reappeared; events_session_concurrency 0.9 → 4.8 s).
 
 from __future__ import annotations
 
+import math
 import threading
 from collections.abc import Callable
 
@@ -108,8 +109,29 @@ def _anchor_to_cache(spark: SparkSession, built: DataFrame) -> DataFrame:
             spark._jsparkSession, rel
         )
         return DataFrame(jdf, spark)
-    except Exception:
+    except Exception as e:
+        # LOUD fallback: anchoring rides Spark-internal hooks
+        # (withCachedData, statsOfPlanToCache_$eq, classic.Dataset.ofRows) —
+        # on a Spark upgrade the whole optimization would otherwise vanish
+        # silently with zero test failure (the plain persisted frame is
+        # still correct, just slow).  tests/test_plan_sweep.py additionally
+        # pins that an anchored frame plans as an InMemoryRelation leaf.
+        global _ANCHOR_FALLBACKS
+        _ANCHOR_FALLBACKS += 1
+        import warnings
+
+        warnings.warn(
+            f"shared_df anchoring fell back to plain persist ({type(e).__name__}: {e}); "
+            "consumer plans will re-carry full builder lineage",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return built
+
+
+#: count of _anchor_to_cache failures this process — observable from tests
+#: and ops tooling (non-zero means the Spark-internal anchoring hook broke)
+_ANCHOR_FALLBACKS = 0
 
 
 def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
@@ -121,13 +143,20 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     session for a 25-row frame, paid again on every re-execution (and once
     more inside any broadcast build of the frame).  The VALUES form plans
     as a constant-folded ``LocalRelation``: zero RDD, zero Python workers,
-    exact schema via per-column casts.  Scalars only (int/float/str/bool/
-    None); ``schema`` is the same DDL string ``createDataFrame`` takes
+    exact schema via per-column casts.  Scalars only (finite int/float/str/
+    bool/None); ``schema`` is the same DDL string ``createDataFrame`` takes
     (simple types only — a parenthesised type carrying a comma, e.g.
-    ``decimal(38,2)``, would break the split).
+    ``decimal(38,2)``, would break the split, so those are rejected).
     """
     if not rows:  # VALUES needs >= 1 tuple; empty stays on the classic path
         return spark.createDataFrame([], schema)
+    if "(" in schema:
+        # a parenthesised type carrying a comma (decimal(38,2), char(n)…)
+        # would silently mis-split the DDL into garbage columns — fail fast
+        raise ValueError(
+            f"local_df: parameterised types are unsupported (schema {schema!r}); "
+            "use a simple type and cast downstream"
+        )
     cols = [c.strip() for c in schema.split(",")]
     names = [c.split(None, 1)[0] for c in cols]
     types = [c.split(None, 1)[1] for c in cols]
@@ -139,6 +168,10 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, float) and not math.isfinite(v):
+            # repr(inf/nan) is not valid SQL — a future caller would get a
+            # parse error (or silently wrong literals), so fail loudly here
+            raise ValueError(f"local_df: non-finite float {v!r} is not renderable")
         return repr(v)
 
     vals = ",".join("(" + ",".join(lit(v) for v in row) + ")" for row in rows)

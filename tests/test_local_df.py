@@ -42,3 +42,18 @@ def test_local_df_empty_falls_back(spark):
     df = local_df(spark, [], "a INT, b STRING")
     assert df.collect() == []
     assert [f.name for f in df.schema.fields] == ["a", "b"]
+
+
+def test_local_df_rejects_nonfinite_floats(spark):
+    import pytest
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            local_df(spark, [(bad,)], "x DOUBLE").collect()
+
+
+def test_local_df_rejects_parameterised_types(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="parameterised"):
+        local_df(spark, [(1.5, "a")], "x DECIMAL(38,2), y STRING")

@@ -112,6 +112,38 @@ def test_rank_limit_pushdown_survives(spark, sf_dir, name, cap_const):
     )
 
 
+def test_shared_df_anchors_to_inmemory_leaf(spark):
+    """``shared_df`` hands consumers a DataFrame whose LOGICAL plan is the
+    cache's ``InMemoryRelation`` leaf (not the builder lineage) — the
+    round-8 anchoring optimization.  ``_anchor_to_cache`` rides Spark
+    internals behind a broad fallback, so a Spark upgrade could silently
+    revert every consumer to full-lineage re-analysis with zero failing
+    test; this guard (plus the loud RuntimeWarning in the fallback) makes
+    that regression observable."""
+    from lets_talk_cdc_change_feed_playground_spark.operators import shared
+
+    df = shared.shared_df(
+        spark,
+        ("plan_guard_anchor_probe",),
+        lambda: spark.range(1000)
+        .selectExpr("id % 13 AS k", "id AS v")
+        .groupBy("k")
+        .count(),
+    )
+    root = df._jdf.queryExecution().logical().nodeName()
+    assert root == "InMemoryRelation", (
+        f"anchored shared frame plans as {root}, not an InMemoryRelation leaf "
+        "— _anchor_to_cache fell back (check the RuntimeWarning for why); "
+        "every shared-frame consumer is re-analyzing full builder lineage"
+    )
+    assert shared._ANCHOR_FALLBACKS == 0, (
+        f"_anchor_to_cache fell back {shared._ANCHOR_FALLBACKS}x this process"
+    )
+    # and the physical side: consumers scan the cache
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in physical or "Scan In-memory" in physical
+
+
 def test_allpairs_verify_plan_invariants(spark, sf_dir):
     """The AllPairs verify is the posting-list equi-join form: whole-stage
     codegen hash joins + ONE hash aggregation, no interpreted per-pair
