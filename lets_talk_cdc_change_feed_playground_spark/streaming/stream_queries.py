@@ -1838,14 +1838,18 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _staged[key] = flat
 
     state_root = tempfile.mkdtemp(prefix="sg_ivm_state_")
-    # Per-epoch bookkeeping for DEFERRED stats: during the stream each epoch
-    # runs exactly ONE action (the versioned state write, carrying the
-    # recompute audit as an observed metric). The delta-rule stats are
-    # reconstructed AFTER the stream from the immutable on-disk state
-    # versions — d_R is the null-safe set difference of consecutive versions
-    # (provably the same rows the in-flight delta join produced) and the S
-    # deltas are driver-known — so six per-epoch collect() round-trips
-    # become one batched aggregate at the end.
+    # Per-epoch bookkeeping for DEFERRED stats: during the stream each BATCH
+    # runs exactly ONE action — a single ``partitionBy(version)`` write that
+    # commits EVERY epoch's state version at once, carrying each epoch's
+    # recompute audit as an observed metric (commit batching, guide §5: the
+    # r08 form ran one multi-stage write query per epoch, ~7 jobs and a
+    # persist/unpersist round-trip each — the dominant cost was job/plan
+    # machinery, not data).  The delta-rule stats are reconstructed AFTER
+    # the stream from the immutable on-disk state versions — d_R is the
+    # null-safe set difference of consecutive versions (provably the same
+    # rows the in-flight delta join produced) and the S deltas are
+    # driver-known — so six per-epoch collect() round-trips become one
+    # batched aggregate at the end.
     epochs_meta: list[dict] = []
     # The dim side S is tiny by construction (one row per event type), so its
     # state rides in the driver between batches exactly like a broadcast
@@ -1859,7 +1863,12 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # A micro-batch may carry SEVERAL maintenance epochs (delivery
         # batching is an operational knob; the delta rule is batching-
         # invariant — the same oracle pins the per-epoch stats whatever the
-        # trigger granularity). Epochs apply sequentially within the batch.
+        # trigger granularity). Epochs apply sequentially DRIVER-side (the
+        # bounded S state folds epoch by epoch), but their R state versions
+        # commit in one distributed action.
+        from pyspark.sql import Observation
+
+        sp = bdf.sparkSession
         bdf = bdf.persist()
         try:
             count_rows = (
@@ -1870,114 +1879,171 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             by_epoch: dict[int, dict[str, int]] = {}
             for r in count_rows:
                 by_epoch.setdefault(r["epoch"], {})[r["event_type"]] = r["n"]
-            for epoch in sorted(by_epoch):
-                # re-delivery guard (UpsertSink's batch-id ledger idea): a
-                # crash between sink commit and checkpoint commit re-delivers
-                # the batch — without this the same epoch would append twice
-                # to epochs_meta (duplicate result rows, double-counted
-                # view_rows) while by_epoch_stats silently kept one entry
-                if any(m["epoch"] == epoch for m in epochs_meta):
-                    continue
-                _maintain_epoch(
-                    bdf.filter(F.col("epoch") == epoch), bid, epoch, by_epoch[epoch]
+            # re-delivery guard (UpsertSink's batch-id ledger idea): a crash
+            # between sink commit and checkpoint commit re-delivers the
+            # batch — without this the same epoch would append twice to
+            # epochs_meta (duplicate result rows, double-counted view_rows)
+            # while by_epoch_stats silently kept one entry
+            seen = {m["epoch"] for m in epochs_meta}
+            versions = [e for e in sorted(by_epoch) if e not in seen]
+            if not versions:
+                return
+            r_old_dir = running["r_dir"]
+            olds = running["s_state"]
+
+            # -- S deltas for every epoch, oldest first: driver arithmetic
+            # over the per-type counts (no executor work), folded
+            # sequentially so each epoch sees the S state its predecessor
+            # left.  hot_new per epoch feeds the per-version recompute audit
+            # observed on the single write below.
+            metas: list[dict] = []
+            for epoch in versions:
+                counts = by_epoch[epoch]
+                total = sum(counts.values())
+                s_new_rows = [
+                    (
+                        et,
+                        counts.get(et, 0) * IVM.HOT_DEN >= total,
+                        counts.get(et, 0) * 1000 // total,
+                    )
+                    for et in sorted(all_types)
+                ]
+                ds_rows = []
+                for et, present, bucket in s_new_rows:
+                    p_present, p_bucket = olds.get(et, (False, None))
+                    if p_present and present and p_bucket == bucket:
+                        continue
+                    if present:
+                        ds_rows.append((et, 1, bucket))
+                    if p_present:
+                        ds_rows.append((et, -1, p_bucket))
+                metas.append(
+                    {
+                        "epoch": int(epoch),
+                        "r_old_dir": r_old_dir,
+                        "r_new_dir": os.path.join(
+                            state_root, f"b{bid}", f"v={epoch}"
+                        ),
+                        "hot_old": sorted(
+                            et for et, (present, _b) in olds.items() if present
+                        ),
+                        "net_ds": {
+                            et: sum(w for e2, w, _b in ds_rows if e2 == et)
+                            for et in {e2 for e2, _w, _b in ds_rows}
+                        },
+                        "d_s_ins": sum(1 for r in ds_rows if r[1] == 1),
+                        "d_s_del": sum(1 for r in ds_rows if r[1] == -1),
+                        "hot_new": [et for et, present, _b in s_new_rows if present],
+                    }
                 )
+                olds = {et: (present, bucket) for et, present, bucket in s_new_rows}
+                r_old_dir = metas[-1]["r_new_dir"]
+
+            # -- R state advance, ALL epochs in one pass: version v's state
+            # is the pre-batch base minus keys first touched at or before v,
+            # plus each touched key's latest ALIVE image among epochs <= v —
+            # exactly the sequential anti-join ∪ last fold, associatively
+            # flattened (last-writer-wins per pk).  partitionBy(version)
+            # commits every epoch's immutable state dir in ONE job.
+            base = (
+                # explicit schema: a leaf version dir needs no footer job
+                sp.read.schema(r_schema).parquet(running["r_dir"])
+                if running["r_dir"]
+                else sp.createDataFrame([], r_schema)
+            )
+            varr = F.array(*[F.lit(int(e)) for e in versions])
+            per_pk = bdf.filter(F.col("epoch").isin([int(e) for e in versions])).groupBy(
+                "pk", "epoch"
+            ).agg(
+                F.max_by(
+                    F.struct(
+                        (F.col("op") != "delete").alias("alive"),
+                        F.col("event_type").alias("et"),
+                        F.col("value").alias("val"),
+                    ),
+                    F.col("seq"),
+                ).alias("st")
+            )
+            over = (
+                per_pk.select(
+                    "pk",
+                    "epoch",
+                    "st",
+                    F.explode(F.filter(varr, lambda v: v >= F.col("epoch"))).alias(
+                        "__v"
+                    ),
+                )
+                .groupBy("pk", "__v")
+                .agg(F.max_by("st", "epoch").alias("st"))
+            )
+            batch_part = over.filter("st.alive").select(
+                "pk",
+                F.col("st.et").alias("et"),
+                F.col("st.val").alias("val"),
+                "__v",
+            )
+            # first-touch epoch per key, bounded by the trigger's key count —
+            # broadcast so the accumulated base is scanned, never shuffled
+            ft = per_pk.groupBy("pk").agg(F.min("epoch").alias("__ft")).select(
+                F.col("pk").alias("__fpk"), "__ft"
+            )
+            base_part = (
+                base.join(
+                    F.broadcast(ft), base["pk"].eqNullSafe(F.col("__fpk")), "left"
+                )
+                .select(
+                    "pk",
+                    "et",
+                    "val",
+                    F.explode(
+                        F.when(
+                            F.col("__ft").isNull(), varr
+                        ).otherwise(F.filter(varr, lambda v: v < F.col("__ft")))
+                    ).alias("__v"),
+                )
+            )
+            all_rows = base_part.unionByName(batch_part).withColumnRenamed(
+                "__v", "v"
+            )
+            # per-version recompute audit ("recount the view from scratch"),
+            # observed on the single write — one conditional sum per epoch
+            # over its driver-known hot set
+            obs = Observation()
+            audit_cols = []
+            for m in metas:
+                hot = m["hot_new"]
+                cond = (F.col("v") == m["epoch"]) & (
+                    F.col("et").isin(hot) if hot else F.lit(False)
+                )
+                audit_cols.append(
+                    F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(
+                        f"direct_{m['epoch']}"
+                    )
+                )
+            batch_root = os.path.join(state_root, f"b{bid}")
+            all_rows.observe(obs, *audit_cols).write.partitionBy("v").parquet(
+                batch_root
+            )
+            audits = obs.get
+            for m in metas:
+                m["direct"] = int(audits[f"direct_{m['epoch']}"])
+                m.pop("hot_new")
+                # an epoch whose state is entirely empty writes no partition
+                # dir — materialize an empty (schema-ful) version so the
+                # next batch's base read and the deferred stats union still
+                # resolve the path
+                if not os.path.isdir(m["r_new_dir"]):
+                    sp.createDataFrame([], r_schema).repartition(1).write.parquet(
+                        m["r_new_dir"]
+                    )
+                epochs_meta.append(m)
+            running["r_dir"] = metas[-1]["r_new_dir"]
+            running["s_state"] = olds
         finally:
             bdf.unpersist()
 
-    def _maintain_epoch(
-        edf: DataFrame, bid: int, epoch: int, counts: dict[str, int]
-    ) -> None:
-        sp = edf.sparkSession
-        r_old_dir = running["r_dir"]
-        r_old = (
-            sp.read.parquet(r_old_dir)
-            if r_old_dir
-            else sp.createDataFrame([], r_schema)
-        )
-        olds = running["s_state"]
-
-        # -- S delta: dense per-type hot state of THIS epoch vs held state --
-        # (driver arithmetic over the per-type counts — no executor work)
-        total = sum(counts.values())
-        s_new_rows = [
-            (
-                et,
-                counts.get(et, 0) * IVM.HOT_DEN >= total,
-                counts.get(et, 0) * 1000 // total,
-            )
-            for et in sorted(all_types)
-        ]
-        ds_rows = []
-        for et, present, bucket in s_new_rows:
-            p_present, p_bucket = olds.get(et, (False, None))
-            if p_present and present and p_bucket == bucket:
-                continue
-            if present:
-                ds_rows.append((et, 1, bucket))
-            if p_present:
-                ds_rows.append((et, -1, p_bucket))
-
-        # -- R state advance: epoch-final state per touched key folds into
-        # the versioned store; the recompute audit ("recount the view from
-        # scratch") rides the write as an observed metric. This is the
-        # epoch's ONLY action.
-        last = edf.groupBy("pk").agg(
-            F.max_by(
-                F.struct(
-                    (F.col("op") != "delete").alias("alive"),
-                    F.col("event_type").alias("et"),
-                    F.col("value").alias("val"),
-                ),
-                F.col("seq"),
-            ).alias("st")
-        ).persist()
-        r_new = (
-            r_old.join(last.select(F.col("pk").alias("tpk")), r_old.pk == F.col("tpk"), "left_anti")
-            .unionByName(
-                last.filter("st.alive").select(
-                    "pk", F.col("st.et").alias("et"), F.col("st.val").alias("val")
-                )
-            )
-        )
-        from pyspark.sql import Observation
-
-        hot_new = [et for et, present, _b in s_new_rows if present]
-        hot_cond = F.col("et").isin(hot_new) if hot_new else F.lit(False)
-        obs = Observation()
-        r_dir = os.path.join(state_root, f"r{bid}_{epoch}")
-        r_new.observe(
-            obs, F.coalesce(F.sum(hot_cond.cast("long")), F.lit(0)).alias("direct")
-        ).write.parquet(r_dir)
-        direct = int(obs.get["direct"])
-        last.unpersist()
-        epochs_meta.append(
-            {
-                "epoch": int(epoch),
-                "r_old_dir": r_old_dir,
-                "r_new_dir": r_dir,
-                # S-side inputs of the delta-rule terms, frozen driver-side:
-                # hot set BEFORE this epoch (term 1) and the NET per-type S
-                # weight change (terms 2/3 sum over both bucket-change rows,
-                # so only the net ±1 survives)
-                "hot_old": sorted(
-                    et for et, (present, _b) in olds.items() if present
-                ),
-                "net_ds": {
-                    et: sum(w for e2, w, _b in ds_rows if e2 == et)
-                    for et in {e2 for e2, _w, _b in ds_rows}
-                },
-                "d_s_ins": sum(1 for r in ds_rows if r[1] == 1),
-                "d_s_del": sum(1 for r in ds_rows if r[1] == -1),
-                "direct": direct,
-            }
-        )
-        running["r_dir"] = r_dir
-        running["s_state"] = {
-            et: (present, bucket) for et, present, bucket in s_new_rows
-        }
-
     # three epoch files per trigger (two triggers for six epochs): epochs
-    # still apply one-at-a-time inside maintain() (sequential fold, same
+    # still fold one-at-a-time inside maintain() (sequential S fold, same
     # per-epoch stats — batching-invariant by the delta rule) and state still
     # provably crosses a batch boundary, but the stream machinery (trigger
     # planning, checkpoint commit, source listing) runs per TRIGGER — six
@@ -2025,15 +2091,22 @@ def stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as one tiny broadcast frame.  N_epochs scans, ONE shuffle, one collect.
     by_epoch_stats: dict[int, dict] = {}
     if epochs_meta:
+        # Each batch committed its versions under ONE partitioned root
+        # (b{bid}/v=<epoch>), so the whole version history reads as a few
+        # partition-discovered scans (explicit schema: no footer-inference
+        # job per dir) instead of one union leg per epoch.
+        epoch_to_j = {m["epoch"]: j for j, m in enumerate(epochs_meta)}
+        batch_roots = sorted({os.path.dirname(m["r_new_dir"]) for m in epochs_meta})
+        jmap = F.create_map(
+            *[F.lit(int(x)) for kv in epoch_to_j.items() for x in kv]
+        )
         tagged = functools.reduce(
             DataFrame.unionByName,
             [
-                spark.read.parquet(m["r_new_dir"]).select(
-                    "pk", "et", "val", F.lit(j).alias("__v")
-                )
-                for j, m in enumerate(epochs_meta)
+                spark.read.schema(r_schema + ", v long").parquet(root)
+                for root in batch_roots
             ],
-        )
+        ).select("pk", "et", "val", jmap[F.col("v").cast("int")].alias("__v"))
         memb = tagged.groupBy("pk", "et", "val").agg(
             F.collect_set("__v").alias("__vs")
         )
