@@ -2398,13 +2398,21 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent hits into MAXIMAL duplicated spans (gaps-and-islands over the
     window starts) and report per-doc duplicated-token mass.
 
-    Scale design: windowing is a per-row array expression (no shuffle);
-    the only data-sized shuffles are the groupBy on the window hash and the
-    join back — both key-bucketed, never doc×doc.  The islands window is
-    partitioned by doc_id, so span merging is per-document local.  A
-    suffix-array build is inherently sequential; stride-1 fingerprinting
-    finds exactly the duplicated runs >= ``SPAN_TOKENS`` at 100 TB with
-    nothing but hash-partitioned operators."""
+    Scale design: windowing is a per-row array expression (no shuffle); the
+    ONLY data-sized shuffle is one repartition by the window hash, whose
+    partitioning both the (wh, doc) aggregation and the cross-doc count
+    window then reuse (subset clustering — zero further exchanges), so the
+    fingerprint frame is computed and shuffled ONCE.  The r08 form planned
+    the fingerprint subtree twice (once under the cross-doc aggregate, once
+    under the join back) — that, not the fold itself, was the cost: an
+    Arrow rolling-hash kernel twin was built and measured SLOWER warm
+    (0.78 s vs 0.50 s for the fold at sf0.1 — the per-doc arrays are ≤100
+    tokens, so the Python/Arrow round-trip exceeds the interpreted-lambda
+    saving) and rejected per guide §1.1.  The islands window is partitioned
+    by doc_id over duplicated windows only, so span merging is per-document
+    local.  A suffix-array build is inherently sequential; stride-1
+    fingerprinting finds exactly the duplicated runs >= ``SPAN_TOKENS`` at
+    100 TB with nothing but hash-partitioned operators."""
     thd = (
         _docs_t(spark, sf_dir)
         .select(
@@ -2429,13 +2437,23 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "wh"),
     )
-    cross_doc = (
-        wins.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("wh")
+    # one shuffle by wh; the grouped frame and the distinct-doc count reuse
+    # its partitioning (hash(wh) clusters every subset-keyed consumer).
+    # Explicit partition count (the session's shuffle-partition setting, NOT
+    # a local constant): AQE's size-based coalescing reads this stage as
+    # "3 MB → 1 partition" and serializes its ~0.8 s of per-row CPU onto one
+    # task — bytes are the wrong proxy for a window+regroup stage's cost.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_doc = (
+        wins.repartition(n_shuffle, "wh")
+        .groupBy("wh", "doc_id", "n_tokens")
+        .agg(F.collect_list("pos").alias("poss"))
     )
-    dw = wins.join(cross_doc, "wh").select("doc_id", "n_tokens", "pos")
+    dw = (
+        per_doc.withColumn("nd", F.count(F.lit(1)).over(W.partitionBy("wh")))
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "n_tokens", F.explode("poss").alias("pos"))
+    )
     wprev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
     wrun = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
     islands = (
