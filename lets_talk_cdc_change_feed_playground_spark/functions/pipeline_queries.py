@@ -482,10 +482,13 @@ def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: the first ``TOPK_QUERIES`` vectors against
-    the whole corpus. The query side is broadcast; scoring is one map-side
-    pass (the exact baseline an IVF/LSH variant must match)."""
+def _brute_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-staged exact query × corpus cosine pairs — the scored frame
+    behind ``emb_topk_similarity`` and the ground-truth side of
+    ``emb_ann_recall`` and ``emb_nprobe_curve`` (one interpreted-dot scoring
+    pass per session; guide §2.4)."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
@@ -495,13 +498,7 @@ def emb_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
-
-    # the scored query x corpus frame is consumed by this query AND by
-    # emb_ann_recall (which re-ranks all three searches) -- stage the one
-    # interpreted-dot scoring pass per session (guide §2.4; the ranking
-    # window below stays per-call work)
-    pairs = shared_df(
+    return shared_df(
         spark,
         ("brute_pairs", sf_dir),
         lambda: n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
@@ -511,6 +508,13 @@ def emb_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (T.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
         ),
     )
+
+
+def emb_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the first ``TOPK_QUERIES`` vectors against
+    the whole corpus. The query side is broadcast; scoring is one map-side
+    pass (the exact baseline an IVF/LSH variant must match)."""
+    pairs = _brute_pairs(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
