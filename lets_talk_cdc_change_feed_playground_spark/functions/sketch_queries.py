@@ -206,32 +206,51 @@ def lineitem_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``lo`` — guaranteed undercount) and, for every shard where the key was
     not kept, adds that shard's dropped-max (``hi`` — guaranteed overcount):
     the standard mergeable-summary bound.  Reports the merged top-``HH_TOP``
-    by ``lo`` with both bounds so the consumer sees the error interval."""
-    li = load_table(spark, sf_dir, "lineitem")
-    per_shard = li.groupBy(
-        (F.col("l_orderkey") % SS_SHARDS).alias("shard"), "l_partkey"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    rk = W.partitionBy("shard").orderBy(F.desc("cnt"), "l_partkey")
-    ranked = per_shard.withColumn("rk", F.row_number().over(rk))
-    kept = ranked.filter(F.col("rk") <= SS_KEEP).drop("rk")
-    dropped_max = (
-        ranked.filter(F.col("rk") > SS_KEEP)
-        .groupBy("shard")
-        .agg(F.max("cnt").alias("dmax"))
-    )
+    by ``lo`` with both bounds so the consumer sees the error interval.
+
+    Execution shape (r09): ONE scan+aggregation pass builds the per-shard
+    summaries; the dropped-max is the count at rank ``SS_KEEP``+1 (counts
+    are rank-ordered, so the first dropped row carries the max dropped
+    count) read by a second window over the SAME shard partitioning — no
+    re-aggregation, no join back.  The r08 form planned the scan+groupBy+
+    rank subtree three times (kept branch, dropped-max branch, error total).
+    The kept summary (≤ shards × (keep+1) rows — sketch-sized by
+    construction) is session-staged like the other summary frames; the
+    merge and report stay per-call work."""
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        per_shard = li.groupBy(
+            (F.col("l_orderkey") % SS_SHARDS).alias("shard"), "l_partkey"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        rk = W.partitionBy("shard").orderBy(F.desc("cnt"), "l_partkey")
+        wsh = W.partitionBy("shard")
+        return (
+            per_shard.withColumn("rk", F.row_number().over(rk))
+            .withColumn(
+                "dmax",
+                F.max(F.when(F.col("rk") == SS_KEEP + 1, F.col("cnt"))).over(wsh),
+            )
+            .filter(F.col("rk") <= SS_KEEP)
+            .select("shard", "l_partkey", "cnt", "dmax")
+        )
+
+    kept = shared_df(spark, ("hh_kept", sf_dir), build)
     # err_total = sum over shards of dropped-max; a key's hi bound adds the
     # dropped-max of every shard that did NOT keep it: hi = lo + err_total -
     # sum(dmax of shards that kept it).  Sketch-sized frames throughout.
-    shard_err = kept.join(F.broadcast(dropped_max), "shard", "left").select(
-        "shard", "l_partkey", "cnt", F.coalesce("dmax", F.lit(0)).alias("dmax")
+    err_total = (
+        kept.groupBy("shard")
+        .agg(F.first("dmax").alias("dmax"))
+        .agg(F.sum("dmax").alias("err_total"))
     )
-    err_total = dropped_max.agg(F.sum("dmax").alias("err_total"))
     merged = (
-        shard_err.groupBy("l_partkey")
+        kept.groupBy("l_partkey")
         .agg(
             F.sum("cnt").alias("lo"),
             F.count(F.lit(1)).alias("n_shards_kept"),
-            F.sum("dmax").alias("kept_dmax"),
+            F.sum(F.coalesce("dmax", F.lit(0))).alias("kept_dmax"),
         )
         .crossJoin(F.broadcast(err_total))
         .select(
@@ -442,11 +461,6 @@ def lineitem_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic with one division at the very end, identical in both
     engines.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.expr(f"l_orderkey % {STATS_SHARDS}").alias("shard"),
-        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-    )
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.min("qty").alias("qty_min"),
@@ -457,57 +471,90 @@ def lineitem_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").cast("decimal(38,2)").alias("price_sum"),
         F.sum(F.expr("price * price")).cast("decimal(38,4)").alias("price_sumsq"),
     ]
-    shard = li.groupBy("shard").agg(*aggs)
-    # Merge of the shard summaries: the whole point — count/min/max/sums
-    # compose losslessly, so the merged row is built from 8 summary rows.
-    merged = shard.agg(
-        F.sum("n").alias("n"),
-        F.min("qty_min").alias("qty_min"),
-        F.max("qty_max").alias("qty_max"),
-        F.sum("qty_sum").cast("decimal(38,2)").alias("qty_sum"),
-        F.min("price_min").alias("price_min"),
-        F.max("price_max").alias("price_max"),
-        F.sum("price_sum").cast("decimal(38,2)").alias("price_sum"),
-        F.sum("price_sumsq").cast("decimal(38,4)").alias("price_sumsq"),
-    ).select(F.lit(-1).cast("long").alias("shard"), "*")
-    direct = li.agg(*aggs).select(F.lit(-2).cast("long").alias("shard"), "*")
-    both = merged.unionByName(direct)
-    # audit: merged (-1) row must equal the direct (-2) row field-for-field
-    audit = (
-        both.groupBy()
-        .agg(
-            F.count_distinct(
-                F.struct(
-                    "n", "qty_min", "qty_max", "qty_sum",
-                    "price_min", "price_max", "price_sum", "price_sumsq",
-                )
-            ).alias("_distinct")
+    # ONE pass: ROLLUP computes the 8 per-shard summaries AND the direct
+    # full-table row (grouping-set ()) from the raw rows in a single
+    # scan+aggregation — the direct row is still aggregated from raw rows
+    # (via Expand), not from the summaries, so the merge audit below keeps
+    # auditing a genuinely independent aggregation.  The r08 form planned
+    # the scaled lineitem scan three times (shard branch ×2, direct).  The
+    # 9-row result is session-staged like the other summary frames.
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.expr(f"l_orderkey % {STATS_SHARDS}").alias("shard"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
         )
-        .select((F.col("_distinct") == 1).alias("merge_ok"))
-    )
-    out = (
-        shard.select(F.col("shard").cast("long").alias("shard"), "n", "qty_min", "qty_max", "qty_sum",
-                     "price_min", "price_max", "price_sum", "price_sumsq")
-        .unionByName(merged)
-        .crossJoin(F.broadcast(audit))
-    )
-    # variance of price in micro-units: (n·Σx²·1e4 − (Σx·1e2)²) scaled —
-    # integer arithmetic end-to-end (see module docstring determinism rule)
-    return out.select(
-        "shard",
-        F.col("n").cast("long").alias("n"),
-        F.col("qty_min").cast("double").alias("qty_min"),
-        F.col("qty_max").cast("double").alias("qty_max"),
-        F.col("qty_sum").cast("string").alias("qty_sum"),
-        F.col("price_min").cast("double").alias("price_min"),
-        F.col("price_max").cast("double").alias("price_max"),
-        F.col("price_sum").cast("string").alias("price_sum"),
-        F.expr(
-            "cast((1000000 * (n * cast(price_sumsq * 10000 as decimal(38,0))"
-            " - cast(price_sum * 100 as decimal(38,0)) * cast(price_sum * 100 as decimal(38,0))))"
-            " div (cast(10000 as decimal(38,0)) * n * n) as bigint)"
-        ).alias("price_var_micro"),
-        "merge_ok",
+        return li.rollup("shard").agg(*aggs, F.grouping_id().alias("_g"))
+
+    rolled = shared_df(spark, ("li_shard_rollup", sf_dir), build)
+    # The rest is arithmetic over ≤ STATS_SHARDS+1 summary rows — assemble
+    # driver-side into one LocalRelation (the cdc_verdict/dq_scorecard
+    # pattern: bounded by the shard count, never by data) instead of a
+    # 6-branch union+audit plan that cost 8 AQE jobs per run.
+    import decimal
+
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import local_df
+
+    rows = rolled.collect()
+    shard_rows = sorted((r for r in rows if r["_g"] == 0), key=lambda r: r["shard"])
+    direct_row = next(r for r in rows if r["_g"] == 1)
+
+    fields = ("n", "qty_min", "qty_max", "qty_sum",
+              "price_min", "price_max", "price_sum", "price_sumsq")
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60  # exact decimal merge arithmetic (values ≪ 38 digits)
+        # Merge of the shard summaries: the whole point — count/min/max/sums
+        # compose losslessly, so the merged row is built from the 8 rows.
+        merged = {
+            "n": sum(r["n"] for r in shard_rows),
+            "qty_min": min(r["qty_min"] for r in shard_rows),
+            "qty_max": max(r["qty_max"] for r in shard_rows),
+            "qty_sum": sum((r["qty_sum"] for r in shard_rows), decimal.Decimal(0)),
+            "price_min": min(r["price_min"] for r in shard_rows),
+            "price_max": max(r["price_max"] for r in shard_rows),
+            "price_sum": sum((r["price_sum"] for r in shard_rows), decimal.Decimal(0)),
+            "price_sumsq": sum(
+                (r["price_sumsq"] for r in shard_rows), decimal.Decimal(0)
+            ),
+        }
+        # audit: the merged row must equal the direct (raw-row) aggregation
+        # field-for-field — numeric equality, same as count_distinct(struct)
+        merge_ok = all(merged[f] == direct_row[f] for f in fields)
+
+        def var_micro(n: int, price_sum, price_sumsq) -> int:
+            # (n·Σx²·1e4 − (Σx·1e2)²)·1e6 div (1e4·n²) in exact integers —
+            # numerator ≥ 0 (Cauchy-Schwarz), so // equals SQL's
+            # truncate-toward-zero div
+            a = int(price_sumsq * 10000)  # scale-4 decimal → exact int
+            b = int(price_sum * 100)  # scale-2 decimal → exact int
+            return (1000000 * (n * a - b * b)) // (10000 * n * n)
+
+        out_rows = [
+            (
+                int(r["shard"]), int(r["n"]),
+                float(r["qty_min"]), float(r["qty_max"]), str(r["qty_sum"]),
+                float(r["price_min"]), float(r["price_max"]), str(r["price_sum"]),
+                var_micro(int(r["n"]), r["price_sum"], r["price_sumsq"]),
+                merge_ok,
+            )
+            for r in shard_rows
+        ] + [
+            (
+                -1, int(merged["n"]),
+                float(merged["qty_min"]), float(merged["qty_max"]), str(merged["qty_sum"]),
+                float(merged["price_min"]), float(merged["price_max"]), str(merged["price_sum"]),
+                var_micro(int(merged["n"]), merged["price_sum"], merged["price_sumsq"]),
+                merge_ok,
+            )
+        ]
+    return local_df(
+        spark,
+        out_rows,
+        "shard long, n long, qty_min double, qty_max double, qty_sum string,"
+        " price_min double, price_max double, price_sum string,"
+        " price_var_micro long, merge_ok boolean",
     ).orderBy("shard")
 
 
