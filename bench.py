@@ -147,21 +147,33 @@ def main() -> int:
                 docs_dedup_components,
             )
 
-            # the three capture lanes first and SEQUENTIALLY — everything
-            # else derives from them (and from the ops feed they persist),
-            # so this materializes the common ancestors exactly once
-            for df in (
-                capture.log_capture(spark, sf_dir),
-                capture.polling_capture(spark, sf_dir),
-                capture.polling_capture(spark, sf_dir, include_soft_deletes=True),
-                capture.trigger_capture(spark, sf_dir),
-            ):
-                df.write.format("noop").mode("overwrite").save()
-            # the derived frames are independent persists — submit their
-            # materializing writes concurrently (Spark schedules jobs from
-            # multiple threads; 32 local cores absorb ~4 small jobs at once)
             from concurrent.futures import ThreadPoolExecutor
 
+            def _noop(d):
+                d.write.format("noop").mode("overwrite").save()
+
+            # the log lane first and ALONE — it materializes the ops feed
+            # every other lane/frame persists on top of; the remaining three
+            # lanes then only share already-cached ancestors, so their
+            # materializing writes overlap (guide §2.6: overlap independent
+            # jobs — the staging wall is part of the bench headline)
+            _noop(capture.log_capture(spark, sf_dir))
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for fu in [
+                    pool.submit(_noop, df)
+                    for df in (
+                        capture.polling_capture(spark, sf_dir),
+                        capture.polling_capture(
+                            spark, sf_dir, include_soft_deletes=True
+                        ),
+                        capture.trigger_capture(spark, sf_dir),
+                    )
+                ]:
+                    fu.result()
+            # the derived frames are independent persists — submit their
+            # materializing writes concurrently (Spark schedules jobs from
+            # multiple threads; the frames are small, so 8 in flight keeps
+            # the 32 local cores busy without queue thrash)
             derived = [
                 _lanes(spark, sf_dir),
                 _expected(spark, sf_dir),
@@ -176,14 +188,8 @@ def main() -> int:
                 _simhash_frame(spark, sf_dir),
                 docs_dedup_components(spark, sf_dir),  # stages the edge frame
             ]
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                futures = [
-                    pool.submit(
-                        lambda d: d.write.format("noop").mode("overwrite").save(), df
-                    )
-                    for df in derived
-                ]
-                for fu in futures:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                for fu in [pool.submit(_noop, df) for df in derived]:
                     fu.result()
             # the shared streaming family passes (one consumer pass per
             # feed, streaming/stream_queries.py) — judged stream queries

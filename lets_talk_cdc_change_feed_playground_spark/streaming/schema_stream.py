@@ -478,24 +478,11 @@ def _evolving_chunks_locked(spark: SparkSession, sf_dir: str, key: tuple) -> str
 
     ops = evolving_ops(spark, sf_dir)
     cuts = ops.approxQuantile("t", _sq._split_qs(), 0.001)
-    out = tempfile.mkdtemp(prefix="sg_schema_evo_")
-    flat = os.path.join(out, "flat")
-    os.makedirs(flat)
-    base = int(time.time())
-    lo = None
-    for i, hi in enumerate([*cuts, None]):
-        chunk = ops
-        if lo is not None:
-            chunk = chunk.filter(F.col("t") > lo)
-        if hi is not None:
-            chunk = chunk.filter(F.col("t") <= hi)
-        cdir = os.path.join(out, f"c{i}")
-        chunk.coalesce(1).write.parquet(cdir)
-        part = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
-        dst = os.path.join(flat, f"{i:02d}.parquet")
-        os.rename(os.path.join(cdir, part), dst)
-        os.utime(dst, (base + i, base + i))
-        lo = hi
+    flat = _sq._write_split_chunks(
+        ops.withColumn("__chunk", _sq._chunk_id(F.col("t"), cuts)),
+        _sq._N_CHUNKS,
+        "sg_schema_evo_",
+    )
     _staged[key] = flat
     return flat
 
