@@ -71,11 +71,23 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``term_score_micro = (idf_micro·tf_norm_micro) div M``.
     Summed per (query, doc) — every step is integer arithmetic with the
     identical rounding points on both engines."""
-    d = _docs_t(spark, sf_dir)
-    tok = d.select("doc_id", F.explode("toks").alias("term")).filter(
-        (F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS)
+    from lets_talk_cdc_change_feed_playground_spark.operators.shared import shared_df
+
+    # the (doc, term) frequency frame feeds FOUR plan branches (scored main
+    # side, doc lengths, document frequencies, query terms) — without
+    # staging, each consumer re-runs the corpus explode+aggregate (profiled
+    # r09: four ~8 s-CPU stages per run).  One pass per session (§2.4).
+    tf = shared_df(
+        spark,
+        ("bm25_tf", sf_dir),
+        lambda: (
+            _docs_t(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("term"))
+            .filter((F.length("term") >= 3) & ~F.col("term").isin(*T.STOPWORDS))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        ),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(

@@ -705,6 +705,12 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("e_t"),
         F.expr("t div 3600000").alias("bkt"),
     )
+    # two-phase distinct: aggregate the bucket-join fan-out ONCE by
+    # (session, other-user) — count+countDistinct in one agg would Expand
+    # the candidate pairs 2× through the shuffle (one leg per aggregate
+    # path); the per-user partial collapses the fan-out before the second,
+    # session-grain aggregate reuses the same clustering (guide §2.3
+    # aggregate before you shuffle)
     ov = (
         sh.join(e, "bkt")
         .filter(
@@ -712,10 +718,12 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("e_t") <= F.col("s1"))
             & (F.col("e_user") != F.col("user_id"))
         )
+        .groupBy("user_id", "session_id", "e_user")
+        .agg(F.count(F.lit(1)).alias("_n"))
         .groupBy("user_id", "session_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_overlap_events"),
-            F.countDistinct("e_user").cast("long").alias("n_concurrent_users"),
+            F.sum("_n").cast("long").alias("n_overlap_events"),
+            F.count(F.lit(1)).cast("long").alias("n_concurrent_users"),
         )
     )
     return sess.join(ov, ["user_id", "session_id"], "left").select(
