@@ -900,82 +900,73 @@ def cdc_compacted_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold for every key, proven per key with both sides' payloads and a
     ``converged`` flag — compaction loses history but never state.
 
-    Plan shape: two per-key windows over one shuffle on ``pk``; the boundary
-    is a broadcast single-row aggregate.
+    Plan shape (r09 fusion): ONE shuffle on ``pk``, one descending-lsn sort;
+    the segment-latest and tail-latest records are conditional struct maxima
+    over the same window (lsn is unique and leads the struct, so the struct
+    max IS the latest record on each side of the boundary), and the full
+    latest is the window's rank-1 row itself — the r08 form re-scanned the
+    WAL in three branches (3 exchanges, 3 sorts) and glued them with two
+    full-outer joins.  The boundary stays a broadcast single-row aggregate.
     """
     wal = log_capture(spark, sf_dir)
     head = wal.agg(
         F.expr(f"max(lsn) * {BOOTSTRAP_NUM} div {BOOTSTRAP_DEN}").alias("boundary")
     )
-    w = wal.crossJoin(F.broadcast(head))
     wpk = W.partitionBy("pk")
-    seg_latest = (
-        w.filter(F.col("lsn") <= F.col("boundary"))
+    rec = F.struct("lsn", "op", "after_event_type", "after_value")
+    one = (
+        wal.crossJoin(F.broadcast(head))
         .withColumn("rn", F.row_number().over(wpk.orderBy(F.desc("lsn"))))
-        .filter("rn = 1")
-    )
-    compacted = seg_latest.filter(F.col("op") != "d").select(
-        "pk",
-        F.col("after_event_type").alias("c_event_type"),
-        F.col("after_value").alias("c_value"),
-        F.col("lsn").alias("c_lsn"),
-    )
-    tail_latest = (
-        w.filter(F.col("lsn") > F.col("boundary"))
-        .withColumn("rn", F.row_number().over(wpk.orderBy(F.desc("lsn"))))
-        .filter("rn = 1")
-        .select(
-            "pk",
-            F.col("op").alias("t_op"),
-            F.col("after_event_type").alias("t_event_type"),
-            F.col("after_value").alias("t_value"),
-            F.col("lsn").alias("t_lsn"),
+        .withColumn(
+            "seg", F.max(F.when(F.col("lsn") <= F.col("boundary"), rec)).over(wpk)
         )
-    )
-    boot = compacted.join(tail_latest, "pk", "full_outer").select(
-        "pk",
-        F.when(F.col("t_lsn").isNotNull(), F.col("t_op") != "d")
-        .otherwise(F.lit(True))
-        .alias("boot_present"),
-        F.coalesce(
-            F.when(F.col("t_lsn").isNotNull() & (F.col("t_op") != "d"), F.col("t_event_type")),
-            F.when(F.col("t_lsn").isNull(), F.col("c_event_type")),
-        ).alias("boot_event_type"),
-        F.coalesce(
-            F.when(F.col("t_lsn").isNotNull() & (F.col("t_op") != "d"), F.col("t_value")),
-            F.when(F.col("t_lsn").isNull(), F.col("c_value")),
-        ).alias("boot_value"),
-        (F.col("t_lsn").isNull()).alias("from_compacted"),
-    )
-    full = (
-        wal.withColumn("rn", F.row_number().over(wpk.orderBy(F.desc("lsn"))))
-        .filter("rn = 1")
-        .select(
-            "pk",
-            (F.col("op") != "d").alias("full_present"),
-            F.when(F.col("op") != "d", F.col("after_event_type")).alias("full_event_type"),
-            F.when(F.col("op") != "d", F.col("after_value")).alias("full_value"),
+        .withColumn(
+            "tl", F.max(F.when(F.col("lsn") > F.col("boundary"), rec)).over(wpk)
         )
+        .filter("rn = 1")
     )
-    out = boot.join(full, "pk", "full_outer")
-    conv = F.coalesce(F.col("boot_present"), F.lit(False)).eqNullSafe(
-        F.coalesce(F.col("full_present"), F.lit(False))
-    ) & (
-        ~F.coalesce(F.col("full_present"), F.lit(False))
+    # the compacted prefix drops tombstoned keys: its record "exists" only
+    # if the segment-latest is a non-delete; the tail keeps deletes
+    c_present = F.col("seg").isNotNull() & (F.col("seg.op") != "d")
+    t_exists = F.col("tl").isNotNull()
+    boot_exists = c_present | t_exists
+    boot_present = (
+        F.when(t_exists, F.col("tl.op") != "d")
+        .when(c_present, F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    live_tail = t_exists & (F.col("tl.op") != "d")
+    boot_event_type = F.coalesce(
+        F.when(live_tail, F.col("tl.after_event_type")),
+        F.when(~t_exists & c_present, F.col("seg.after_event_type")),
+    )
+    boot_value = F.coalesce(
+        F.when(live_tail, F.col("tl.after_value")),
+        F.when(~t_exists & c_present, F.col("seg.after_value")),
+    )
+    # from_compacted is NULL for keys absent from the bootstrap entirely
+    # (segment-latest was a tombstone and no tail record) — the full-outer
+    # join the fusion replaces produced a NULL there too
+    from_compacted = F.when(boot_exists, ~t_exists)
+    full_present = F.col("op") != "d"
+    full_event_type = F.when(full_present, F.col("after_event_type"))
+    full_value = F.when(full_present, F.col("after_value"))
+    conv = boot_present.eqNullSafe(full_present) & (
+        ~full_present
         | (
-            F.col("boot_event_type").eqNullSafe(F.col("full_event_type"))
-            & F.col("boot_value").eqNullSafe(F.col("full_value"))
+            boot_event_type.eqNullSafe(full_event_type)
+            & boot_value.eqNullSafe(full_value)
         )
     )
-    return out.select(
+    return one.select(
         "pk",
-        F.coalesce("boot_present", F.lit(False)).alias("boot_present"),
-        "from_compacted",
-        "boot_event_type",
-        "boot_value",
-        F.coalesce("full_present", F.lit(False)).alias("full_present"),
-        "full_event_type",
-        "full_value",
+        boot_present.alias("boot_present"),
+        from_compacted.alias("from_compacted"),
+        boot_event_type.alias("boot_event_type"),
+        boot_value.alias("boot_value"),
+        full_present.alias("full_present"),
+        full_event_type.alias("full_event_type"),
+        full_value.alias("full_value"),
         conv.alias("converged"),
     ).orderBy("pk")
 
