@@ -59,56 +59,59 @@ def cdc_geo_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     r = ops.withColumn("rrank", F.when(F.col("region") == "east", 0).otherwise(1))
-    # conflict: consecutive ops on a key from different regions closer than
-    # the replication delay — neither region saw the other's write in time
+    # ONE pass (r09 fusion): the conflict counters, the LWW register and
+    # both naive arrival-order sinks are all per-pk aggregates over the
+    # same rows — the r08 form ran four aggregations over four scans of the
+    # feed and glued them with three joins.  The lag window establishes the
+    # pk partitioning once; the groupBy reuses it (no second exchange).
+    # Each region's naive apply resolves by (arrival, seq): local writes
+    # arrive at t, remote at t + REPL_MS — per-row columns, so the
+    # last-applied winner is a conditional struct max, not a separate pass.
     wk = W.partitionBy("pk").orderBy("t", "seq")
-    conf = r.withColumn("prev_region", F.lag("region").over(wk)).withColumn(
-        "prev_t", F.lag("t").over(wk)
+    conf = (
+        r.withColumn("prev_region", F.lag("region").over(wk))
+        .withColumn("prev_t", F.lag("t").over(wk))
+        .withColumn(
+            "arr_e",
+            F.when(F.col("rrank") == 0, F.col("t")).otherwise(F.col("t") + REPL_MS),
+        )
+        .withColumn(
+            "arr_w",
+            F.when(F.col("rrank") == 1, F.col("t")).otherwise(F.col("t") + REPL_MS),
+        )
     )
-    conflicts = conf.groupBy("pk").agg(
-        F.sum(F.when(F.col("region") == "east", 1).otherwise(0)).alias("n_east"),
-        F.sum(F.when(F.col("region") == "west", 1).otherwise(0)).alias("n_west"),
-        F.sum(
-            F.when(
-                (F.col("prev_region").isNotNull())
-                & (F.col("prev_region") != F.col("region"))
-                & (F.col("t") - F.col("prev_t") < REPL_MS),
-                1,
-            ).otherwise(0)
-        ).alias("n_conflicts"),
-    )
-    # LWW register: resolve by (origin t, region rank, seq) — arrival-order
-    # independent by construction
-    lww = (
-        r.groupBy("pk")
-        .agg(F.max(F.struct("t", "rrank", "seq", "region", "event_type", "value")).alias("w"))
+    out = (
+        conf.groupBy("pk")
+        .agg(
+            F.sum(F.when(F.col("region") == "east", 1).otherwise(0)).alias("n_east"),
+            F.sum(F.when(F.col("region") == "west", 1).otherwise(0)).alias("n_west"),
+            F.sum(
+                F.when(
+                    (F.col("prev_region").isNotNull())
+                    & (F.col("prev_region") != F.col("region"))
+                    & (F.col("t") - F.col("prev_t") < REPL_MS),
+                    1,
+                ).otherwise(0)
+            ).alias("n_conflicts"),
+            # LWW register: resolve by (origin t, region rank, seq) —
+            # arrival-order independent by construction
+            F.max(
+                F.struct("t", "rrank", "seq", "region", "event_type", "value")
+            ).alias("w"),
+            F.max(F.struct(F.col("arr_e").alias("a"), "seq", "value")).alias("we"),
+            F.max(F.struct(F.col("arr_w").alias("a"), "seq", "value")).alias("ww"),
+        )
         .select(
             "pk",
+            "n_east",
+            "n_west",
+            "n_conflicts",
             F.col("w.region").alias("winner_region"),
             F.col("w.event_type").alias("lww_event_type"),
             F.col("w.value").alias("lww_value"),
+            F.col("we.value").alias("naive_east_value"),
+            F.col("ww.value").alias("naive_west_value"),
         )
-    )
-
-    def naive(observer_rank: int):
-        # naive sink: apply in ARRIVAL order at this region (local at t,
-        # remote at t + REPL_MS), last applied wins
-        arr = r.withColumn(
-            "arrival",
-            F.when(F.col("rrank") == observer_rank, F.col("t")).otherwise(
-                F.col("t") + REPL_MS
-            ),
-        )
-        return (
-            arr.groupBy("pk")
-            .agg(F.max(F.struct("arrival", "seq", "value")).alias("w"))
-            .select("pk", F.col("w.value").alias(f"naive_{'east' if observer_rank == 0 else 'west'}_value"))
-        )
-
-    out = (
-        conflicts.join(lww, "pk")
-        .join(naive(0), "pk")
-        .join(naive(1), "pk")
         .withColumn(
             "naive_diverged",
             ~F.col("naive_east_value").eqNullSafe(F.col("naive_west_value")),
