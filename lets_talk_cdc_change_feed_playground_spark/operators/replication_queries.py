@@ -482,61 +482,60 @@ def cdc_quorum_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("quorum_rstate", sf_dir),
         lambda: landed.groupBy("replica", "pk").agg(F.max("seq").alias("rv")),
     )
+    # r09 fusion: the r08 form computed ``latest`` (a full ops aggregation)
+    # THREE times — once per read-set join probe and once per backlog join —
+    # and probed the replica state with two separate pk joins.  Now: one
+    # ops aggregation, ONE rstate ⋈ latest join; the read-set versions come
+    # from a per-pk pivot of the joined rows (replica is 0..QR_N-1, so
+    # "version at replica r1" is a conditional max, not a join), and the
+    # total backlog is the sum of the per-replica backlog rows (3 rows)
+    # instead of a third scan+join.
     latest = ops.groupBy("pk").agg(F.max("seq").alias("latest")).select(
         "pk",
         "latest",
         (hash31(F.concat(F.lit("r:"), F.col("pk"))) % QR_N).alias("r1"),
     )
-    a = rstate.select(F.col("pk").alias("apk"), F.col("replica").alias("ar"), F.col("rv").alias("v1"))
-    b = rstate.select(F.col("pk").alias("bpk"), F.col("replica").alias("br"), F.col("rv").alias("v2"))
-    reads = (
-        latest.join(a, (F.col("apk") == F.col("pk")) & (F.col("ar") == F.col("r1")), "left")
-        .join(
-            b,
-            (F.col("bpk") == F.col("pk")) & (F.col("br") == (F.col("r1") + 1) % QR_N),
-            "left",
-        )
-        .select(
-            "pk",
-            "latest",
-            F.coalesce("v1", F.lit(-1)).alias("v1"),
-            F.greatest(F.coalesce("v1", F.lit(-1)), F.coalesce("v2", F.lit(-1))).alias("v12"),
-        )
+    rj = rstate.join(latest, "pk")
+    pr_base = rj.groupBy(F.col("replica").cast("long").alias("replica")).agg(
+        F.count(F.lit(1)).cast("long").alias("keys_hosted"),
+        F.coalesce(F.sum(F.when(F.col("rv") < F.col("latest"), 1)), F.lit(0))
+        .cast("long")
+        .alias("keys_behind"),
     )
-    stale = reads.agg(
+    per_replica = pr_base.select(
+        "replica",
+        "keys_hosted",
+        "keys_behind",
+        F.lit(None).cast("long").alias("stale_reads_r1"),
+        F.lit(None).cast("long").alias("stale_reads_r2"),
+        F.lit(None).cast("boolean").alias("quorum_holds"),
+    )
+    behind_total = pr_base.agg(F.sum("keys_behind").alias("keys_behind"))
+    pvt = rj.groupBy("pk").agg(
+        F.first("latest").alias("latest"),
+        F.first("r1").alias("r1"),
+        *[
+            F.max(F.when(F.col("replica") == i, F.col("rv"))).alias(f"rv{i}")
+            for i in range(QR_N)
+        ],
+    )
+
+    def rv_at(idx_col):
+        expr = F.lit(None).cast("long")
+        for i in range(QR_N):
+            expr = F.when(idx_col == i, F.col(f"rv{i}")).otherwise(expr)
+        return expr
+
+    v1 = F.coalesce(rv_at(F.col("r1")), F.lit(-1))
+    v12 = F.greatest(v1, F.coalesce(rv_at((F.col("r1") + 1) % QR_N), F.lit(-1)))
+    stale = pvt.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.coalesce(F.sum(F.when(F.col("v1") < F.col("latest"), 1)), F.lit(0))
+        F.coalesce(F.sum(F.when(v1 < F.col("latest"), 1)), F.lit(0))
         .cast("long")
         .alias("stale_reads_r1"),
-        F.coalesce(F.sum(F.when(F.col("v12") < F.col("latest"), 1)), F.lit(0))
+        F.coalesce(F.sum(F.when(v12 < F.col("latest"), 1)), F.lit(0))
         .cast("long")
         .alias("stale_reads_r2"),
-    )
-    per_replica = (
-        rstate.join(latest.select("pk", "latest"), "pk")
-        .groupBy(F.col("replica").cast("long").alias("replica"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("keys_hosted"),
-            F.coalesce(F.sum(F.when(F.col("rv") < F.col("latest"), 1)), F.lit(0))
-            .cast("long")
-            .alias("keys_behind"),
-        )
-        .select(
-            "replica",
-            "keys_hosted",
-            "keys_behind",
-            F.lit(None).cast("long").alias("stale_reads_r1"),
-            F.lit(None).cast("long").alias("stale_reads_r2"),
-            F.lit(None).cast("boolean").alias("quorum_holds"),
-        )
-    )
-    behind_total = (
-        rstate.join(latest.select("pk", "latest"), "pk")
-        .agg(
-            F.coalesce(F.sum(F.when(F.col("rv") < F.col("latest"), 1)), F.lit(0))
-            .cast("long")
-            .alias("keys_behind")
-        )
     )
     verdict = stale.crossJoin(behind_total).select(
         F.lit(-1).cast("long").alias("replica"),
